@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 — aggregations (A1-A16) over the synthetic tables.
+  *
+  * Scale notes: every groupBy below compiles to HashAggregate with
+  * partial (map-side) aggregation, so the shuffle carries one row per
+  * (partition, group), not per input row. Low-cardinality groups
+  * (returnflag × linestatus = 6) reduce to near-nothing before the
+  * exchange. Double-typed aggregates are rounded on BOTH sides of the
+  * oracle compare, since summation order is engine-dependent at the ulp
+  * level.
+  */
+object AggQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A1 — group-by mean (radius_model.R:265-268)
+    q("a1_avg_group",
+      """SELECT l_returnflag, l_linestatus, round(avg(l_quantity), 4) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(avg("l_quantity"), 4).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // A2 — group-by exact median (QB throw speed —
+    // Openness_Data_Frame_Prep.R:87-88)
+    q("a2_median",
+      """SELECT l_returnflag, round(median(l_extendedprice), 4) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(median(col("l_extendedprice")), 4).as("med_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // A3 — group-by count (QBReadStats.R:142-144)
+    q("a3_count",
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // A4 — ratio of aggregates sum(flag)/n (QBReadStats.R:142-144)
+    q("a4_flag_ratio",
+      """SELECT l_returnflag,
+        |       round(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+        |             * 1.0 / count(*), 6) AS high_disc_rate
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).cast("double")
+            / count(lit(1)), 6).as("high_disc_rate"))
+        .orderBy("l_returnflag")
+    },
+
+    // A5 — multi-column multi-stat agg incl. sample stddev + countDistinct
+    // (DefCoverage.ipynb:101-119; pandas std ⇒ stddev_samp)
+    q("a5_multi_stat",
+      """SELECT l_returnflag,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(stddev_samp(l_extendedprice), 4) AS std_price,
+        |       round(min(l_extendedprice), 4) AS min_price,
+        |       round(max(l_extendedprice), 4) AS max_price,
+        |       count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(avg("l_extendedprice"), 4).as("avg_price"),
+             round(stddev_samp(col("l_extendedprice")), 4).as("std_price"),
+             round(min("l_extendedprice"), 4).as("min_price"),
+             round(max("l_extendedprice"), 4).as("max_price"),
+             countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // A6 — min/max over orderable non-numerics (timestamps)
+    // (BuildingReadOrder.R:109 min frameId)
+    q("a6_minmax_ts",
+      """SELECT l_orderkey, min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(min("l_shipdate").as("first_ship"), max("l_shipdate").as("last_ship"))
+        .orderBy("l_orderkey")
+    },
+
+    // A7 — first/last-in-group under an explicit ordering via min_by/max_by
+    // (start_x/end_x per defender-play — DefPosModel.ipynb:163-169);
+    // never bare first() (non-deterministic). The ordering key (o_orderkey)
+    // is unique within each group, so the result is fully deterministic.
+    q("a7_min_by",
+      """SELECT o_custkey,
+        |       min_by(o_totalprice, o_orderkey) AS first_order_price,
+        |       max_by(o_totalprice, o_orderkey) AS last_order_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(min_by(col("o_totalprice"), col("o_orderkey")).as("first_order_price"),
+             max_by(col("o_totalprice"), col("o_orderkey")).as("last_order_price"))
+        .orderBy("o_custkey")
+    },
+
+    // A9 — ordered string aggregation (route_tree — Matchup
+    // Information.R:63-68). Sort INSIDE the agg: input order is
+    // non-deterministic in a distributed engine.
+    // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the sort
+    // key inside the agg is the full deterministic chain.
+    q("a9_ordered_concat",
+      """SELECT l_orderkey,
+        |       string_agg(l_returnflag, ' '
+        |         ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS flag_seq
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(
+              col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+              col("l_extendedprice"), col("l_returnflag")))),
+            x => x.getField("l_returnflag")),
+          " ").as("flag_seq"))
+        .orderBy("l_orderkey")
+    },
+
+    // A10 — grand-total aggregate broadcast back (PRESS = x/mean(x)*100 —
+    // QBReadStats.R:220-224): share of total revenue per returnflag
+    q("a10_share_of_total",
+      """SELECT l_returnflag, round(grp / sum(grp) OVER (), 6) AS share
+        |FROM (SELECT l_returnflag, sum(l_extendedprice) AS grp
+        |      FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val grouped = Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum("l_extendedprice").as("grp"))
+      grouped
+        .withColumn("share", round(col("grp") / sum("grp").over(Window.partitionBy()), 6))
+        .select("l_returnflag", "share")
+        .orderBy("l_returnflag")
+    },
+
+    // A11 — Shannon entropy over a frequency distribution
+    // (QBReadStats.R:330-342)
+    q("a11_entropy",
+      """SELECT round(-sum(p * log2(p)), 6) AS entropy FROM (
+        |  SELECT count(*) * 1.0 / sum(count(*)) OVER () AS p
+        |  FROM events GROUP BY event_type)""".stripMargin) { (s, dir) =>
+      val freq = Tables.load(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") / sum("n").over(Window.partitionBy()))
+      freq.agg(round(-sum(col("p") * log2(col("p"))), 6).as("entropy"))
+    },
+
+    // A12 — coefficient of variation of group counts (QBReadStats.R:344-349)
+    q("a12_coef_of_var",
+      """SELECT round(stddev_samp(n) / avg(n), 6) AS cv FROM (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .agg(round(stddev_samp(col("n")) / avg(col("n")), 6).as("cv"))
+    },
+
+    // A13 — exact count distinct (QBReadStats.R:324-326); the scale path is
+    // approx_count_distinct (HLL) — exercised in the bench suite
+    q("a13_count_distinct",
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+
+    // A14 — frequency table → percentages (DefPosModel.ipynb:812-815)
+    q("a14_freq_pct",
+      """SELECT o_orderpriority, n, round(n * 100.0 / sum(n) OVER (), 4) AS pct
+        |FROM (SELECT o_orderpriority, count(*) AS n
+        |      FROM orders GROUP BY o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .withColumn("pct",
+          round(col("n") * lit(100.0) / sum("n").over(Window.partitionBy()), 4))
+        .orderBy("o_orderpriority")
+    },
+
+    // A15 — row-wise horizontal sum over an array column
+    // (rowSums over prob columns — cover_threshold.R:11). Both sides fold
+    // left-to-right in DOUBLE so the float math is bitwise identical.
+    q("a15_rowwise_sum",
+      """SELECT vec_id,
+        |       round(list_aggregate(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE)), 'sum'), 4) AS vec_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 4).as("vec_sum"))
+        .orderBy("vec_id")
+    },
+
+    // A16 — global scalar reductions (QBReadStats.R:126,157,218)
+    q("a16_global_scalars",
+      """SELECT count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS total_qty,
+        |       round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum("l_quantity"), 2).as("total_qty"),
+             round(avg("l_discount"), 6).as("avg_disc"))
+    },
+  )
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 — joins (J1-J10) over the synthetic tables.
+  *
+  * Scale notes: dimension sides (region/nation/part/supplier/customer at
+  * TPC-H proportions) are explicitly `broadcast()`-hinted so the fact scan
+  * never shuffles for them; fact-fact joins (lineitem⋈orders) shuffle on the
+  * join key once, and AQE is free to flip to broadcast when the filtered
+  * side collapses. At 100 TB the same plans hold: dims stay broadcastable,
+  * fact-fact joins would additionally benefit from bucketing both tables on
+  * the order key at write time (noted in the pipeline docs).
+  */
+object JoinQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J1 — left outer equi-join fact⟕fact, the reference workhorse
+    // (tracking ⟕ plays — Openness_Data_Frame_Prep.R:8-15)
+    q("j1_left_join",
+      """SELECT l_orderkey, l_linenumber, o_orderstatus, o_totalprice
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
+        .select("l_orderkey", "l_linenumber", "o_orderstatus", "o_totalprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // J2 — inner equi-join (merge(by=...) — DataCleaning.R:22)
+    q("j2_inner_join",
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // J3 — equi-join with differing key names, chained through two dims
+    // (nflId = pff_primaryDefensiveCoverageMatchupNflId —
+    // Openness_Data_Frame_Prep.R:63)
+    q("j3_diff_key_names",
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+        .orderBy("c_custkey")
+    },
+
+    // J5 — right outer join; left side pre-filtered so some right rows are
+    // unmatched and surface nulls (merge(all.y=T) — QBReadStats.R:46-47)
+    q("j5_right_join",
+      """SELECT p_partkey, l_orderkey, l_quantity
+        |FROM (SELECT * FROM lineitem WHERE l_quantity > 49) li
+        |RIGHT JOIN part ON l_partkey = p_partkey
+        |ORDER BY p_partkey, l_orderkey NULLS FIRST, l_quantity NULLS FIRST""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_quantity") > 49)
+      val p = Tables.load(s, dir, "part")
+      li.join(p, li("l_partkey") === p("p_partkey"), "right")
+        .select("p_partkey", "l_orderkey", "l_quantity")
+        .orderBy(col("p_partkey"), col("l_orderkey").asc_nulls_first,
+                 col("l_quantity").asc_nulls_first)
+    },
+
+    // J6 — left-semi join (Visualization.R:22)
+    q("j6_semi_join",
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val big = Tables.load(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // J6b — left-anti join (extension beyond the reference; SURVEY §2.3
+    // notes anti joins absent there — we provide them as first-class)
+    q("j6b_anti_join",
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val big = Tables.load(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // J7 — self-join on a derived relation (mirror-route match —
+    // Matchup Information.R:79-84): nation pairs within the same region
+    q("j7_self_join",
+      """SELECT a.n_regionkey AS region_key, a.n_name AS nation_a, b.n_name AS nation_b
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        |ORDER BY region_key, nation_a, nation_b""".stripMargin) { (s, dir) =>
+      val n = Tables.load(s, dir, "nation")
+      val a = n.as("a")
+      val b = n.as("b")
+      a.join(b, col("a.n_regionkey") === col("b.n_regionkey") &&
+                col("a.n_nationkey") < col("b.n_nationkey"))
+        .select(col("a.n_regionkey").as("region_key"),
+                col("a.n_name").as("nation_a"),
+                col("b.n_name").as("nation_b"))
+        .orderBy("region_key", "nation_a", "nation_b")
+    },
+
+    // J8 — small-dimension broadcast joins + aggregate on top
+    // (players/teams dims — QBReadStats.R:138)
+    // The revenue sum is accumulated in DECIMAL (exact, order-independent)
+    // so partial-aggregation order can't flip a rounding boundary vs the
+    // oracle; the per-row product is still computed in double (identical
+    // IEEE ops on both engines) before the cast.
+    q("j8_broadcast_dims",
+      """SELECT p_brand, s_name, count(*) AS n_lines,
+        |       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_name
+        |ORDER BY p_brand, s_name""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      val sup = Tables.load(s, dir, "supplier")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .groupBy("p_brand", "s_name")
+        .agg(count(lit(1)).as("n_lines"),
+             sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+               .cast("decimal(18,6)")).as("revenue"))
+        .orderBy("p_brand", "s_name")
+    },
+
+    // J9 — constrained cross product within a group (defender × route-runner
+    // per frame — DefPosModel.ipynb:136-140): line pairs within an order
+    q("j9_group_cross",
+      """SELECT a.l_orderkey AS l_orderkey, a.l_linenumber AS line_a,
+        |       b.l_linenumber AS line_b,
+        |       abs(a.l_extendedprice - b.l_extendedprice) AS price_gap
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+        |ORDER BY l_orderkey, line_a, line_b""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      val a = li.as("a")
+      val b = li.as("b")
+      a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_linenumber") < col("b.l_linenumber"))
+        .select(col("a.l_orderkey").as("l_orderkey"),
+                col("a.l_linenumber").as("line_a"),
+                col("b.l_linenumber").as("line_b"),
+                abs(col("a.l_extendedprice") - col("b.l_extendedprice")).as("price_gap"))
+        .orderBy("l_orderkey", "line_a", "line_b")
+    },
+
+    // J10 — per-group scalar lookup joined back onto detail rows
+    // (throw_speed lookup — Openness_Data_Frame_Prep.R:90-98)
+    q("j10_scalar_lookup",
+      """SELECT l.l_orderkey AS l_orderkey, l.l_linenumber AS l_linenumber,
+        |       l.l_extendedprice AS l_extendedprice
+        |FROM lineitem l
+        |JOIN (SELECT l_orderkey, max(l_extendedprice) AS max_price
+        |      FROM lineitem GROUP BY l_orderkey) t
+        |  ON l.l_orderkey = t.l_orderkey AND l.l_extendedprice = t.max_price
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val maxes = li.groupBy(col("l_orderkey").as("k"))
+        .agg(max("l_extendedprice").as("max_price"))
+      li.join(maxes, li("l_orderkey") === maxes("k") &&
+                     li("l_extendedprice") === maxes("max_price"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+  )
+}
