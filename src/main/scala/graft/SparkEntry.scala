@@ -9,7 +9,10 @@ object SparkEntry {
   private def families: Seq[QueryDef] =
     graft.queries.ProjectFilterQueries.defs ++
     graft.queries.JoinQueries.defs ++
-    graft.queries.AggQueries.defs
+    graft.queries.AggQueries.defs ++
+    graft.queries.WindowQueries.defs ++
+    graft.queries.ReshapeQueries.defs ++
+    graft.queries.ScalarFuncQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-schema rollup: revenue per region × order priority, with rank of

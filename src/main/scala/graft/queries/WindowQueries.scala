@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.5 — window functions / ordered & positional ops (W1-W11).
+  *
+  * Scale notes: every window below partitions by a high-cardinality key
+  * (user_id / orderkey), so WindowExec sorts within shuffle partitions and
+  * never concentrates data on one task. Nothing uses a global window except
+  * w7/w8 (global rank), which at 100 TB would be replaced by the
+  * `orderBy().limit(k)` top-k pattern Spark executes as partial top-k +
+  * single-reduce merge — w8 demonstrates exactly that plan.
+  * Ordering chains always end in a unique column (event_id / orderkey) —
+  * the reference relies on accidental input order for ties (SURVEY §7.4.1);
+  * we pin determinism explicitly.
+  */
+object WindowQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // W1 — dense_rank within group (secondId — radius_model.R:257-261)
+    q("w1_dense_rank",
+      """SELECT event_id, user_id,
+        |       dense_rank() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS tick
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("tick",
+          dense_rank().over(Window.partitionBy("user_id").orderBy("ts")) - 1)
+        .select("event_id", "user_id", "tick")
+        .orderBy("event_id")
+    },
+
+    // W2 — row_number in a conditional custom order (read order by ±y —
+    // BuildingReadOrder.R:148-157); unique tie-break appended
+    q("w2_row_number_custom",
+      """SELECT event_id, user_id,
+        |       row_number() OVER (PARTITION BY user_id
+        |         ORDER BY CASE WHEN event_type = 'purchase' THEN -value
+        |                       ELSE value END, event_id) AS pos
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(when(col("event_type") === "purchase", -col("value"))
+                       .otherwise(col("value")),
+                     col("event_id"))))
+        .select("event_id", "user_id", "pos")
+        .orderBy("event_id")
+    },
+
+    // W3 — group-wise running sum (cumulative QB distance —
+    // BuildingReadOrder.R:88-94). Accumulates in DECIMAL: window-agg
+    // association order differs between engines on doubles.
+    q("w3_running_sum",
+      """SELECT event_id, user_id,
+        |       sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("running_value", sum(col("value").cast("decimal(18,6)")).over(w))
+        .select("event_id", "user_id", "running_value")
+        .orderBy("event_id")
+    },
+
+    // W4 — conditional positional min (first frame where cumulative distance
+    // crosses the dropback distance — BuildingReadOrder.R:97-106): first
+    // purchase timestamp per user, broadcast to all the user's rows
+    q("w4_conditional_min",
+      """SELECT event_id, user_id,
+        |       min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |         OVER (PARTITION BY user_id) AS first_purchase_ts
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("first_purchase_ts",
+          min(when(col("event_type") === "purchase", col("ts")))
+            .over(Window.partitionBy("user_id")))
+        .select("event_id", "user_id", "first_purchase_ts")
+        .orderBy("event_id")
+    },
+
+    // W5 — group max as filter (outside receivers y==min|max —
+    // BuildingReadOrder.R:132-137): each user's highest-value events
+    q("w5_max_filter",
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value,
+        |         max(value) OVER (PARTITION BY user_id) AS mx
+        |  FROM events) WHERE value = mx
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("mx", max("value").over(Window.partitionBy("user_id")))
+        .filter(col("value") === col("mx"))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    },
+
+    // W6 — top-1 per group with pinned tie-break (slice_max —
+    // QBReadStats.R:182-184)
+    q("w6_top1_per_group",
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(desc("value"), col("event_id"))))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id")
+    },
+
+    // W7 — global sort with a global position (arrange/ORDER BY —
+    // QBReadStats.R:231). At scale a global rank needs a single ordered
+    // reduce; for top-k use w8's limit pattern instead.
+    q("w7_global_rank",
+      """SELECT o_orderkey, o_totalprice,
+        |       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |FROM orders ORDER BY rnk""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("o_totalprice"), col("o_orderkey"))))
+        .select("o_orderkey", "o_totalprice", "rnk")
+        .orderBy("rnk")
+    },
+
+    // W8 — top-k plus an offset slice (top-10 QBs + rows 24-33 —
+    // QBReadStats.R:230-246)
+    q("w8_topk_offset",
+      """SELECT o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 10 OR rnk BETWEEN 24 AND 33
+        |ORDER BY rnk""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("o_totalprice"), col("o_orderkey"))))
+        .filter(col("rnk") <= 10 || col("rnk").between(24, 33))
+        .select("o_orderkey", "o_totalprice", "rnk")
+        .orderBy("rnk")
+    },
+
+    // W9 — event-anchored time window (ball-flight frames after
+    // pass_forward; pre-snap [line_set, snap-2s] — Openness_Data_Frame_
+    // Prep.R:71-74, DefPosModel.ipynb:72-103). Anchor = first signup per
+    // user; keep events within 2 minutes after it. Fixes the reference's
+    // cross-play-bleed: the anchor window is strictly per-group.
+    q("w9_anchored_window",
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END)
+        |           OVER (PARTITION BY user_id) AS anchor
+        |  FROM events)
+        |WHERE anchor IS NOT NULL
+        |  AND ts >= anchor AND ts <= anchor + INTERVAL 2 MINUTE
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("anchor",
+          min(when(col("event_type") === "signup", col("ts")))
+            .over(Window.partitionBy("user_id")))
+        .filter(col("anchor").isNotNull &&
+                col("ts") >= col("anchor") &&
+                col("ts") <= col("anchor") + expr("INTERVAL 2 MINUTES"))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+
+    // W10 — cyclic label assignment (defender #1-11 via rep(1:11) —
+    // Openness_Data_Frame_Prep.R:34-36): deterministic row_number modulo,
+    // not order-dependent recycling
+    q("w10_cyclic_label",
+      """SELECT event_id, user_id,
+        |       ((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         - 1) % 3) + 1 AS slot
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("slot",
+          ((row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            - 1) % 3) + 1)
+        .select("event_id", "user_id", "slot")
+        .orderBy("event_id")
+    },
+
+    // W11 — index adjusted to group min (adj_time = frame - min(frame) —
+    // BuildingReadOrder.R:108-122): microseconds since the user's first event
+    q("w11_adjusted_index",
+      """SELECT event_id, user_id,
+        |       epoch_us(ts) - epoch_us(min(ts) OVER (PARTITION BY user_id)) AS us_since_first
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("us_since_first",
+          unix_micros(col("ts")) -
+            unix_micros(min("ts").over(Window.partitionBy("user_id"))))
+        .select("event_id", "user_id", "us_since_first")
+        .orderBy("event_id")
+    },
+  )
+}
