@@ -12,7 +12,10 @@ object SparkEntry {
     graft.queries.AggQueries.defs ++
     graft.queries.WindowQueries.defs ++
     graft.queries.ReshapeQueries.defs ++
-    graft.queries.ScalarFuncQueries.defs
+    graft.queries.ScalarFuncQueries.defs ++
+    graft.queries.TextQueries.defs ++
+    graft.queries.DedupQueries.defs ++
+    graft.queries.SimilarityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-schema rollup: revenue per region × order priority, with rank of

