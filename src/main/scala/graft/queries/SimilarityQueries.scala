@@ -94,28 +94,49 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b")
     },
 
-    // ANN scale path: random-hyperplane LSH (8 sign bits from fixed
-    // pseudo-random hyperplanes), bucket the corpus, probe each query's
-    // bucket only, exact re-rank inside. Recall vs v1 is checked in the
-    // test suite; not SQL-oracle-able (hyperplane constants) → rows-only.
+    // ANN scale path: multi-table multi-probe random-hyperplane LSH.
+    // L=4 independent tables of 4 sign bits bucket the corpus; each query
+    // probes, per table, its own bucket plus every Hamming-1 neighbor
+    // bucket. Detection prob per table for a 60°-apart neighbor is
+    // ≈ p⁴+4p³(1-p) with p = 1−θ/π ≈ 0.59, so 4 tables give ~97% recall
+    // while corpus-side work per query stays N·L·(bits+1)/2^bits ≈ 1.25·N
+    // here — tune bits up at real scale (bits=16, L=8 ⇒ ~0.2% of corpus
+    // probed). Everything stays equi-joins on (table, bucket): uniform
+    // keys, no skew. Exact re-rank inside the probed buckets. Recall vs
+    // v1 is asserted in the test suite; hyperplane constants aren't
+    // SQL-expressible → rows-only.
     qRowsOnly("v3_ann_lsh_topk") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      // Deterministic hyperplanes: h[b][i] = sin(1 + b*64 + i) — fixed,
-      // engine-independent, good enough to split sign-space evenly.
+      // Deterministic hyperplanes: h[t][b][i] = sin(1 + ((t*bits)+b)*dim + i)
+      // — fixed, engine-independent, splits sign-space evenly.
       val dim = 64
       val bits = 4
-      def bucketOf(emb: Column): Column =
+      val tables = 4
+      def bucketOf(emb: Column, t: Int): Column =
         (0 until bits).map { b =>
-          val hp = array((0 until dim).map(i => lit(math.sin(1.0 + b * dim + i))): _*)
+          val hp = array((0 until dim).map(
+            i => lit(math.sin(1.0 + (t * bits + b) * dim + i))): _*)
           when(dotD(emb, hp) >= 0, lit(1L << b)).otherwise(0L)
         }.reduce(_ + _)
       val corpus = e.select(col("vec_id"), col("embedding"),
-        bucketOf(col("embedding")).as("bucket"))
-      val queries = corpus.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-      corpus.join(broadcast(queries), Seq("bucket"))
+          explode(array((0 until tables).map(
+            t => struct(lit(t).as("t"), bucketOf(col("embedding"), t).as("bucket"))): _*))
+            .as("tb"))
+        .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.bucket"))
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          explode(flatten(array((0 until tables).map { t =>
+            val bk = bucketOf(col("embedding"), t)
+            array(struct(lit(t).as("t"), bk.as("bucket")) +:
+              (0 until bits).map(b =>
+                struct(lit(t).as("t"), bk.bitwiseXOR(1L << b).as("bucket"))): _*)
+          }: _*))).as("tb"))
+        .select(col("query_id"), col("qe"), col("tb.t"), col("tb.bucket"))
+      corpus.join(broadcast(probes), Seq("t", "bucket"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qe"), col("embedding"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
                 round(cosine(col("qe"), col("embedding")), 6).as("cos"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))))

@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.TextFunctions.shingles
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import Dedup._
+
+  private def pair(a: Seq[String], b: Seq[String]): Double = {
+    import spark.implicits._
+    Seq((a, b)).toDF("a", "b")
+      .select(jaccard(col("a"), col("b"))).head.getDouble(0)
+  }
+
+  test("jaccard: identical=1, disjoint=0, half-overlap") {
+    assert(pair(Seq("x", "y"), Seq("x", "y")) == 1.0)
+    assert(pair(Seq("x"), Seq("y")) == 0.0)
+    assert(pair(Seq("x", "y"), Seq("y", "z")) == 1.0 / 3)
+  }
+
+  test("hamming: 0 for equal, counts differing bits") {
+    import spark.implicits._
+    val df = Seq((5L, 5L, 6L)).toDF("a", "b", "c")
+    val r = df.select(hamming(col("a"), col("b")), hamming(col("a"), col("c"))).head
+    assert(r.getInt(0) == 0)
+    assert(r.getInt(1) == 2) // 101 vs 110
+  }
+
+  test("minhash signature has k slots and is deterministic on equal input") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("a b", "b c", "c d")), Tuple1(Seq("a b", "b c", "c d")))
+      .toDF("s")
+    val sigs = df.select(minhashFromHashes(shingleHashes(col("s")), 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0).length == 16)
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("minhash signature agreement tracks jaccard similarity") {
+    import spark.implicits._
+    // near-identical sets should agree on most slots; disjoint on ~none
+    val near = Seq(
+      Tuple1((1 to 50).map("tok" + _)),
+      Tuple1((1 to 48).map("tok" + _)))
+    val far = Seq(Tuple1((1 to 50).map("a" + _)), Tuple1((1 to 50).map("b" + _)))
+    def agree(rows: Seq[Tuple1[Seq[String]]]): Int = {
+      val sigs = rows.toDF("s")
+        .select(minhashFromHashes(shingleHashes(col("s")), 64).as("sig"))
+        .collect().map(_.getSeq[Long](0))
+      sigs(0).zip(sigs(1)).count { case (x, y) => x == y }
+    }
+    assert(agree(near) > 48) // E[agree] = 64 * J ≈ 64*0.96
+    assert(agree(far) < 16)
+  }
+
+  test("simhash of near-identical token lists is close in hamming distance") {
+    import spark.implicits._
+    val df = Seq(
+      (1, (1 to 60).map("tok" + _)),
+      (2, (1 to 58).map("tok" + _) ++ Seq("x1", "x2")),
+      (3, (1 to 60).map("other" + _))).toDF("id", "toks")
+    val sigs = df.select(col("id"), simhash(col("toks")).as("sig"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def hd(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hd(sigs(1), sigs(2)) < hd(sigs(1), sigs(3)))
+    assert(hd(sigs(1), sigs(2)) <= 8)
+  }
+
+  test("simhashChunks covers all pairs within hamming <= chunks-1 (pigeonhole)") {
+    import spark.implicits._
+    // two signatures differing in exactly 3 bits MUST share >= 1 of 4 chunks
+    val a = 0x0F0F0F0F0F0F0F0FL
+    val b = a ^ 0x0000000000010101L // 3 bits flipped
+    val df = Seq(("a", a), ("b", b)).toDF("id", "sig")
+    val ch = df.select(col("id"), explode(simhashChunks(col("sig"), 4)).as("c"))
+      .select(col("id"), col("c.chunk_idx"), col("c.chunk_val"))
+    val shared = ch.as("x").join(ch.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+        col("x.chunk_val") === col("y.chunk_val") &&
+        col("x.id") < col("y.id")).count()
+    assert(shared >= 1)
+  }
+
+  test("LSH candidate generation finds every planted near-dup at sf0.001") {
+    // ground truth: exact inverted-index jaccard >= 0.7 on the documents
+    // table; the LSH query (d3) must return the identical pair set as the
+    // exact query (d2)
+    val d2 = graft.SparkEntry.queries("d2_jaccard_pairs")(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d3 = graft.SparkEntry.queries("d3_minhash_lsh")(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d2.nonEmpty)
+    assert(d3 == d2)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.queries.SimilarityQueries.{cosine, dotD, normD}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("dot, norm, cosine on hand vectors") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f))).toDF("a", "b")
+    val r = df.select(
+      dotD(col("a"), col("b")), normD(col("a")), cosine(col("a"), col("b"))).head
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("cosine is 1 for parallel and -1 for antiparallel vectors") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 1.0f), Seq(2.0f, 2.0f), Seq(-3.0f, -3.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(cosine(col("a"), col("b")), cosine(col("a"), col("c"))).head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
+  }
+
+  test("ANN LSH top-k achieves >= 60% recall vs brute force at sf0.001") {
+    def pairs(name: String) =
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("v1_cosine_topk")
+    val ann = pairs("v3_ann_lsh_topk")
+    assert(exact.size == 40) // 8 queries × top-5
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall $recall too low")
+    // every ANN result must be a real corpus neighbor of the query
+    assert(ann.forall { case (q, n) => q != n })
+  }
+}
