@@ -13,6 +13,7 @@ object SparkEntry {
     graft.queries.WindowQueries.defs ++
     graft.queries.ReshapeQueries.defs ++
     graft.queries.ScalarFuncQueries.defs ++
+    graft.queries.SourceQueries.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SimilarityQueries.defs

@@ -210,6 +210,31 @@ object AggQueries {
         .orderBy("vec_id")
     },
 
+    // A8 — min over the first/last element-in-group only (first/last
+    // frame's min-distance — DefPosModel.ipynb:177-191): per user, the
+    // value at the boundary timestamps, via window min/max + filter (no
+    // per-group loop). event_id tie-breaks equal timestamps.
+    q("a8_boundary_min",
+      """SELECT user_id,
+        |       round(min(CASE WHEN ts = first_ts THEN value END), 2) AS first_val,
+        |       round(min(CASE WHEN ts = last_ts THEN value END), 2) AS last_val
+        |FROM (SELECT user_id, ts, value,
+        |             min(ts) OVER (PARTITION BY user_id) AS first_ts,
+        |             max(ts) OVER (PARTITION BY user_id) AS last_ts
+        |      FROM events)
+        |WHERE ts = first_ts OR ts = last_ts
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+      Tables.load(s, dir, "events")
+        .withColumn("first_ts", min("ts").over(w))
+        .withColumn("last_ts", max("ts").over(w))
+        .filter(col("ts") === col("first_ts") || col("ts") === col("last_ts"))
+        .groupBy("user_id")
+        .agg(round(min(when(col("ts") === col("first_ts"), col("value"))), 2).as("first_val"),
+             round(min(when(col("ts") === col("last_ts"), col("value"))), 2).as("last_val"))
+        .orderBy("user_id")
+    },
+
     // A16 — global scalar reductions (QBReadStats.R:126,157,218)
     q("a16_global_scalars",
       """SELECT count(*) AS n_rows,

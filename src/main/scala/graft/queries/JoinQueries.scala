@@ -187,5 +187,30 @@ object JoinQueries {
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")
     },
+
+    // J4 — left join with a renamed key plus equality on non-key attrs
+    // (left_join(by=c("routeRan","pff_...","firstRead"="secondId")) —
+    // BuildingReadOrder.R:139): lookup keyed by (flag, status, renamed key)
+    q("j4_renamed_key_join",
+      """SELECT l.l_orderkey AS l_orderkey, l.l_linenumber AS l_linenumber,
+        |       l.l_partkey AS l_partkey, t.grp_qty AS grp_qty
+        |FROM lineitem l
+        |LEFT JOIN (SELECT l_returnflag AS flag, l_linestatus AS status,
+        |                  l_partkey AS pkey, round(sum(l_quantity), 2) AS grp_qty
+        |           FROM lineitem GROUP BY 1, 2, 3) t
+        |  ON l.l_returnflag = t.flag AND l.l_linestatus = t.status
+        |     AND l.l_partkey = t.pkey
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, grp_qty""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val lookup = li.groupBy(col("l_returnflag").as("flag"),
+          col("l_linestatus").as("status"), col("l_partkey").as("pkey"))
+        .agg(round(sum("l_quantity"), 2).as("grp_qty"))
+      li.join(lookup,
+          li("l_returnflag") === lookup("flag") &&
+          li("l_linestatus") === lookup("status") &&
+          li("l_partkey") === lookup("pkey"), "left")
+        .select(li("l_orderkey"), li("l_linenumber"), li("l_partkey"), col("grp_qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "grp_qty")
+    },
   )
 }

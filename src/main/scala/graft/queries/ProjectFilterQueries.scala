@@ -175,5 +175,18 @@ object ProjectFilterQueries {
         .select("l_orderkey", "l_linenumber", "l_partkey")
         .orderBy("l_orderkey")
     },
+
+    // P6 — conjunctive predicates (dropbackType=='TRADITIONAL' &
+    // unblockedPressure==0 — QBReadStats.R:54,96)
+    q("p6_conjunctive",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' AND value > 100 AND user_id % 2 = 0
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("value") > 100 &&
+                col("user_id") % 2 === 0)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    },
   )
 }

@@ -190,5 +190,17 @@ object ScalarFuncQueries {
             (acc, x) => acc + x).as("tri_sum"))
         .orderBy("l_orderkey", "l_linenumber")
     },
+
+    // F17 — JSON field extraction from a string column (semi-structured
+    // props on the events stream; not in the reference but table stakes
+    // for a log-shaped pipeline). Codegen'd path, no UDF.
+    q("f17_json_extract",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    },
   )
 }

@@ -201,5 +201,45 @@ object WindowQueries {
         .select("event_id", "user_id", "us_since_first")
         .orderBy("event_id")
     },
+
+    // W12 — tumbling event-time window aggregation (the batch twin of the
+    // Structured Streaming pipeline in graft.streaming; window() is the
+    // operator a live 10 Hz tracking feed would run under a watermark)
+    q("w12_tumbling_window",
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // W13 — session windows (30-min inactivity gap) — session_window in
+    // Spark vs the gaps-and-islands formulation in SQL. Spark sessions are
+    // half-open [start, last+gap), so a row landing exactly on the close
+    // boundary opens a NEW session ⇒ the SQL break condition is >=, not >.
+    q("w13_session_window",
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                     + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |       round(sum(value), 2) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+                col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start")
+    },
   )
 }
