@@ -14,6 +14,7 @@ object SparkEntry {
     graft.queries.ReshapeQueries.defs ++
     graft.queries.ScalarFuncQueries.defs ++
     graft.queries.SourceQueries.defs ++
+    graft.queries.KernelQueries.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SimilarityQueries.defs
