@@ -15,6 +15,7 @@ object SparkEntry {
     graft.queries.ScalarFuncQueries.defs ++
     graft.queries.SourceQueries.defs ++
     graft.queries.KernelQueries.defs ++
+    graft.queries.MLQueries.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SimilarityQueries.defs

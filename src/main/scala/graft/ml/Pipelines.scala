@@ -1,0 +1,77 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9 — the ML surface (M1-M11) as spark.ml building blocks.
+  *
+  * The reference's sklearn/keras/XGBoost stack maps to spark.ml:
+  * LabelEncoder → StringIndexer (alphabetAsc matches sklearn's
+  * lexicographic codes, M1); feature matrix assembly → VectorAssembler /
+  * array_to_vector (M2); StandardScaler (M3); train_test_split →
+  * randomSplit(seed) (M4); RandomForest/LogisticRegression (M5/M7);
+  * multiclass XGBoost/LightGBM/CatBoost have no offline Spark equivalent
+  * — the capability (multiclass probabilistic classifier) is provided by
+  * RF/LR, per SURVEY.md §7.4.7 (M6 flagged, not hidden).
+  *
+  * Scale notes: all estimators here train via Spark's distributed
+  * treeAggregate — no driver-side data pull; scoring is a map-only
+  * transform. At 100 TB you train on a sampled/partitioned subset and
+  * transform the full corpus — both shapes below.
+  */
+object Pipelines {
+
+  /** Embeddings table → ml features column. */
+  def withFeatures(embeddings: DataFrame): DataFrame =
+    embeddings.withColumn("features",
+      array_to_vector(col("embedding").cast("array<double>")))
+
+  /** Standardize features (withMean so the oracle formula is exact:
+    * scaled = (x − mean) / stddev_samp). */
+  def scaled(df: DataFrame): DataFrame = {
+    val scaler = new StandardScaler()
+      .setInputCol("features").setOutputCol("scaled")
+      .setWithMean(true).setWithStd(true)
+    scaler.fit(df).transform(df)
+  }
+
+  def firstScaledElement(df: DataFrame): DataFrame =
+    scaled(df).withColumn("scaled0", element_at(vector_to_array(col("scaled")), 1))
+
+  /** Multinomial logistic regression, fixed seed + split. */
+  def lrMetrics(embeddings: DataFrame, labelCol: String): DataFrame = {
+    val data = withFeatures(embeddings).withColumn("label", col(labelCol).cast("double"))
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
+    val model = new LogisticRegression()
+      .setMaxIter(50).setFamily("multinomial").setFeaturesCol("features")
+      .fit(train)
+    val scored = model.transform(test)
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    val acc = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").evaluate(scored)
+    val ll = new MulticlassClassificationEvaluator()
+      .setMetricName("logLoss").evaluate(scored)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    Seq(("accuracy", acc), ("logLoss", ll), ("n_train", train.count().toDouble),
+        ("n_test", test.count().toDouble))
+      .toDF("metric", "value")
+  }
+
+  /** RandomForest confusion matrix: (label, prediction, n) rows —
+    * M10's confusion matrix as groupBy(label, prediction).count. */
+  def rfConfusion(embeddings: DataFrame): DataFrame = {
+    val data = withFeatures(embeddings).withColumn("label", col("label").cast("double"))
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
+    val model = new RandomForestClassifier()
+      .setNumTrees(50).setMaxDepth(8).setSeed(42)
+      .fit(train)
+    model.transform(test)
+      .groupBy(col("label").cast("int").as("label"),
+               col("prediction").cast("int").as("prediction"))
+      .agg(count(lit(1)).as("n"))
+  }
+}
