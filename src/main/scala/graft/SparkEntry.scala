@@ -16,6 +16,7 @@ object SparkEntry {
     graft.queries.SourceQueries.defs ++
     graft.queries.KernelQueries.defs ++
     graft.queries.MLQueries.defs ++
+    graft.queries.MultimodalQueries.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SimilarityQueries.defs

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder prompt): image/audio/video as
+  * opaque `binary` columns with typed metadata. The Spark-side shape —
+  * schema, batched per-partition processing, deterministic outputs — is
+  * real and tested; the actual codec call is a clearly-marked STUB
+  * (no image/audio libraries in this container) that derives
+  * deterministic pseudo-metadata from the bytes, so the pipeline is
+  * exercised end to end and oracle-checkable.
+  *
+  * Scale notes: decode/feature-extract runs in `mapPartitions` — the
+  * JVM analog of a Pandas-UDF batch: per-partition setup (a real codec
+  * would open once per partition, not per row), streaming iterator, no
+  * driver involvement. Binary payloads stay columnar in Parquet; pushdown
+  * prunes the payload column away for metadata-only queries.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                                 width: Int, height: Int, digest: String)
+  final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** STUB decode — stands in for a real image decoder. Deterministic
+    * pseudo-dimensions derived from the byte length; a real build swaps
+    * ONLY this function for e.g. a javax.imageio call. */
+  def decodeStub(payload: Array[Byte]): (Int, Int) = {
+    val n = payload.length
+    (n % 640, (n * 7) % 480)
+  }
+
+  /** Batched per-partition decode + feature extraction (the Pandas-UDF
+    * batch shape in JVM form). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup happens HERE once (codec init in a real build)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val (w, h) = decodeStub(r.payload)
+        md.reset()
+        val digest = md.digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, digest)
+      }
+    }
+  }
+
+  /** Frame sampling for "video" payloads: every `stride` bytes emit a
+    * `frameLen`-byte window — one row per sampled frame (flatMap shape,
+    * bounded memory per row). */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int, frameLen: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = r.payload.length
+      Iterator.range(0, math.max(n - frameLen + 1, 0), stride).map { off =>
+        Frame(r.media_id, off / stride, r.payload.slice(off, off + frameLen))
+      }
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import graft.functions.Multimodal
+import graft.functions.Multimodal.MediaRow
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries: binary payloads are fabricated from the
+  * documents table (utf-8 bytes) so the decode/feature/frame-sample
+  * plumbing runs on real distributed binary columns, and — because the
+  * stub decode is deterministic arithmetic over byte lengths and MD5 —
+  * DuckDB can replay every step as the oracle.
+  */
+object MultimodalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Decode + feature-extract over a binary column via batched
+    // mapPartitions (the Pandas-UDF shape; Multimodal.extractFeatures)
+    q("mm1_decode_features",
+      """SELECT doc_id AS media_id,
+        |       octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |       octet_length(CAST(text AS BLOB)) % 640 AS width,
+        |       (octet_length(CAST(text AS BLOB)) * 7) % 480 AS height,
+        |       md5(text) AS digest
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+                col("text").cast("binary").as("payload"))
+        .as[MediaRow]
+      Multimodal.extractFeatures(media).toDF()
+        .select("media_id", "n_bytes", "width", "height", "digest")
+        .orderBy("media_id")
+    },
+
+    // Frame sampling of "video" payloads: every 64 bytes, a 32-byte
+    // frame; one output row per frame (Multimodal.sampleFrames)
+    q("mm2_frame_sample",
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, greatest(octet_length(CAST(text AS BLOB)) - 31, 0), 64)) AS off
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(off / 64 AS INTEGER) AS frame_idx,
+        |       md5(substring(text, CAST(off AS INTEGER) + 1, 32)) AS frame_digest
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+                col("text").cast("binary").as("payload"))
+        .as[MediaRow]
+      Multimodal.sampleFrames(media, stride = 64, frameLen = 32).toDF()
+        .select(col("media_id"), col("frame_idx"),
+                md5(col("frame_bytes")).as("frame_digest"))
+        .orderBy("media_id", "frame_idx")
+    },
+
+    // Metadata-only projection over a media table: the payload column
+    // must be PRUNED at the scan (asserted via .explain in the spec) —
+    // the property that makes 100 TB of media queryable for metadata
+    q("mm3_metadata_prune",
+      """SELECT doc_id AS media_id, source, n_chars FROM documents
+        |WHERE n_chars > 300 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      // model: documents stands in for a media table whose `text` is the
+      // fat payload column; this query must never read it
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("source"), col("n_chars"))
+        .filter(col("n_chars") > 300)
+        .orderBy("media_id")
+    },
+  )
+}
