@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.KernelQueries.defs ++
     graft.queries.MLQueries.defs ++
     graft.queries.MultimodalQueries.defs ++
+    graft.queries.BdbQueries.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SimilarityQueries.defs

@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.qRowsOnly
+import graft.bdb._
+
+/** SURVEY.md §3.1 entry point A as registered queries: the full
+  * prep → openness → read-order → PRESS pipeline and the matchup
+  * analysis, running on the deterministic BdbMini fixture (the sfDir
+  * tables carry no tracking data; the pipeline is the reference's
+  * domain product and is exercised end to end here + golden-tested in
+  * PipelineSpec). rows-only: the multi-stage kernel pipeline is not
+  * SQL-expressible.
+  */
+object BdbQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Stages 2+3+4+5: cleaned_player_data → openness → timing/reads →
+    // per-QB PRESS leaderboard (press_data, FIXTURES.md §3)
+    qRowsOnly("bdb_press_pipeline") { (s, _) =>
+      val (_, plays, players, playerPlay, tracking) = BdbMini.load(s)
+      val timing = ReadOrder.dropbackTiming(tracking, plays, players)
+      val reads = ReadOrder.readsData(tracking, playerPlay)
+      val throws = QBMetrics.throwScoring(plays, playerPlay, timing, reads)
+      QBMetrics.press(throws, playerPlay, players)
+        .orderBy("qb_nflId")
+    },
+
+    // Stages 2+3: openness scoring with secondId (radius_data)
+    qRowsOnly("bdb_radius_stage") { (s, _) =>
+      val (_, plays, _, playerPlay, tracking) = BdbMini.load(s)
+      val cleaned = OpennessPrep(tracking, plays, playerPlay)
+      RadiusStage(cleaned)
+        .select("gameId", "playId", "frameId", "nflId", "secondId", "open_count")
+        .orderBy("gameId", "playId", "frameId", "nflId")
+    },
+
+    // Stage 6: route trees + mirror matching (Matchup Information.R)
+    qRowsOnly("bdb_mirror_matchups") { (s, _) =>
+      val (_, plays, _, playerPlay, tracking) = BdbMini.load(s)
+      val trees = MatchupAnalysis.routeTrees(tracking, playerPlay, plays)
+      MatchupAnalysis.mirrorMatches(trees)
+        .orderBy("gameId", "playId")
+    },
+  )
+}

@@ -1,0 +1,127 @@
+package graft.bdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline test over the BdbMini fixture: prep → openness →
+  * read order → QB metrics → matchups (SURVEY.md §3.1 entry point A,
+  * §5.3 golden-output strategy — goldens are computed invariants since
+  * the fixture is generated, not committed). */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val (_, plays, players, playerPlay, tracking) = BdbMini.load(spark)
+  private lazy val cleaned = OpennessPrep(tracking, plays, playerPlay).cache()
+  private lazy val radius = RadiusStage(cleaned).cache()
+
+  test("fixture invariants: 11 defenders + 1 football per frame") {
+    val defCounts = tracking
+      .join(plays.select("gameId", "playId", "defensiveTeam"), Seq("gameId", "playId"))
+      .filter(col("club") === col("defensiveTeam"))
+      .groupBy("gameId", "playId", "frameId").count()
+    assert(defCounts.filter(col("count") =!= 11).count() == 0)
+    val ballCounts = tracking.filter(col("displayName") === "football")
+      .groupBy("gameId", "playId", "frameId").count()
+    assert(ballCounts.filter(col("count") =!= 1).count() == 0)
+  }
+
+  test("cleaned_player_data: dropback AFTER_SNAP route-runner frames only") {
+    // 2 games × 5 dropback plays × 29 AFTER_SNAP frames × 5 route runners
+    assert(cleaned.count() == 2 * 5 * 29 * 5)
+    assert(cleaned.filter(size(col("defenders")) =!= 11).count() == 0)
+  }
+
+  test("throw speed is the median ball speed in frames +2..+7 after pass_forward") {
+    // ball speed after pass_forward is constant 8.0 in the fixture
+    val speeds = OpennessPrep.throwSpeedTable(tracking)
+      .select("throw_speed").distinct().collect().map(_.getDouble(0))
+    assert(speeds.toSeq == Seq(8.0))
+    // and fx is the ball x at the throw frame
+    val fx = OpennessPrep.throwSpeedTable(tracking)
+      .filter(col("gameId") === 2022090800L && col("playId") === 100)
+      .head.getAs[Double]("fx")
+    val expected = tracking.filter(col("displayName") === "football" &&
+        col("gameId") === 2022090800L && col("playId") === 100 && col("frameId") === 25)
+      .head.getAs[Double]("x")
+    assert(fx == expected)
+  }
+
+  test("openness scores are deterministic and defender-independent of partitioning") {
+    val a = radius.select("gameId", "playId", "frameId", "nflId", "open_count")
+      .collect().map(_.toString).sorted
+    val b = RadiusStage(cleaned.repartition(7))
+      .select("gameId", "playId", "frameId", "nflId", "open_count")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("secondId dense-ranks frames within each play from 0") {
+    val firsts = radius.groupBy("gameId", "playId").agg(min("secondId").as("m"))
+    assert(firsts.filter(col("m") =!= 0).count() == 0)
+    val perFrame = radius.select("gameId", "playId", "frameId", "secondId").distinct()
+    val bad = perFrame.filter(col("secondId") =!= col("frameId") - 12) // AFTER_SNAP starts at 12
+    assert(bad.count() == 0)
+  }
+
+  test("dropback timing: cumulative distance crosses dropbackDistance at the right frame") {
+    val timing = ReadOrder.dropbackTiming(tracking, plays, players)
+    assert(timing.count() == 10) // 5 dropbacks × 2 games
+    // QB speed 1.5 yd/s, a=0.2: step = 0.151 yd/frame; dropbackDistance
+    // 2.0 ⇒ ceil(2.0/0.151) = 14th AFTER_SNAP frame = frameId 25
+    val t = timing.filter(col("gameId") === 2022090800L && col("playId") === 100).head
+    assert(t.getAs[Int]("top_drop_frame") == 25)
+    assert(t.getAs[scala.collection.Seq[Int]]("readFrames").toList == List(25, 30, 35, 40, 45))
+  }
+
+  test("reads order receivers across the formation from the targeted side") {
+    val reads = ReadOrder.readsData(tracking, playerPlay)
+    assert(reads.count() == 12)
+    val r = reads.filter(col("gameId") === 2022090800L && col("playId") === 100).head
+    val targets = r.getAs[scala.collection.Seq[Long]]("targets")
+    assert(targets.length == 5)
+    // targeted receiver (index 1, y=17 at snap < 26.65 ⇒ side R ⇒ order
+    // by descending y): ids 14 (y≈44), 13, 12, 11, 10
+    assert(targets.toList == List(14L, 13L, 12L, 11L, 10L))
+  }
+
+  test("QB metrics: PRESS averages to 100 and correct_read is well-defined") {
+    val timing = ReadOrder.dropbackTiming(tracking, plays, players)
+    val reads = ReadOrder.readsData(tracking, playerPlay)
+    val throws = QBMetrics.throwScoring(plays, playerPlay, timing, reads)
+    // TRADITIONAL + !unblockedPressure = 4 plays per game
+    assert(throws.count() == 8)
+    assert(throws.filter(col("expected_slot").between(1, 5)).count() == 8)
+    val press = QBMetrics.press(throws, playerPlay, players)
+    assert(press.count() == 2)
+    val meanPress = press.agg(avg("PRESS")).head.getDouble(0)
+    assert(math.abs(meanPress - 100.0) < 0.01)
+    val ent = QBMetrics.readEntropy(throws, playerPlay, players)
+    assert(ent.count() == 2)
+    assert(ent.filter(col("read_entropy") < 0).count() == 0)
+  }
+
+  test("matchups: play 500 mirrors play 100's route tree under same coverage") {
+    val trees = MatchupAnalysis.routeTrees(tracking, playerPlay, plays)
+    val t100 = trees.filter(col("playId") === 100 && col("gameId") === 2022090800L)
+      .head.getAs[String]("route_tree")
+    assert(t100 == "GO OUT SLANT CROSS HITCH")
+    val mirrors = MatchupAnalysis.mirrorMatches(trees)
+      .filter(col("mirror_playId").isNotNull)
+    // both games have the 100 ↔ 500 mirror pair (both Cover-3)
+    val pairs = mirrors.select("gameId", "playId", "mirror_playId").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(pairs.contains((2022090800L, 100, 500)))
+    assert(pairs.contains((2022090800L, 500, 100)))
+  }
+
+  test("vs_coverage lookup aggregates by route × coverage × second") {
+    val vc = ReadOrder.vsCoverage(radius)
+    assert(vc.count() > 0)
+    // openness can be negative (−0.2·k contested-pile-up penalty) but
+    // never null or NaN for rows with 11 defenders present
+    assert(vc.filter(col("avg_openness").isNull || isnan(col("avg_openness"))).count() == 0)
+    val seconds = ReadOrder.secondsData(radius)
+    assert(seconds.groupBy("gameId", "playId", "frameId").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+}
