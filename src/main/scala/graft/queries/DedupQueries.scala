@@ -86,9 +86,7 @@ object DedupQueries {
     q("d3_minhash_lsh", jaccardPairsSql) { (s, dir) =>
       val sh = shingled(s, dir).cache()
       val bandsDf = sh
-        .withColumn("hs", shingleHashes(col("s")))
-        .select(col("doc_id"),
-          posexplode(bandKeys(minhashFromHashes(col("hs"), 64), 16, 4)))
+        .select(col("doc_id"), posexplode(bandKeysFast(16, 4)(col("s"))))
         .toDF("doc_id", "band", "bkey")
         .cache()
       val cand = bandsDf.as("a")

@@ -33,6 +33,21 @@ object SimilarityQueries {
 
   def cosine(a: Column, b: Column): Column = dotD(a, b) / (normD(a) * normD(b))
 
+  /** JVM fast path: identical math (left-to-right double folds, so the
+    * result is bitwise equal to `cosine` and the DuckDB oracle) without
+    * Catalyst's interpreted per-element lambda evaluation. */
+  val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** DuckDB-side mirror of dotD/normD (double fold, same order). */
   private def sqlDot(a: String, b: String) =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
@@ -63,7 +78,7 @@ object SimilarityQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-                round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+                round(cosineUdf(col("qe"), col("embedding")), 6).as("cos"))
       scored
         .withColumn("rnk", row_number().over(
           Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))))
@@ -88,7 +103,7 @@ object SimilarityQueries {
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-                cosine(col("a.embedding"), col("b.embedding")).as("craw"))
+                cosineUdf(col("a.embedding"), col("b.embedding")).as("craw"))
         .filter(col("craw") >= 0.35)
         .select(col("vec_a"), col("vec_b"), round(col("craw"), 6).as("cos"))
         .orderBy("vec_a", "vec_b")
@@ -137,7 +152,7 @@ object SimilarityQueries {
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qe"), col("embedding"))
         .dropDuplicates("query_id", "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
-                round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+                round(cosineUdf(col("qe"), col("embedding")), 6).as("cos"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))))
         .filter(col("rnk") <= 5)
