@@ -61,6 +61,46 @@ object Pipelines {
       .toDF("metric", "value")
   }
 
+  /** M8 — feed-forward network (the reference's 64→32→16→softmax Keras
+    * model, `DefPosModel.ipynb:554-575`) as MultilayerPerceptron. */
+  def mlpMetrics(embeddings: DataFrame): DataFrame = {
+    val data = withFeatures(embeddings).withColumn("label", col("label").cast("double"))
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
+    val mlp = new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+      .setLayers(Array(64, 32, 16, 10)).setMaxIter(20).setBlockSize(128).setSeed(42)
+    val model = mlp.fit(train)
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    val acc = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").evaluate(model.transform(test))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    Seq(("mlp_accuracy", acc), ("n_layers", 4.0)).toDF("metric", "value")
+  }
+
+  /** M9 — hyperparameter search via CrossValidator (the reference's
+    * RandomizedSearchCV, `DefPosModel.ipynb:259-300`; grid not random,
+    * delta documented in SURVEY §2.9). */
+  def cvBestRegParam(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val data = withFeatures(embeddings).withColumn("label", col("label").cast("double"))
+    val lr = new LogisticRegression().setMaxIter(20).setFamily("multinomial")
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.0, 0.1)).build()
+    val cv = new CrossValidator()
+      .setEstimator(lr)
+      .setEvaluator(new MulticlassClassificationEvaluator().setMetricName("logLoss"))
+      .setEstimatorParamMaps(grid).setNumFolds(2).setSeed(42)
+    val model = cv.fit(data)
+    val best = model.bestModel.asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    model.avgMetrics.zip(grid).toSeq
+      .map { case (m, pm) => (pm(lr.regParam), m) }
+      .toDF("regParam", "avg_logloss")
+      .withColumn("is_best", col("regParam") === best.getRegParam)
+  }
+
   /** RandomForest confusion matrix: (label, prediction, n) rows —
     * M10's confusion matrix as groupBy(label, prediction).count. */
   def rfConfusion(embeddings: DataFrame): DataFrame = {

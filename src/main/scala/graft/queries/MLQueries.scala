@@ -60,5 +60,17 @@ object MLQueries {
       Pipelines.rfConfusion(Tables.load(s, dir, "embeddings"))
         .orderBy("label", "prediction")
     },
+
+    // M8 — feed-forward network (Keras 64→32→16→softmax equivalent)
+    qRowsOnly("m5_mlp_metrics") { (s, dir) =>
+      Pipelines.mlpMetrics(Tables.load(s, dir, "embeddings"))
+        .orderBy("metric")
+    },
+
+    // M9 — CrossValidator hyperparameter search (grid over regParam)
+    qRowsOnly("m6_cv_search") { (s, dir) =>
+      Pipelines.cvBestRegParam(Tables.load(s, dir, "embeddings"))
+        .orderBy("regParam")
+    },
   )
 }
