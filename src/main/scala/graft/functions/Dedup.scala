@@ -85,6 +85,33 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** JVM fast path for 64-bit SimHash (same semantics as `simhash` with
+    * a murmur-based token hash; signatures differ from the expression
+    * version only by the underlying hash family, which is immaterial to
+    * SimHash's locality property). One UDF call per document. */
+  val simhashFast = org.apache.spark.sql.functions.udf { (tokens: Seq[String]) =>
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < tokens.length) {
+      val s = tokens(j)
+      val h = (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
+        (scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995).toLong & 0xFFFFFFFFL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** JVM fast path for the full shingles → minhash → band-keys chain as
     * ONE UDF call per document. The column-expression path above runs
     * each lambda through Catalyst's interpreted HOF evaluator (boxing

@@ -235,6 +235,26 @@ object AggQueries {
         .orderBy("user_id")
     },
 
+    // A17 (scale pattern) — salted two-phase aggregation: the skew
+    // mitigation for hot keys at 100 TB. Phase 1 aggregates on
+    // (key, salt) spreading a hot key over 8 reducers; phase 2 merges
+    // the partials. Result is identical to the direct groupBy (the
+    // oracle) — sums/counts are associative; avg is derived post-merge.
+    q("a17_salted_agg",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+        |       round(sum(value) / count(*), 6) AS mean_val
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val salted = Tables.load(s, dir, "events")
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(8)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum("value").as("pt"))
+      salted
+        .groupBy("event_type")
+        .agg(sum("pn").as("n"), round(sum("pt"), 2).as("total"),
+             round(sum("pt") / sum("pn"), 6).as("mean_val"))
+        .orderBy("event_type")
+    },
+
     // A16 — global scalar reductions (QBReadStats.R:126,157,218)
     q("a16_global_scalars",
       """SELECT count(*) AS n_rows,

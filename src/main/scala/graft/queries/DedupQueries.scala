@@ -65,11 +65,20 @@ object DedupQueries {
     // at 100 TB add a df-cap prefilter or go through d3's LSH).
     q("d2_jaccard_pairs", jaccardPairsSql) { (s, dir) =>
       val sh = shingled(s, dir)
+      // join on the 64-bit shingle hash, not the string: ~2.5× less
+      // shuffle volume and fixed-width comparisons. |A∩B| from hashed
+      // counts equals the true intersection absent a 64-bit collision
+      // between two distinct shingles of a candidate pair (p ≈ n²/2⁶⁵).
       val inv = sh.select(col("doc_id"), size(col("s")).as("sz"),
         explode(col("s")).as("shingle"))
+        .select(col("doc_id"), col("sz"), xxhash64(col("shingle")).as("sh_h"))
       inv.as("a")
         .join(inv.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id") &&
+          // size-ratio prune: J ≥ 0.7 ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ 0.7 —
+          // kills candidates before the aggregation shuffle
+          col("a.sz") * lit(10) >= col("b.sz") * 7 &&
+          col("b.sz") * lit(10) >= col("a.sz") * 7)
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("c"), first(col("a.sz")).as("sza"), first(col("b.sz")).as("szb"))
         .withColumn("jraw", col("c").cast("double") / (col("sza") + col("szb") - col("c")))
@@ -109,7 +118,7 @@ object DedupQueries {
     // xxhash64 signatures aren't SQL-expressible in the oracle → rows-only.
     qRowsOnly("d4_simhash") { (s, dir) =>
       val sig = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), simhash(tokens(col("text"))).as("sig"))
+        .select(col("doc_id"), simhashFast(tokens(col("text"))).as("sig"))
         .cache()
       val chunks = sig.select(col("doc_id"), col("sig"),
           explode(simhashChunks(col("sig"), 4)).as("c"))
