@@ -191,6 +191,23 @@ object ScalarFuncQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // F18 — native codegen Expression + optimizer Rule (graft.plans):
+    // within_dist compiles the circle test into whole-stage codegen and
+    // DistancePushdownRule prepends sargable bounding-box conjuncts that
+    // reach the parquet scan as range filters (asserted in WithinDistSpec)
+    q("f18_within_dist",
+      """SELECT event_id FROM events
+        |WHERE (value - 50.0) * (value - 50.0)
+        |      + (CAST(user_id AS DOUBLE) - 10.0) * (CAST(user_id AS DOUBLE) - 10.0)
+        |      <= 900.0
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s)
+      Tables.load(s, dir, "events").createOrReplaceTempView("f18_events")
+      s.sql("""SELECT event_id FROM f18_events
+              |WHERE within_dist(value, CAST(user_id AS DOUBLE), 50.0, 10.0, 30.0)
+              |ORDER BY event_id""".stripMargin)
+    },
+
     // F17 — JSON field extraction from a string column (semi-structured
     // props on the events stream; not in the reference but table stakes
     // for a log-shaped pipeline). Codegen'd path, no UDF.
