@@ -235,6 +235,20 @@ object AggQueries {
         .orderBy("user_id")
     },
 
+    // A18 — A12's coefficient of variation as a SINGLE-PASS typed
+    // Aggregator (Welford/Chan merge — associative partials, safe under
+    // partial aggregation at any parallelism); oracle is the two-agg
+    // composition
+    q("a18_welford_cv",
+      """SELECT o_orderpriority, round(stddev_samp(o_totalprice) / avg(o_totalprice), 6) AS cv
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val cvUdaf = udaf(graft.functions.WelfordCV)
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(round(cvUdaf(col("o_totalprice")), 6).as("cv"))
+        .orderBy("o_orderpriority")
+    },
+
     // A17 (scale pattern) — salted two-phase aggregation: the skew
     // mitigation for hot keys at 100 TB. Phase 1 aggregates on
     // (key, salt) spreading a hot key over 8 reducers; phase 2 merges
