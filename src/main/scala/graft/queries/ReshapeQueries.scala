@@ -16,6 +16,32 @@ object ReshapeQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // R11 (extension) — set intersection (SURVEY §2.6 "available if
+    // ever needed"): customers present in both order-priority segments
+    q("r11_intersect",
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        .intersect(o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // R12 (extension) — set difference: customers with urgent orders
+    // but no low-priority ones
+    q("r12_except",
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        .except(o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
     // R1 — union-all of homogeneous relations (9 tracking weeks rbind —
     // DataCleaning.R:20); unionByName, with a provenance tag
     q("r1_union_all",
