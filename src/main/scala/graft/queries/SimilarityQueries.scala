@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   * query set broadcasts (it does here, and at 100 TB the query side is
   * still tiny relative to the corpus, so the join stays broadcast and the
   * corpus is scanned exactly once, map-side). The LSH variant buckets the
-  * corpus by sign-pattern hash so each query probes one bucket:
-  * corpus-side work drops from N to N/2^bits per query at a recall cost —
-  * the candidate join shuffles on the bucket key, which is near-uniform
-  * for mean-centered embeddings. Dot products fold left-to-right in
-  * DOUBLE on both engines, so scores are bitwise comparable pre-round.
+  * corpus by sign-pattern hash per table so each query probes only its
+  * (multi-probe) buckets — corpus-side work per query drops to
+  * L·(bits+1)/2^bits of N at a bounded recall cost; the candidate join
+  * shuffles on (table, bucket), near-uniform for mean-centered
+  * embeddings. Dot products fold left-to-right in DOUBLE on both
+  * engines, so scores are bitwise comparable pre-round.
   */
 object SimilarityQueries {
 
