@@ -43,6 +43,32 @@ object DedupQueries {
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text"), 3).as("s"))
 
+  /** Exact J ≥ 0.7 near-dup pairs via hashed prefix filtering (the d2
+    * pipeline, factored for reuse by the cluster-resolution step). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+      .select(col("doc_id"), sort_array(transform(col("s"), xxhash64(_))).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .cache()
+    val inv = sh.select(col("doc_id"), col("sz"),
+      explode(slice(col("hs"), lit(1),
+        (col("sz") - ceil(col("sz") * 0.7) + 1).cast("int"))).as("sh_h"))
+    val cand = inv.as("a")
+      .join(inv.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz") * lit(10) >= col("b.sz") * 7 &&
+        col("b.sz") * lit(10) >= col("a.sz") * 7)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("sz").as("sza")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("sz").as("szb")), "doc_b")
+      .withColumn("c", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jraw", col("c").cast("double") / (col("sza") + col("szb") - col("c")))
+      .filter(col("jraw") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("jraw"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: md5(text) → keep the lowest doc_id per digest. One
@@ -63,38 +89,76 @@ object DedupQueries {
     // shuffles on shingle keys whose frequency is bounded by corpus
     // redundancy (sum f² ≈ 2.8M rows at sf0.1 vs 12.5M naive pairs;
     // at 100 TB add a df-cap prefilter or go through d3's LSH).
+    // PPJoin-style prefix filtering, hashed: shingles hash to 64-bit
+    // keys (string equality ⇔ hash equality up to a ~n²/2⁶⁵ collision),
+    // each doc sorts its hash set (any shared total order works) and
+    // indexes only the first L − ⌈0.7·L⌉ + 1 — two docs with J ≥ 0.7
+    // MUST share a prefix element (prefix-filter theorem), so the
+    // candidate join touches ~30% of the inverted index at ~10% of the
+    // naive candidate volume. Size-ratio prune (min/max ≥ 0.7) in the
+    // join, exact Jaccard on the full hash sets afterwards.
     q("d2_jaccard_pairs", jaccardPairsSql) { (s, dir) =>
-      // PPJoin-style prefix filtering, hashed: shingles hash to 64-bit
-      // keys (string equality ⇔ hash equality up to a ~n²/2⁶⁵ collision),
-      // each doc sorts its hash set (any shared total order works) and
-      // indexes only the first L − ⌈0.7·L⌉ + 1 — two docs with J ≥ 0.7
-      // MUST share a prefix element (prefix-filter theorem), so the
-      // candidate join touches ~30% of the inverted index at ~10% of the
-      // naive candidate volume. Size-ratio prune (min/max ≥ 0.7) in the
-      // join, exact Jaccard on the full hash sets afterwards.
-      val sh = shingled(s, dir)
-        .select(col("doc_id"),
-          sort_array(transform(col("s"), xxhash64(_))).as("hs"))
-        .withColumn("sz", size(col("hs")))
-        .cache()
-      val inv = sh.select(col("doc_id"), col("sz"),
-        explode(slice(col("hs"), lit(1),
-          (col("sz") - ceil(col("sz") * 0.7) + 1).cast("int"))).as("sh_h"))
-      val cand = inv.as("a")
-        .join(inv.as("b"),
-          col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.sz") * lit(10) >= col("b.sz") * 7 &&
-          col("b.sz") * lit(10) >= col("a.sz") * 7)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("sz").as("sza")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("sz").as("szb")), "doc_b")
-        .withColumn("c", size(array_intersect(col("ha"), col("hb"))))
-        .withColumn("jraw", col("c").cast("double") / (col("sza") + col("szb") - col("c")))
-        .filter(col("jraw") >= 0.7)
+      jaccardPairs(s, dir)
         .select(col("doc_a"), col("doc_b"), round(col("jraw"), 4).as("j"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Dedup cluster resolution: near-dup pairs → connected components →
+    // canonical (minimum) doc per cluster — the decision step that turns
+    // pair lists into keep/drop sets. Distributed min-label propagation
+    // to fixpoint (O(component diameter) rounds, each one shuffle —
+    // the standard Spark shape for iterative graph algorithms); the
+    // oracle replays it as a recursive transitive-closure CTE.
+    q("d5_dedup_clusters",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+        |           for i in range(1, greatest(len(string_split(text,' ')) - 1, 2))]) AS s
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+        |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM und
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u)
+        |SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val edges = jaccardPairs(s, dir).select("doc_a", "doc_b")
+      val und = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .localCheckpoint() // one materialization of the edge list
+      def propagate(l: org.apache.spark.sql.DataFrame) = {
+        val neighborMin = und
+          .join(l.withColumnRenamed("doc_id", "v"), "v")
+          .groupBy(col("u").as("doc_id"))
+          .agg(min("label").as("nmin"))
+        l.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      }
+      // 3 propagation steps per action (covers diameter 2³ per check);
+      // localCheckpoint truncates the lineage so round k does not replan
+      // rounds 1..k−1 — the standard Spark iterative-algorithm shape
+      var labels = und.select(col("u").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .localCheckpoint()
+      var converged = false
+      var outer = 0
+      while (!converged && outer < 7) {
+        val next = Iterator.iterate(labels)(propagate).drop(3).next()
+          .localCheckpoint()
+        converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+          .filter(col("label") =!= col("old")).isEmpty
+        labels = next
+        outer += 1
+      }
+      labels.select(col("doc_id"), col("label").as("canonical_id"))
+        .orderBy("doc_id")
     },
 
     // MinHash + LSH banding (k=64, 16 bands × 4 rows): candidates from
