@@ -114,6 +114,47 @@ object SourceQueries {
         .orderBy("l_linestatus")
     },
 
+    // S10 (scale path) — bucketed tables: both sides of a recurring join
+    // written bucketed on the join key ⇒ the join plans with NO shuffle
+    // Exchange (asserted in SourceQueriesSpec). At 100 TB this converts
+    // every repeated lineitem⋈orders into a zero-shuffle map-side join —
+    // the single biggest cost lever for a star-schema workload.
+    q("s10_bucketed_join",
+      """SELECT o_orderkey, o_orderpriority, count(*) AS n_lines,
+        |       round(sum(l_quantity), 2) AS qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val suffix = math.abs(dir.hashCode).toHexString
+      val (ordersT, liT) = (s"orders_bkt_$suffix", s"lineitem_bkt_$suffix")
+      // the warehouse directory outlives the in-memory catalog across
+      // JVMs: drop the catalog entry AND clear any orphaned location
+      Seq(ordersT, liT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(loc)
+        }
+      }
+      Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode(SaveMode.Overwrite).bucketBy(8, "o_orderkey").saveAsTable(ordersT)
+      Tables.load(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .write.mode(SaveMode.Overwrite).bucketBy(8, "l_orderkey").saveAsTable(liT)
+      // disable broadcast so the bucket co-location (not broadcast) is
+      // what eliminates the exchange — mirrors the at-scale case where
+      // neither side fits in memory
+      s.table(ordersT).hint("merge")
+        .join(s.table(liT).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("o_orderkey")
+    },
+
     // S6 — PK/FK declarations become assertable data-quality checks:
     // count of duplicated primary keys (expected 0) per table, emitted as
     // rows so the check is itself a query
