@@ -1,0 +1,79 @@
+package graft
+
+import graft.domain.Interception
+import graft.functions.{WelfordCV, WelfordState}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck property suites for the pure (non-Spark) kernels —
+  * SURVEY.md §5.4's property-based layer. Runs under sbt's native
+  * ScalaCheck integration (no scalatest bridge needed).
+  */
+object WelfordProps extends Properties("WelfordCV") {
+
+  private val values = Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
+
+  private def naiveCV(xs: List[Double]): Double = {
+    val n = xs.length
+    val mean = xs.sum / n
+    if (n < 2 || mean == 0.0) Double.NaN
+    else math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)) / mean
+  }
+
+  property("matches the naive two-pass CV") = forAll(values) { xs =>
+    val got = WelfordCV.finish(xs.foldLeft(WelfordCV.zero)(WelfordCV.reduce))
+    val want = naiveCV(xs)
+    (got.isNaN && want.isNaN) || math.abs(got - want) <= 1e-8 * math.max(1.0, math.abs(want))
+  }
+
+  property("merge is split-invariant") = forAll(values, Gen.choose(0, 1000)) { (xs, cut) =>
+    val k = if (xs.isEmpty) 0 else cut % (xs.length + 1)
+    val (a, b) = xs.splitAt(k)
+    def fold(s: List[Double]): WelfordState = s.foldLeft(WelfordCV.zero)(WelfordCV.reduce)
+    val whole = WelfordCV.finish(fold(xs))
+    val merged = WelfordCV.finish(WelfordCV.merge(fold(a), fold(b)))
+    (whole.isNaN && merged.isNaN) ||
+      math.abs(whole - merged) <= 1e-8 * math.max(1.0, math.abs(whole))
+  }
+}
+
+object InterceptionProps extends Properties("Interception") {
+
+  private val state = for {
+    vp <- Gen.choose(0.5, 11.0)
+    vb <- Gen.choose(12.0, 30.0)
+    px <- Gen.choose(1.0, 119.0); py <- Gen.choose(1.0, 52.0)
+    bx <- Gen.choose(1.0, 119.0); by <- Gen.choose(1.0, 52.0)
+    deg <- Gen.choose(0, 359)
+  } yield (vp, px, py, vb, bx, by, deg)
+
+  property("radius is positive and finite when the ball is faster") =
+    forAll(state) { case (vp, px, py, vb, bx, by, deg) =>
+      val r = Interception.radiusAt(vp, px, py, vb, bx, by, math.toRadians(deg))
+      r > 0 && java.lang.Double.isFinite(r)
+    }
+
+  property("radius is monotone in receiver speed") =
+    forAll(state) { case (vp, px, py, vb, bx, by, deg) =>
+      val t = math.toRadians(deg)
+      Interception.radiusAt(vp, px, py, vb, bx, by, t) <=
+        Interception.radiusAt(vp + 1.0, px, py, vb, bx, by, t) + 1e-9
+    }
+
+  property("reach point is always inside the field after clamping") =
+    forAll(state) { case (vp, px, py, vb, bx, by, deg) =>
+      val t = math.toRadians(deg)
+      val r = Interception.radiusAt(vp, px, py, vb, bx, by, t)
+      val (x, y) = Interception.clampedReach(px, py, t, r)
+      x >= 0 && x <= Interception.FieldX && y >= 0 && y <= Interception.FieldY
+    }
+
+  property("scaling all speeds scales the radius linearly") =
+    forAll(state, Gen.choose(1.1, 3.0)) { case ((vp, px, py, vb, bx, by, deg), k) =>
+      val t = math.toRadians(deg)
+      val r1 = Interception.radiusAt(vp, px, py, vb, bx, by, t)
+      val r2 = Interception.radiusAt(vp * k, px, py, vb * k, bx, by, t)
+      // same geometry, faster clock: meet point unchanged ⇒ radius equal
+      math.abs(r1 - r2) <= 1e-6 * math.max(1.0, r1)
+    }
+}
