@@ -63,6 +63,45 @@ object TextFunctions {
       greatest(size(ts), lit(1))
   }
 
+  /** Winnowing fingerprints (the MOSS scheme): hash every n-gram
+    * shingle, then keep the MINIMUM hash of each sliding window of `w`
+    * consecutive shingles. Guarantees any shared substring of length
+    * ≥ w+n−1 tokens yields a shared fingerprint, at ~1/w the storage of
+    * the full shingle set — the standard local-similarity sketch for
+    * plagiarism/near-dup detection. Distinct-sorted for set semantics.
+    *
+    * One JVM pass per document: a column-expression formulation would
+    * inline the shingle-hash array into every window's slice and
+    * recompute it per window (~w·|doc| string hashes — measured 80s at
+    * sf0.1 vs ~1s for this UDF). */
+  def winnowing(text: Column, n: Int, w: Int): Column = {
+    val f = udf { (t: String) =>
+      val toks = t.split(" ")
+      val m = math.max(toks.length - (n - 1), 1)
+      val hs = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val sh = toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
+        hs(i) = (scala.util.hashing.MurmurHash3.stringHash(sh, 0x9747b28c).toLong << 32) |
+          (scala.util.hashing.MurmurHash3.stringHash(sh, 0x5bd1e995).toLong & 0xFFFFFFFFL)
+        i += 1
+      }
+      val nw = math.max(m - (w - 1), 1)
+      val out = new Array[Long](nw)
+      var j = 0
+      while (j < nw) {
+        var mn = Long.MaxValue
+        var k = j
+        val end = math.min(j + w, m)
+        while (k < end) { if (hs(k) < mn) mn = hs(k); k += 1 }
+        out(j) = mn
+        j += 1
+      }
+      out.distinct.sorted
+    }
+    f(text)
+  }
+
   /** Order-sensitive rolling polynomial fingerprint over tokens:
     * h = fold(tokens, 0) { (h, t) => (h*31 + ascii(t[0]) + len(t)) mod p }.
     * Stays in Long range (acc < p ⇒ acc*31 + x << 2^63), reproducible in

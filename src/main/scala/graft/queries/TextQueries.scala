@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.QueryDef.q
+import graft.QueryDef.{q, qRowsOnly}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.functions._
 
@@ -74,6 +74,32 @@ object TextQueries {
           round(meanTokenLen(col("text")), 6).as("mean_tok_len"),
           length(col("text")).as("n_chars2"))
         .orderBy("doc_id")
+    },
+
+    // Winnowing (MOSS) candidate pairs: docs sharing >= 2 window-min
+    // fingerprints (a short doc carries only ~|shingles|/w of them, so
+    // higher gates lose short near-dups). Any shared run of >= w+n-1
+    // tokens guarantees a shared fingerprint; the spec asserts the
+    // guarantee and full recall vs the exact d2 pairs at 1/w the index
+    // size. xxhash64 fingerprints aren't SQL-expressible -> rows-only.
+    qRowsOnly("x5_winnowing_pairs") { (s, dir) =>
+      val fp = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(winnowing(col("text"), 3, 4)).as("f"))
+        .cache()
+      // stop-fingerprint removal: window-min selection biases toward
+      // small hash values, so popular shingles become fingerprints of
+      // MANY docs — hot keys whose self-join cost is freq² with no
+      // discriminative value (exactly a stopword). Cap document
+      // frequency (<=10 docs) before the join; near-dups share rare prints.
+      val rare = fp.groupBy("f").count().filter(col("count") <= 10).select("f")
+      val pruned = fp.join(broadcast(rare), "f")
+      pruned.as("a")
+        .join(pruned.as("b"),
+          col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_fp"))
+        .filter(col("shared_fp") >= 2)
+        .orderBy("doc_a", "doc_b")
     },
 
     // Rolling-hash document fingerprint (order-sensitive, mod-prime), then

@@ -46,6 +46,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one("a bb ccc", meanTokenLen(col("text"))) == 2.0)
   }
 
+  test("winnowing guarantee: shared run of >= w+n-1 tokens shares a fingerprint") {
+    import spark.implicits._
+    // two docs sharing a 6-token run (w=4, n=3 ⇒ guarantee at >= 6)
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two $shared x1 y1"),
+      (2L, s"p q r $shared other tokens here")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", explode(winnowing($"text", 3, 4)).as("f"))
+    val common = fps.as("a").join(fps.as("b"),
+      $"a.f" === $"b.f" && $"a.doc_id" < $"b.doc_id").count()
+    assert(common >= 1)
+  }
+
+  test("winnowing finds every planted near-dup that exact Jaccard finds") {
+    def pairs(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("d2_jaccard_pairs")
+    val winnowed = pairs("x5_winnowing_pairs")
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(winnowed), s"missed: ${exact -- winnowed}")
+  }
+
   test("rollingFingerprint is order-sensitive and deterministic") {
     // tokens chosen so per-token contributions (ascii + len) differ:
     // "alpha" → 102, "bb" → 100
