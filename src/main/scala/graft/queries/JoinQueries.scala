@@ -191,6 +191,27 @@ object JoinQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // J11 (extension) — full outer join (SURVEY §2.3 lists it absent
+    // from the reference; free in Spark): customers vs suppliers by
+    // nation, keeping nations present on either side only
+    q("j11_full_outer",
+      """SELECT n_key, c_cnt, s_cnt FROM (
+        |  SELECT coalesce(c.k, s.k) AS n_key, c.c_cnt, s.s_cnt
+        |  FROM (SELECT c_nationkey AS k, count(*) AS c_cnt FROM customer
+        |        WHERE c_acctbal > 9000 GROUP BY 1) c
+        |  FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS s_cnt FROM supplier
+        |        WHERE s_acctbal > 9000 GROUP BY 1) s
+        |    ON c.k = s.k)
+        |ORDER BY n_key""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("k")).agg(count(lit(1)).as("c_cnt"))
+      val su = Tables.load(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("k2")).agg(count(lit(1)).as("s_cnt"))
+      c.join(su, col("k") === col("k2"), "full_outer")
+        .select(coalesce(col("k"), col("k2")).as("n_key"), col("c_cnt"), col("s_cnt"))
+        .orderBy("n_key")
+    },
+
     // J4 — left join with a renamed key plus equality on non-key attrs
     // (left_join(by=c("routeRan","pff_...","firstRead"="secondId")) —
     // BuildingReadOrder.R:139): lookup keyed by (flag, status, renamed key)
