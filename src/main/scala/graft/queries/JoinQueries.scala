@@ -212,6 +212,27 @@ object JoinQueries {
         .orderBy("n_key")
     },
 
+    // J12 (extension) — AS-OF join: each purchase matched to the user's
+    // latest prior-or-simultaneous click (graft.operators.AsOfJoin:
+    // union + ordered-window formulation, one shuffle, no range-join
+    // explosion). Oracle: DuckDB's native ASOF LEFT JOIN.
+    q("j12_asof_join",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .select(col("event_id").as("purchase_id"),
+                col("asof_event_id").as("click_id"),
+                (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+
     // J4 — left join with a renamed key plus equality on non-key attrs
     // (left_join(by=c("routeRan","pff_...","firstRead"="secondId")) —
     // BuildingReadOrder.R:139): lookup keyed by (flag, status, renamed key)
