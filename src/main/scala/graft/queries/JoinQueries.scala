@@ -233,6 +233,29 @@ object JoinQueries {
         .orderBy("purchase_id")
     },
 
+    // J13 (extension) — bounded RANGE join via bucketed equi-join
+    // (graft.operators.RangeJoin): every same-user event in the hour
+    // before each purchase. A raw BETWEEN condition would plan as a
+    // nested-loop; the bucket probe keeps it an equi-join.
+    q("j13_range_join",
+      """SELECT p.event_id AS purchase_id, e.event_id AS prior_event_id,
+        |       e.event_type AS prior_type
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN events e
+        |  ON e.user_id = p.user_id
+        | AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+        | AND e.event_id <> p.event_id
+        |ORDER BY purchase_id, prior_event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      graft.operators.RangeJoin.within(purchases, ev, Seq("user_id"), "ts", "ts", 3600L)
+        .filter(col("r_event_id") =!= col("event_id"))
+        .select(col("event_id").as("purchase_id"),
+                col("r_event_id").as("prior_event_id"),
+                col("r_event_type").as("prior_type"))
+        .orderBy("purchase_id", "prior_event_id")
+    },
+
     // J4 — left join with a renamed key plus equality on non-key attrs
     // (left_join(by=c("routeRan","pff_...","firstRead"="secondId")) —
     // BuildingReadOrder.R:139): lookup keyed by (flag, status, renamed key)
