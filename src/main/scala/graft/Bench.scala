@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every registered query at SPARK_GRAFT_SF_DIR.
+  *
+  * Each query is materialized through the `noop` sink — every output column
+  * is computed and serialized, unlike a bare `.count()` which lets Catalyst
+  * prune unused projections (a pure-projection query would only time the
+  * scan). Two JSON lines are printed: the full per-query map first, then a
+  * COMPACT summary line LAST (total + slowest-10) so a tail-truncating
+  * capture still gets a parsable line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,13 +29,16 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(kvs: Iterable[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}""")
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,15 +20,17 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
-  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-                                 width: Int, height: Int, digest: String)
+  // Long metadata: byte counts overflow Int at 100 TB payload scale, and
+  // BIGINT matches the oracle's octet_length type exactly.
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                                 width: Long, height: Long, digest: String)
   final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   /** STUB decode — stands in for a real image decoder. Deterministic
     * pseudo-dimensions derived from the byte length; a real build swaps
     * ONLY this function for e.g. a javax.imageio call. */
-  def decodeStub(payload: Array[Byte]): (Int, Int) = {
-    val n = payload.length
+  def decodeStub(payload: Array[Byte]): (Long, Long) = {
+    val n = payload.length.toLong
     (n % 640, (n * 7) % 480)
   }
 
@@ -43,7 +45,7 @@ object Multimodal {
         val (w, h) = decodeStub(r.payload)
         md.reset()
         val digest = md.digest(r.payload).map("%02x".format(_)).mkString
-        MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, digest)
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, w, h, digest)
       }
     }
   }

@@ -129,10 +129,13 @@ object JoinQueries {
     // The revenue sum is accumulated in DECIMAL (exact, order-independent)
     // so partial-aggregation order can't flip a rounding boundary vs the
     // oracle; the per-row product is still computed in double (identical
-    // IEEE ops on both engines) before the cast.
+    // IEEE ops on both engines) before the cast. Terminal CAST to
+    // DECIMAL(38,6) on both sides: Spark widens a sum to DECIMAL(28,6),
+    // DuckDB to DECIMAL(38,6) — driver hashes are type-aware.
     q("j8_broadcast_dims",
       """SELECT p_brand, s_name, count(*) AS n_lines,
-        |       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |            AS DECIMAL(38,6)) AS revenue
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -146,7 +149,7 @@ object JoinQueries {
         .groupBy("p_brand", "s_name")
         .agg(count(lit(1)).as("n_lines"),
              sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-               .cast("decimal(18,6)")).as("revenue"))
+               .cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"))
         .orderBy("p_brand", "s_name")
     },
 

@@ -139,7 +139,8 @@ object ScalarFuncQueries {
       Tables.load(s, dir, "events")
         .select(col("event_id"),
           format_string("%d:%02d", minute(col("ts")), second(col("ts"))).as("clock"),
-          (minute(col("ts")) * 60 + second(col("ts"))).as("secs_into_hour"))
+          (minute(col("ts")) * 60 + second(col("ts"))).cast("long")
+            .as("secs_into_hour"))
         .orderBy("event_id")
     },
 
@@ -162,11 +163,11 @@ object ScalarFuncQueries {
     // fractions (odd quantity / 2). Oracle reproduces HALF_EVEN explicitly.
     q("f15_bround",
       """SELECT l_orderkey, l_linenumber, half,
-        |       CASE WHEN l_quantity % 2 = 1 THEN
+        |       CAST(CASE WHEN l_quantity % 2 = 1 THEN
         |         CAST(l_quantity AS BIGINT) // 2
         |           + CASE WHEN (CAST(l_quantity AS BIGINT) // 2) % 2 = 0
         |                  THEN 0 ELSE 1 END
-        |       ELSE CAST(l_quantity AS BIGINT) // 2 END * 1.0 AS banker_rounded,
+        |       ELSE CAST(l_quantity AS BIGINT) // 2 END AS DOUBLE) AS banker_rounded,
         |       round(half) AS half_up_rounded
         |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
         |             l_quantity / 2.0 AS half FROM lineitem)
@@ -179,14 +180,18 @@ object ScalarFuncQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
-    // F16 — sequence generation + fold (rep/seq — radius_model.R:11-15)
+    // F16 — sequence generation + fold (rep/seq — radius_model.R:11-15).
+    // BIGINT accumulator on the Spark side + explicit BIGINT cast on the
+    // oracle: DuckDB's list_aggregate sum widens to HUGEINT and the driver
+    // hash is type-aware.
     q("f16_sequence",
       """SELECT l_orderkey, l_linenumber,
-        |       list_aggregate(generate_series(1, l_linenumber), 'sum') AS tri_sum
+        |       CAST(list_aggregate(generate_series(1, l_linenumber), 'sum')
+        |            AS BIGINT) AS tri_sum
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          aggregate(sequence(lit(1), col("l_linenumber")), lit(0),
+          aggregate(sequence(lit(1), col("l_linenumber")), lit(0L),
             (acc, x) => acc + x).as("tri_sum"))
         .orderBy("l_orderkey", "l_linenumber")
     },

@@ -82,15 +82,25 @@ object SimilarityQueries {
                 round(cosineUdf(col("qe"), col("embedding")), 6).as("cos"))
       scored
         .withColumn("rnk", row_number().over(
-          Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))))
+          Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id")))
+          .cast("long"))
         .filter(col("rnk") <= 5)
         .orderBy("query_id", "rnk")
     },
 
     // Embedding near-dup detection: all pairs with cosine ≥ 0.35 (the
-    // embedding-cosine dedup gate). Self-join on label blocks the O(n²)
-    // — near-dups in this corpus share a label cluster by construction,
-    // and both engines apply the same blocking, so results align.
+    // embedding-cosine dedup gate). Near-dups in this corpus share a label
+    // cluster by construction, and both engines compare the same pair set,
+    // so results align. A naive self-join on `label` alone has two scale
+    // problems (seen in the round-1 plan): only 10 distinct join keys (max
+    // 10-way parallelism) and quadratic work per key in ONE task. Fix is
+    // an exact triangle split: each label block is cut into K chunks on
+    // vec_id, each side is replicated over its chunk-pair combos, and the
+    // join key becomes the uniform composite (label, ca, cb) — K(K+1)/2
+    // combos per label, each a small rectangle of pairs, spread by an
+    // explicit repartition on the key. Pair coverage is exact: unordered
+    // chunk pairs ca<=cb, with the vec_id tie-break applied only on the
+    // diagonal, and least/greatest restoring vec_a < vec_b output order.
     q("v2_cosine_neardup",
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       round(${sqlDot("a.embedding", "b.embedding")}
@@ -100,11 +110,26 @@ object SimilarityQueries {
          |WHERE ${sqlDot("a.embedding", "b.embedding")}
          |      / (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}) >= 0.35
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      val k = 8
+      val chunks = array((0 until k).map(lit): _*)
       val e = Tables.load(s, dir, "embeddings")
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-                cosineUdf(col("a.embedding"), col("b.embedding")).as("craw"))
+        .select(col("vec_id"), col("embedding"), col("label"),
+                pmod(col("vec_id"), lit(k)).cast("int").as("chunk"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+                       col("label"), col("chunk").as("ca"),
+                       explode(chunks).as("cb"))
+        .filter(col("cb") >= col("ca"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+                       col("label"), explode(chunks).as("ca"),
+                       col("chunk").as("cb"))
+        .filter(col("cb") >= col("ca"))
+      a.repartition(col("label"), col("ca"), col("cb"))
+        .join(b, Seq("label", "ca", "cb"))
+        .filter(col("ca") =!= col("cb") || col("id_a") < col("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("vec_a"),
+                greatest(col("id_a"), col("id_b")).as("vec_b"),
+                cosineUdf(col("ea"), col("eb")).as("craw"))
         .filter(col("craw") >= 0.35)
         .select(col("vec_a"), col("vec_b"), round(col("craw"), 6).as("cos"))
         .orderBy("vec_a", "vec_b")
@@ -155,7 +180,8 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
                 round(cosineUdf(col("qe"), col("embedding")), 6).as("cos"))
         .withColumn("rnk", row_number().over(
-          Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))))
+          Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id")))
+          .cast("long"))
         .filter(col("rnk") <= 5)
         .orderBy("query_id", "rnk")
     },

@@ -40,8 +40,10 @@ object SourceQueries {
       Tables.load(s, dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
         .write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
+      // INT matches the source parquet's physical type, so the roundtrip
+      // is type-identical to the oracle (driver hash is type-aware)
       s.read
-        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .option("header", "true").csv(out)
         .orderBy("n_nationkey")
     },
@@ -57,7 +59,7 @@ object SourceQueries {
         .write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$out/week_0")
       r.filter(col("r_regionkey") % 2 === 1)
         .write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$out/week_1")
-      s.read.schema("r_regionkey BIGINT, r_name STRING")
+      s.read.schema("r_regionkey INT, r_name STRING")
         .option("header", "true").csv(s"$out/week_*")
         .orderBy("r_regionkey")
     },

@@ -27,8 +27,8 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          size(tokens(col("text"))).as("n_tokens"),
-          bpeIshTokenCount(col("text")).as("n_bpeish"))
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          bpeIshTokenCount(col("text")).cast("long").as("n_bpeish"))
         .orderBy("doc_id")
     },
 
@@ -42,8 +42,8 @@ object TextQueries {
              }.mkString(",\n    ")}] AS scores
          |  FROM documents)
          |SELECT lang,
-         |       sum(CASE WHEN [${langProfiles.map("'" + _._1 + "'").mkString(",")}][list_position(scores, list_max(scores))] = lang
-         |                THEN 1 ELSE 0 END) AS n_correct,
+         |       CAST(sum(CASE WHEN [${langProfiles.map("'" + _._1 + "'").mkString(",")}][list_position(scores, list_max(scores))] = lang
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
          |       count(*) AS n
          |FROM scored GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
@@ -72,7 +72,7 @@ object TextQueries {
         .select(col("doc_id"),
           round(stopwordRatio(col("text")), 6).as("stop_ratio"),
           round(meanTokenLen(col("text")), 6).as("mean_tok_len"),
-          length(col("text")).as("n_chars2"))
+          length(col("text")).cast("long").as("n_chars2"))
         .orderBy("doc_id")
     },
 

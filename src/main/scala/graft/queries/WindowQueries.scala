@@ -28,7 +28,8 @@ object WindowQueries {
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "events")
         .withColumn("tick",
-          dense_rank().over(Window.partitionBy("user_id").orderBy("ts")) - 1)
+          (dense_rank().over(Window.partitionBy("user_id").orderBy("ts")) - 1)
+            .cast("long"))
         .select("event_id", "user_id", "tick")
         .orderBy("event_id")
     },
@@ -46,24 +47,28 @@ object WindowQueries {
           Window.partitionBy("user_id")
             .orderBy(when(col("event_type") === "purchase", -col("value"))
                        .otherwise(col("value")),
-                     col("event_id"))))
+                     col("event_id"))).cast("long"))
         .select("event_id", "user_id", "pos")
         .orderBy("event_id")
     },
 
     // W3 — group-wise running sum (cumulative QB distance —
     // BuildingReadOrder.R:88-94). Accumulates in DECIMAL: window-agg
-    // association order differs between engines on doubles.
+    // association order differs between engines on doubles. Terminal
+    // CAST to DECIMAL(38,6) on both sides — sum-widening differs
+    // (Spark 28, DuckDB 38) and the driver hash is type-aware.
     q("w3_running_sum",
       """SELECT event_id, user_id,
-        |       sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
         |         PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS DECIMAL(38,6)) AS running_value
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, dir, "events")
-        .withColumn("running_value", sum(col("value").cast("decimal(18,6)")).over(w))
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("decimal(38,6)"))
         .select("event_id", "user_id", "running_value")
         .orderBy("event_id")
     },
@@ -117,21 +122,23 @@ object WindowQueries {
     },
 
     // W7 — global sort with a global position (arrange/ORDER BY —
-    // QBReadStats.R:231). At scale a global rank needs a single ordered
-    // reduce; for top-k use w8's limit pattern instead.
+    // QBReadStats.R:231). No single-partition Window: GlobalRank does a
+    // range-partitioned parallel sort + per-partition offsets
+    // (zipWithIndex), so the plan survives 100× the rows.
     q("w7_global_rank",
       """SELECT o_orderkey, o_totalprice,
         |       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |FROM orders ORDER BY rnk""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "orders")
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(desc("o_totalprice"), col("o_orderkey"))))
-        .select("o_orderkey", "o_totalprice", "rnk")
+      graft.operators.GlobalRank.withGlobalRank(
+          Tables.load(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          "rnk", desc("o_totalprice"), col("o_orderkey"))
         .orderBy("rnk")
     },
 
     // W8 — top-k plus an offset slice (top-10 QBs + rows 24-33 —
-    // QBReadStats.R:230-246)
+    // QBReadStats.R:230-246). orderBy().limit(33) compiles to
+    // TakeOrderedAndProject (parallel partial top-k per partition, tiny
+    // merge on the driver); only the 33 survivors see a window.
     q("w8_topk_offset",
       """SELECT o_orderkey, o_totalprice, rnk FROM (
         |  SELECT o_orderkey, o_totalprice,
@@ -140,10 +147,12 @@ object WindowQueries {
         |WHERE rnk <= 10 OR rnk BETWEEN 24 AND 33
         |ORDER BY rnk""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(33)
         .withColumn("rnk", row_number().over(
-          Window.orderBy(desc("o_totalprice"), col("o_orderkey"))))
+          Window.orderBy(desc("o_totalprice"), col("o_orderkey"))).cast("long"))
         .filter(col("rnk") <= 10 || col("rnk").between(24, 33))
-        .select("o_orderkey", "o_totalprice", "rnk")
         .orderBy("rnk")
     },
 
@@ -182,8 +191,8 @@ object WindowQueries {
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "events")
         .withColumn("slot",
-          ((row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-            - 1) % 3) + 1)
+          ((((row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            - 1) % 3) + 1).cast("long")))
         .select("event_id", "user_id", "slot")
         .orderBy("event_id")
     },

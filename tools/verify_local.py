@@ -2,9 +2,11 @@
 """Local replica of the driver's correctness gate (dev tool only, not part
 of the engine). Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
 reads each <outDir>/<name> result parquet, runs the matching oracle SQL from
-<outDir>/oracle_sql.json in DuckDB against the same sfDir tables, and
+<outdir>/oracle_sql.json in DuckDB against the same sfDir tables, and
 compares canonicalized (column-name-sorted, row-sorted, float-normalized)
-results.
+results AND physical column types (DESCRIBE on both sides) — the driver's
+hash is type-aware, so a Spark DECIMAL(28,6) vs DuckDB DECIMAL(38,6) must
+fail here too, even when values stringify identically.
 
 Usage: python3 tools/verify_local.py <sfDir> <outDir>
 """
@@ -35,6 +37,11 @@ def canon(rows, cols):
         return str(v)
 
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def col_types(con, sql):
+    """name -> physical DuckDB type string for a query's result columns."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
 
 
 def main(sf_dir, out_dir):
@@ -74,6 +81,16 @@ def main(sf_dir, out_dir):
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL  {name}: schema {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        got_types = col_types(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        exp_types = col_types(con, f"({oracle[name]})")
+        type_diff = {c: (got_types.get(c), exp_types.get(c))
+                     for c in got_types
+                     if got_types.get(c) != exp_types.get(c)}
+        if type_diff:
+            print(f"FAIL  {name}: type widths differ (driver hash is "
+                  f"type-aware): {type_diff}")
             n_fail += 1
             continue
         cg, ce = canon(got, got_cols), canon(exp, exp_cols)
