@@ -97,7 +97,10 @@ object BdbMini {
           pff_defensiveCoverageAssignment =
             Some(Seq("MAN", "HOL", "CFL", "CFR", "3L", "3M", "3R", "2L", "2R", "4IL", "4IR")(i)))
       }
-      rrs :+ qb
+      // all 22 participants, like the real player_play.csv: route
+      // runners + QB + the 11 defenders (entry point B reads defender
+      // rows; wasRunningRoute=false keeps them out of entry point A)
+      (rrs :+ qb) ++ defs
     } ++ Nil
   } yield row
 

@@ -1,0 +1,156 @@
+package graft.bdb
+
+import graft.ml.Pipelines
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §3.1 entry point B — the play-level coverage classifier
+  * (`DefCoverage.ipynb:34-237`): defender tracking stats → per-position
+  * pivot → play features → RandomForest → accuracy / log-loss /
+  * confusion.
+  *
+  * Scale shape: the stats aggregation is ONE shuffle on
+  * (gameId, playId, defensiveTeam, position) — uniform keys, partial
+  * aggregation map-side; the pivot is a second shuffle on the play key
+  * with a PINNED position list (stable schema, no driver-side distinct
+  * scan); the plays join broadcasts (plays is the small side at any
+  * scale — one row per play vs ~10³ tracking rows per play). Training
+  * input is one row per play — 10⁶ rows at full scale, trivially
+  * RF-trainable via spark.ml's distributed trees.
+  */
+object CoveragePlayModel {
+
+  /** `DefCoverage.ipynb:49` — the defender position whitelist. */
+  val defensivePositions: Seq[String] =
+    Seq("CB", "S", "FS", "SS", "OLB", "MLB", "ILB", "DB", "LB", "EDGE")
+
+  private val statCols = Seq("x", "y", "s", "a")
+
+  /** Stage 1 (`DefCoverage.ipynb:34-58`): player_play ⋈ plays ⋈ players,
+    * dropbacks only, defender positions only, joined to tracking. */
+  def defenderTracking(plays: DataFrame, players: DataFrame,
+                       playerPlay: DataFrame, tracking: DataFrame): DataFrame = {
+    val defenders = playerPlay.select("gameId", "playId", "nflId")
+      .join(plays.select("gameId", "playId", "defensiveTeam", "isDropback"),
+            Seq("gameId", "playId"))
+      .join(broadcast(players.select("nflId", "position")), Seq("nflId"), "left")
+      .filter(col("isDropback") && col("position").isin(defensivePositions: _*))
+      .select("gameId", "playId", "nflId", "defensiveTeam", "position")
+    defenders.join(
+      tracking.select("gameId", "playId", "nflId", "frameId", "x", "y", "s", "a"),
+      Seq("gameId", "playId", "nflId"))
+  }
+
+  /** Stage 2 (`DefCoverage.ipynb:62-80`): mean/std of x,y,s,a + distinct
+    * defender count per (play, team, position). pandas `std` is the
+    * sample std → stddev_samp. */
+  def positionStats(defTrack: DataFrame): DataFrame = {
+    val aggs = statCols.flatMap { c =>
+      Seq(avg(col(c)).as(s"${c}_mean"), stddev_samp(col(c)).as(s"${c}_std"))
+    } :+ countDistinct(col("nflId")).as("count_defenders")
+    defTrack.groupBy("gameId", "playId", "defensiveTeam", "position")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  val pivotStats: Seq[String] =
+    statCols.flatMap(c => Seq(s"${c}_mean", s"${c}_std")) :+ "count_defenders"
+
+  /** Stage 3 (`DefCoverage.ipynb:81-93`): pivot wider by position with
+    * fill 0, reference column naming `{stat}_{position}`. The position
+    * list is pinned by the caller (stable schema — no inference scan). */
+  def positionPivot(stats: DataFrame, positions: Seq[String]): DataFrame = {
+    val wide = stats.groupBy("gameId", "playId", "defensiveTeam")
+      .pivot("position", positions)
+      .agg(pivotStats.map(s => first(col(s)).as(s)).head,
+           pivotStats.map(s => first(col(s)).as(s)).tail: _*)
+    // Spark names pivoted columns {position}_{stat}; the reference emits
+    // {stat}_{position} (DefCoverage.ipynb:88-91)
+    val renamed = positions.flatMap(p => pivotStats.map(s => s"${p}_$s" -> s"${s}_$p"))
+    renamed.foldLeft(wide) { case (df, (from, to)) => df.withColumnRenamed(from, to) }
+      .na.fill(0.0)
+  }
+
+  val playContextCols: Seq[String] = Seq(
+    "down", "yardsToGo", "preSnapHomeScore", "preSnapVisitorScore",
+    "absoluteYardlineNumber")
+
+  /** Stage 4 (`DefCoverage.ipynb:95-120`): join play context, fill
+    * numeric NAs with 0, derive score_diff, keep labeled plays only. */
+  def playFeatures(pivot: DataFrame, plays: DataFrame): DataFrame = {
+    val subset = plays
+      .select((Seq("gameId", "playId", "defensiveTeam", "pff_passCoverage")
+               ++ playContextCols).map(col): _*)
+      .dropDuplicates()
+    pivot.join(broadcast(subset), Seq("gameId", "playId", "defensiveTeam"))
+      .na.fill(0, playContextCols)
+      .withColumn("score_diff",
+        col("preSnapHomeScore") - col("preSnapVisitorScore"))
+      .filter(col("pff_passCoverage").isNotNull)
+  }
+
+  /** Feature columns = everything numeric except ids and the label
+    * (`DefCoverage.ipynb:134-140`). */
+  def featureCols(features: DataFrame): Seq[String] = {
+    val exclude = Set("gameId", "playId", "defensiveTeam", "pff_passCoverage")
+    features.columns.filterNot(exclude).toSeq
+  }
+
+  /** Full feature build over one data model. */
+  def features(plays: DataFrame, players: DataFrame,
+               playerPlay: DataFrame, tracking: DataFrame,
+               positions: Seq[String]): DataFrame =
+    playFeatures(
+      positionPivot(positionStats(
+        defenderTracking(plays, players, playerPlay, tracking)), positions),
+      plays)
+
+  /** Stage 5 (`DefCoverage.ipynb:124-187`): label-encode the coverage,
+    * assemble the numeric matrix, stratified 80/20 split (the XGBoost
+    * cell splits with `stratify=y`), RandomForest, metrics. On tiny
+    * inputs the split can starve a class, so metrics are also reported
+    * over the full frame (the notebook's final overall-accuracy cell,
+    * `DefCoverage.ipynb:221-237`). */
+  def rfMetrics(features: DataFrame): DataFrame = {
+    val fc = featureCols(features)
+    val indexer = new org.apache.spark.ml.feature.StringIndexer()
+      .setInputCol("pff_passCoverage").setOutputCol("label")
+      .setStringOrderType("alphabetAsc")
+    val data = indexer.fit(features).transform(
+      Pipelines.assembleZeroFilled(features, fc))
+    val (train, test) = Pipelines.stratifiedSplit(
+      data, "label", 0.8, seed = 42, idCols = Seq("gameId", "playId", "defensiveTeam"))
+    val model = new org.apache.spark.ml.classification.RandomForestClassifier()
+      .setNumTrees(50).setMaxDepth(8).setSeed(42)
+      .fit(train)
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    val evalAcc = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+    val spark = features.sparkSession
+    import spark.implicits._
+    Seq(
+      ("overall_accuracy", evalAcc.evaluate(model.transform(data))),
+      ("val_accuracy", if (test.isEmpty) -1.0 else evalAcc.evaluate(model.transform(test))),
+      ("n_plays", data.count().toDouble),
+      ("n_features", fc.size.toDouble)
+    ).toDF("metric", "value")
+  }
+
+  /** Confusion matrix over the full frame (`DefCoverage.ipynb:191-206`),
+    * by coverage name for readability. */
+  def confusion(features: DataFrame): DataFrame = {
+    val fc = featureCols(features)
+    val indexer = new org.apache.spark.ml.feature.StringIndexer()
+      .setInputCol("pff_passCoverage").setOutputCol("label")
+      .setStringOrderType("alphabetAsc")
+    val indexerModel = indexer.fit(features)
+    val data = indexerModel.transform(Pipelines.assembleZeroFilled(features, fc))
+    val model = new org.apache.spark.ml.classification.RandomForestClassifier()
+      .setNumTrees(50).setMaxDepth(8).setSeed(42)
+      .fit(data)
+    val labels = indexerModel.labelsArray(0)
+    val toName = udf((i: Double) => labels(i.toInt))
+    model.transform(data)
+      .select(col("pff_passCoverage").as("actual"),
+              toName(col("prediction")).as("predicted"))
+      .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+  }
+}

@@ -1,8 +1,8 @@
 package graft.ml
 
-import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.feature.{Imputer, StandardScaler, StringIndexer, VectorAssembler}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, OneVsRest, RandomForestClassifier}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -12,10 +12,9 @@ import org.apache.spark.sql.functions._
   * LabelEncoder → StringIndexer (alphabetAsc matches sklearn's
   * lexicographic codes, M1); feature matrix assembly → VectorAssembler /
   * array_to_vector (M2); StandardScaler (M3); train_test_split →
-  * randomSplit(seed) (M4); RandomForest/LogisticRegression (M5/M7);
-  * multiclass XGBoost/LightGBM/CatBoost have no offline Spark equivalent
-  * — the capability (multiclass probabilistic classifier) is provided by
-  * RF/LR, per SURVEY.md §7.4.7 (M6 flagged, not hidden).
+  * randomSplit(seed) / sampleBy stratified (M4); RandomForest/
+  * LogisticRegression (M5/M7); multiclass XGBoost/CatBoost (M6) →
+  * OneVsRest(GBTClassifier), the fallback SURVEY §2.9 prescribes.
   *
   * Scale notes: all estimators here train via Spark's distributed
   * treeAggregate — no driver-side data pull; scoring is a map-only
@@ -28,6 +27,45 @@ object Pipelines {
   def withFeatures(embeddings: DataFrame): DataFrame =
     embeddings.withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
+
+  /** M2 — named numeric columns → `features` vector after the
+    * reference's `fillna(0)` (`DefCoverage.ipynb:140`,
+    * `DefPosModel.ipynb:237`). Map-only: no shuffle, no fitting. */
+  def assembleZeroFilled(df: DataFrame, cols: Seq[String],
+                         out: String = "features"): DataFrame = {
+    val filled = df.na.fill(0, cols)
+    new VectorAssembler().setInputCols(cols.toArray).setOutputCol(out)
+      .transform(filled)
+  }
+
+  /** M2 — the Imputer variant (`DefPosModel.ipynb:228-237` region):
+    * fill NAs with the column mean learned from the data (one
+    * aggregation pass), then assemble. */
+  def assembleImputed(df: DataFrame, cols: Seq[String],
+                      out: String = "features"): DataFrame = {
+    val imputedCols = cols.map(c => s"${c}__imp")
+    val imputer = new Imputer().setStrategy("mean")
+      .setInputCols(cols.toArray).setOutputCols(imputedCols.toArray)
+    val imputed = imputer.fit(df).transform(df)
+    new VectorAssembler().setInputCols(imputedCols.toArray).setOutputCol(out)
+      .transform(imputed)
+      .drop(imputedCols: _*)
+  }
+
+  /** M4 — per-class stratified train/test split (sklearn
+    * `train_test_split(stratify=y)`, `DefCoverage.ipynb:167-172`).
+    * `sampleBy` draws ~trainFrac of each class (Bernoulli per row, so
+    * exact only in expectation); the test side is the anti-join on the
+    * row identity `idCols`. The class-list collect is driver-side but
+    * bounded by the number of classes, not rows. */
+  def stratifiedSplit(df: DataFrame, labelCol: String, trainFrac: Double,
+                      seed: Long, idCols: Seq[String]): (DataFrame, DataFrame) = {
+    val classes = df.select(labelCol).distinct().collect().map(_.get(0))
+    val fractions = classes.map(_ -> trainFrac).toMap
+    val train = df.stat.sampleBy(labelCol, fractions, seed)
+    val test = df.join(train.select(idCols.map(col): _*), idCols, "left_anti")
+    (train, test)
+  }
 
   /** Standardize features (withMean so the oracle formula is exact:
     * scaled = (x − mean) / stddev_samp). */
@@ -99,6 +137,28 @@ object Pipelines {
       .map { case (m, pm) => (pm(lr.regParam), m) }
       .toDF("regParam", "avg_logloss")
       .withColumn("is_best", col("regParam") === best.getRegParam)
+  }
+
+  /** M6 — multiclass boosted trees. The reference's best models are
+    * XGBoost/CatBoost (`DefCoverage.ipynb:164-187`); Spark's GBTClassifier
+    * is binary-only, so multiclass comes via OneVsRest(GBT) — the
+    * fallback SURVEY §2.9 prescribes. One boosted model per class,
+    * trained on the same distributed feature frame. */
+  def ovrGbtMetrics(embeddings: DataFrame, labelCol: String): DataFrame = {
+    val data = withFeatures(embeddings)
+      .withColumn("label", col(labelCol).cast("double"))
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
+    val gbt = new GBTClassifier().setMaxIter(10).setMaxDepth(4).setSeed(42)
+    val model = new OneVsRest().setClassifier(gbt).fit(train)
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    val acc = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").evaluate(model.transform(test))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    Seq(("ovr_gbt_accuracy", acc),
+        ("n_classes", model.models.length.toDouble),
+        ("n_test", test.count().toDouble))
+      .toDF("metric", "value")
   }
 
   /** RandomForest confusion matrix: (label, prediction, n) rows —

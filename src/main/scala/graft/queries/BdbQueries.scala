@@ -43,5 +43,24 @@ object BdbQueries {
       MatchupAnalysis.mirrorMatches(trees)
         .orderBy("gameId", "playId")
     },
+
+    // Entry point B, stages 1-4: defender stats → position pivot → play
+    // feature matrix (DefCoverage.ipynb:34-120)
+    qRowsOnly("bdb_coverage_features") { (s, _) =>
+      val (_, plays, players, playerPlay, tracking) = BdbMini.load(s)
+      CoveragePlayModel.features(plays, players, playerPlay, tracking,
+          positions = Seq("CB", "S"))
+        .orderBy("gameId", "playId")
+    },
+
+    // Entry point B, stage 5: coverage RandomForest metrics
+    // (DefCoverage.ipynb:124-187, 221-237)
+    qRowsOnly("bdb_coverage_model") { (s, _) =>
+      val (_, plays, players, playerPlay, tracking) = BdbMini.load(s)
+      CoveragePlayModel.rfMetrics(
+          CoveragePlayModel.features(plays, players, playerPlay, tracking,
+            positions = Seq("CB", "S")))
+        .orderBy("metric")
+    },
   )
 }

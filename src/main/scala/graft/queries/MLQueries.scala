@@ -72,5 +72,54 @@ object MLQueries {
       Pipelines.cvBestRegParam(Tables.load(s, dir, "embeddings"))
         .orderBy("regParam")
     },
+
+    // M6 — multiclass boosted trees via OneVsRest(GBTClassifier), on a
+    // separable 3-bucket derived label (the table's labels are
+    // near-noise — FIXTURES.md; a noise label can't distinguish a
+    // working boosted model from a broken one)
+    qRowsOnly("m7_ovr_gbt_metrics") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("bucket_label",
+          when(element_at(col("embedding"), 1) < -0.05, 0.0)
+            .when(element_at(col("embedding"), 1) > 0.05, 2.0)
+            .otherwise(1.0))
+      Pipelines.ovrGbtMetrics(emb, "bucket_label").orderBy("metric")
+    },
+
+    // M2 — named-columns → feature vector with fillna(0), checked
+    // element-by-element against the coalesce formula. Nulls are derived
+    // deterministically (events.value carries none at test SFs).
+    q("m8_vector_assembly",
+      """SELECT event_id,
+        |       coalesce(CASE WHEN event_type = 'error' THEN NULL
+        |                     ELSE value END, 0) AS f0,
+        |       CAST(user_id AS DOUBLE) AS f1
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.ml.functions.vector_to_array
+      val df = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          when(col("event_type") === "error", lit(null).cast("double"))
+            .otherwise(col("value")).as("v"),
+          col("user_id").cast("double").as("u"))
+      Pipelines.assembleZeroFilled(df, Seq("v", "u"))
+        .select(col("event_id"),
+          element_at(vector_to_array(col("features")), 1).as("f0"),
+          element_at(vector_to_array(col("features")), 2).as("f1"))
+        .orderBy("event_id")
+    },
+
+    // M4 — stratified 80/20 split: per-class counts of both sides.
+    // rows-only (sampleBy's Bernoulli draw is Spark-internal RNG);
+    // MLSpec asserts disjointness, coverage, and per-class fractions.
+    qRowsOnly("m9_stratified_split") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val (train, test) = Pipelines.stratifiedSplit(
+        emb, "label", 0.8, seed = 42, idCols = Seq("vec_id"))
+      train.groupBy("label").agg(count(lit(1)).as("n_train"))
+        .join(test.groupBy("label").agg(count(lit(1)).as("n_test")),
+              Seq("label"), "full_outer")
+        .na.fill(0L, Seq("n_train", "n_test"))
+        .orderBy("label")
+    },
   )
 }

@@ -124,4 +124,40 @@ class PipelineSpec extends SparkSpec {
     assert(seconds.groupBy("gameId", "playId", "frameId").count()
       .filter(col("count") > 1).count() == 0)
   }
+
+  test("coverage features: one row per dropback play, stat_pos matrix shape") {
+    val (_, _, players, _, _) = BdbMini.load(spark)
+    val feats = CoveragePlayModel.features(plays, players, playerPlay, tracking,
+      positions = Seq("CB", "S"))
+    // 2 games × 5 dropback plays (TRADITIONAL ×4 + ROLLOUT; the run is out)
+    assert(feats.count() == 10)
+    // BdbMini analog of the reference's 9,713 × 82 matrix
+    // (DefCoverage.ipynb:122): 3 keys + 9 stats × 2 positions + 5 play
+    // context cols + coverage + score_diff
+    assert(feats.columns.length == 3 + 9 * 2 + 5 + 1 + 1)
+    val fc = CoveragePlayModel.featureCols(feats)
+    assert(fc.size == 9 * 2 + 5 + 1)
+    assert(fc.contains("x_mean_CB") && fc.contains("count_defenders_S")
+      && fc.contains("score_diff"))
+    // 11 defenders split 6/5 between CB and S in every play (which side
+    // gets 6 alternates by game); pivot fill never fires
+    val counts = feats.select("count_defenders_CB", "count_defenders_S").collect()
+    assert(counts.forall(r => Set(r.getLong(0), r.getLong(1)) == Set(5L, 6L)))
+  }
+
+  test("coverage model: RF separates Cover-3 from Cover-1 on the fixture") {
+    val (_, _, players, _, _) = BdbMini.load(spark)
+    val feats = CoveragePlayModel.features(plays, players, playerPlay, tracking,
+      positions = Seq("CB", "S"))
+    val metrics = CoveragePlayModel.rfMetrics(feats)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // coverage alternates with down in the fixture — learnable, but the
+    // split-trained model may miss a down value absent from train
+    assert(metrics("overall_accuracy") >= 0.8, s"acc=${metrics("overall_accuracy")}")
+    assert(metrics("n_plays") == 10.0 && metrics("n_features") == 24.0)
+    val conf = CoveragePlayModel.confusion(feats)
+    assert(conf.agg(sum("n")).head.getLong(0) == 10L)
+    // perfect fit ⇒ diagonal-only confusion
+    assert(conf.filter(col("actual") =!= col("predicted")).count() == 0)
+  }
 }

@@ -55,4 +55,68 @@ class MLSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0)) < 1e-9)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
   }
+
+  test("assembleZeroFilled maps nulls to 0 and keeps values verbatim") {
+    import org.apache.spark.ml.functions.vector_to_array
+    import spark.implicits._
+    val df = Seq((1L, Some(2.5), 7.0), (2L, None, -1.0), (3L, Some(0.0), 4.0))
+      .toDF("id", "v", "u")
+    val got = Pipelines.assembleZeroFilled(df, Seq("v", "u"))
+      .select(col("id"), vector_to_array(col("features")).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("f").toList).toMap
+    assert(got(1) == List(2.5, 7.0))
+    assert(got(2) == List(0.0, -1.0))
+    assert(got(3) == List(0.0, 4.0))
+  }
+
+  test("assembleImputed fills nulls with the exact non-null mean") {
+    import org.apache.spark.ml.functions.vector_to_array
+    import spark.implicits._
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(4.0)), (4L, Some(6.0)))
+      .toDF("id", "v")
+    val got = Pipelines.assembleImputed(df, Seq("v"))
+      .select(col("id"), vector_to_array(col("features")).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("f").head).toMap
+    assert(got(2) == 4.0) // mean of 2, 4, 6
+    assert(got(1) == 2.0 && got(3) == 4.0 && got(4) == 6.0)
+  }
+
+  test("stratifiedSplit is disjoint, covering, and ~80% per class") {
+    val (train, test) = Pipelines.stratifiedSplit(
+      emb, "label", 0.8, seed = 42, idCols = Seq("vec_id"))
+    val nTrain = train.count(); val nTest = test.count()
+    assert(nTrain + nTest == emb.count())
+    assert(train.join(test, Seq("vec_id")).count() == 0)
+    // per-class train share is Bernoulli(0.8) per row — allow a wide
+    // but meaningful band on ~50-row classes
+    val shares = train.groupBy("label").count().withColumnRenamed("count", "nt")
+      .join(emb.groupBy("label").count(), Seq("label"))
+      .select((col("nt") / col("count")).as("share"))
+      .collect().map(_.getDouble(0))
+    shares.foreach(s => assert(s > 0.55 && s < 0.97, s"train share $s"))
+  }
+
+  test("stratifiedSplit is reproducible for a fixed seed") {
+    val (t1, _) = Pipelines.stratifiedSplit(emb, "label", 0.8, 42, Seq("vec_id"))
+    val (t2, _) = Pipelines.stratifiedSplit(emb, "label", 0.8, 42, Seq("vec_id"))
+    assert(t1.select("vec_id").collect().map(_.getLong(0)).sorted
+      .sameElements(t2.select("vec_id").collect().map(_.getLong(0)).sorted))
+  }
+
+  test("OneVsRest(GBT) beats-or-matches LR on the separable 3-bucket label") {
+    val bucketed = emb.withColumn("bucket_label",
+      when(element_at(col("embedding"), 1) < -0.05, 0.0)
+        .when(element_at(col("embedding"), 1) > 0.05, 2.0)
+        .otherwise(1.0))
+    val gbt = Pipelines.ovrGbtMetrics(bucketed, "bucket_label")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val lr = Pipelines.lrMetrics(bucketed, "bucket_label")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gbt("n_classes") == 3.0)
+    assert(gbt("ovr_gbt_accuracy") >= 0.9, s"gbt=${gbt("ovr_gbt_accuracy")}")
+    assert(gbt("ovr_gbt_accuracy") >= lr("accuracy") - 0.05,
+      s"gbt=${gbt("ovr_gbt_accuracy")} lr=${lr("accuracy")}")
+  }
 }
