@@ -66,6 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DistancePushdownRule)
     ext.injectFunction(GraftExtensions.withinDistDescriptor)
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
   }
 }
 
@@ -87,12 +88,24 @@ object GraftExtensions {
       WithinDist(a(0), a(1), a(2), a(3), a(4))
     })
 
+  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "cosine_sim(a, b) takes 2 arguments")
+      CosineSim(args(0), args(1))
+    })
+
   /** Register on an already-built session (Verify/Bench sessions are
     * constructed without extensions). Idempotent. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "within_dist",
       args => withinDistDescriptor._3(args),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      args => cosineSimDescriptor._3(args),
       "built-in")
     if (!spark.experimental.extraOptimizations.contains(DistancePushdownRule)) {
       spark.experimental.extraOptimizations =

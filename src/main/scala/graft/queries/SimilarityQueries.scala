@@ -34,20 +34,12 @@ object SimilarityQueries {
 
   def cosine(a: Column, b: Column): Column = dotD(a, b) / (normD(a) * normD(b))
 
-  /** JVM fast path: identical math (left-to-right double folds, so the
-    * result is bitwise equal to `cosine` and the DuckDB oracle) without
-    * Catalyst's interpreted per-element lambda evaluation. */
-  val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  /** Codegen fast path: the native `CosineSim` Catalyst expression
+    * (graft.plans) — identical math to `cosine` (left-to-right double
+    * folds, so the result is bitwise equal to the DuckDB oracle) with
+    * the loop compiled into whole-stage codegen instead of a UDF
+    * boundary. Callers must `GraftExtensions.install(s)` first. */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** DuckDB-side mirror of dotD/normD (double fold, same order). */
   private def sqlDot(a: String, b: String) =
@@ -74,12 +66,13 @@ object SimilarityQueries {
          |            ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s)
       val e = Tables.load(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-                round(cosineUdf(col("qe"), col("embedding")), 6).as("cos"))
+                round(cosineSim(col("qe"), col("embedding")), 6).as("cos"))
       scored
         .withColumn("rnk", row_number().over(
           Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id")))
@@ -110,6 +103,7 @@ object SimilarityQueries {
          |WHERE ${sqlDot("a.embedding", "b.embedding")}
          |      / (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}) >= 0.35
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s)
       val k = 8
       val chunks = array((0 until k).map(lit): _*)
       val e = Tables.load(s, dir, "embeddings")
@@ -129,7 +123,7 @@ object SimilarityQueries {
         .filter(col("id_a") =!= col("id_b"))
         .select(least(col("id_a"), col("id_b")).as("vec_a"),
                 greatest(col("id_a"), col("id_b")).as("vec_b"),
-                cosineUdf(col("ea"), col("eb")).as("craw"))
+                cosineSim(col("ea"), col("eb")).as("craw"))
         .filter(col("craw") >= 0.35)
         .select(col("vec_a"), col("vec_b"), round(col("craw"), 6).as("cos"))
         .orderBy("vec_a", "vec_b")
@@ -147,6 +141,7 @@ object SimilarityQueries {
     // v1 is asserted in the test suite; hyperplane constants aren't
     // SQL-expressible → rows-only.
     qRowsOnly("v3_ann_lsh_topk") { (s, dir) =>
+      graft.plans.GraftExtensions.install(s)
       val e = Tables.load(s, dir, "embeddings")
       // Deterministic hyperplanes: h[t][b][i] = sin(1 + ((t*bits)+b)*dim + i)
       // — fixed, engine-independent, splits sign-space evenly.
@@ -178,7 +173,7 @@ object SimilarityQueries {
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qe"), col("embedding"))
         .dropDuplicates("query_id", "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
-                round(cosineUdf(col("qe"), col("embedding")), 6).as("cos"))
+                round(cosineSim(col("qe"), col("embedding")), 6).as("cos"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id")))
           .cast("long"))
