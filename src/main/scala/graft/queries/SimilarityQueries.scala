@@ -180,5 +180,19 @@ object SimilarityQueries {
         .filter(col("rnk") <= 5)
         .orderBy("query_id", "rnk")
     },
+
+    // ANN scale path #2: IVF (data-adaptive KMeans coarse quantizer +
+    // nProbe cell probing + exact re-rank) — see operators.IvfAnn for
+    // the 100 TB shape. rows-only: the trained quantizer isn't
+    // SQL-expressible; recall vs exact v1 is asserted in SimilaritySpec.
+    qRowsOnly("v4_ann_ivf_topk") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      graft.operators.IvfAnn.topK(
+          corpus = e.select("vec_id", "embedding"),
+          queries = e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          k = 5, nCells = 16, nProbe = 6)
+        .orderBy("query_id", "rnk")
+    },
   )
 }

@@ -175,5 +175,31 @@ object SourceQueries {
       dups("orders", "o_orderkey").unionByName(dups("part", "p_partkey"))
         .orderBy("tbl")
     },
+
+    // S10 — HTML leaderboard sink (QBReadStats.R:229-258): top-10 +
+    // rows-24-33 tables side by side, saved as one HTML file, emitted
+    // as (section, html) rows. The reduce (orderBy + limit) runs
+    // distributed; only 33 rows reach the renderer. rows-only: HTML
+    // strings aren't a DuckDB-comparable relation; structure is
+    // asserted in HtmlSinkSpec.
+    QueryDef.qRowsOnly("s11_html_sink") { (s, dir) =>
+      import graft.sources.HtmlSink
+      val ranked = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(33)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("o_totalprice"), col("o_orderkey"))))
+      val top = HtmlSink.renderTable(
+        ranked.filter(col("rnk") <= 10), "Top 10 Orders")
+      val bottom = HtmlSink.renderTable(
+        ranked.filter(col("rnk").between(24, 33)), "Orders 24-33")
+      val html = HtmlSink.document(HtmlSink.sideBySide(Seq(top, bottom)))
+      HtmlSink.write(s, html, s"${scratch(s, dir, "s11")}/leaderboard.html")
+      import s.implicits._
+      Seq(("top10", top), ("rows24_33", bottom), ("combined", html))
+        .toDF("section", "html").orderBy("section")
+    },
   )
 }

@@ -250,5 +250,30 @@ object WindowQueries {
                 col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start")
     },
+
+    // W14 — gap sessionization via flatMapGroupsWithState CUSTOM state
+    // (graft.streaming.StreamOps.gapSessions; streaming twin asserted in
+    // StreamOpsSpec). Closed-session semantics: an event exactly at
+    // last + gap EXTENDS the session (<=), unlike session_window's
+    // half-open close — hence the strict > in the oracle's break.
+    q("w14_gap_sessions",
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                     + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamOps.gapSessions(
+          Tables.load(s, dir, "events"), gapMinutes = 30, emitOpen = true)
+        .toDF()
+        .orderBy("user_id", "session_start")
+    },
   )
 }

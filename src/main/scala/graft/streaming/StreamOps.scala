@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** SURVEY.md §2.11 — the streaming surface. The reference replays 10 Hz
   * tracking frames from files; here the same event-time operators run as
@@ -57,4 +58,98 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** start/last are epoch MICROSECONDS — the data is micro-precision and
+    * gap comparisons must not truncate to millis. */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long,
+                        total_value: Double)
+
+  private def toUs(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def mkTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def closed(uid: Long, s: SessionState): SessionOut =
+    SessionOut(uid, mkTs(s.startUs), mkTs(s.lastUs),
+      s.n,
+      // same rounding as Spark's round(x, 2) and DuckDB's round: HALF_UP
+      java.math.BigDecimal.valueOf(s.total)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+
+  /** Gap-based sessionization with CUSTOM state via
+    * `flatMapGroupsWithState` — the shape session_window cannot express
+    * when per-session state is richer than an aggregate (here it also
+    * demonstrates the open/closed session lifecycle). A session closes
+    * when the next event is > gapMinutes after the last.
+    *
+    * Streaming mode (`emitOpen = false`): closed sessions emit in
+    * Append mode; the open session per user stays in the state store
+    * with an event-time timeout at last + gap, so it emits when the
+    * watermark passes the gap with no new events. Batch mode
+    * (`emitOpen = true`): groups arrive whole, every session emits.
+    *
+    * Scale shape: one shuffle on user_id into the state store; state
+    * per key is O(1) (six scalars), so the store stays bounded by the
+    * number of LIVE users inside the gap horizon, not by history. The
+    * in-memory per-invocation sort is over one user's events in one
+    * micro-batch — repartition-and-sort is the batch fallback if a
+    * single key's batch slice outgrows memory. */
+  def gapSessions(events: DataFrame, gapMinutes: Int,
+                  emitOpen: Boolean): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    val timeoutConf =
+      if (emitOpen) GroupStateTimeout.NoTimeout else GroupStateTimeout.EventTimeTimeout
+    events.select("user_id", "ts", "value").as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(closed(uid, s))
+          } else {
+            val evs = it.toVector.sortBy(e => toUs(e.ts))
+            var cur = state.getOption
+            val out = Vector.newBuilder[SessionOut]
+            evs.foreach { e =>
+              val us = toUs(e.ts)
+              cur match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = us, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out += closed(uid, s)
+                  cur = Some(SessionState(us, us, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(us, us, 1L, e.value))
+              }
+            }
+            cur match {
+              case Some(s) if emitOpen =>
+                out += closed(uid, s)
+                state.remove()
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(
+                  math.max(s.lastUs / 1000L + gapUs / 1000L,
+                           state.getCurrentWatermarkMs + 1))
+              case None => ()
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming entry: watermarked gap sessionization (Append mode). */
+  def gapSessionStream(events: DataFrame, gapMinutes: Int): Dataset[SessionOut] =
+    gapSessions(events.withWatermark("ts", "0 seconds"), gapMinutes, emitOpen = false)
 }

@@ -38,4 +38,19 @@ class SimilaritySpec extends SparkSpec {
     // every ANN result must be a real corpus neighbor of the query
     assert(ann.forall { case (q, n) => q != n })
   }
+
+  test("IVF top-k achieves >= 60% recall vs brute force at sf0.001") {
+    def pairs(name: String) =
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("v1_cosine_topk")
+    val ivf = pairs("v4_ann_ivf_topk")
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+    assert(ivf.forall { case (q, n) => q != n })
+    // probing 6 of 16 cells must not degenerate into a full scan:
+    // candidate count per query is bounded by the probed cells' mass
+    assert(ivf.size <= 40)
+  }
 }

@@ -60,4 +60,27 @@ class StreamOpsSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
     assert(canon(streamed) == canon(batch))
   }
+
+  test("flatMapGroupsWithState gap sessions: streamed closed sessions match batch") {
+    import org.apache.spark.sql.functions._
+    val streamed = runStream(
+      StreamOps.gapSessionStream(StreamOps.eventStream(spark, eventsDir), 30).toDF(),
+      "gap_sessions", mode = "append")
+    val batch = graft.SparkEntry.queries("w14_gap_sessions")(spark, sfDir)
+    val s = canon(streamed)
+    val b = canon(batch)
+    // Append mode emits sessions closed by a later event or by the
+    // event-time timeout; a user's final session can stay open past the
+    // end of the bounded stream, so streamed ⊆ batch and the difference
+    // is only users' final sessions.
+    assert(s.subsetOf(b), s"streamed produced sessions batch did not: ${(s -- b).take(3)}")
+    val lastPerUser = canon(batch
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(desc("session_start"))))
+      .filter(col("r") === 1).drop("r"))
+    assert((b -- s).subsetOf(lastPerUser),
+      s"batch-only sessions must be final-open ones: ${((b -- s) -- lastPerUser).take(3)}")
+    assert(s.nonEmpty)
+  }
 }
