@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Exact per-group top-k with MAP-SIDE partial selection — the grouped
+  * analog of `TakeOrderedAndProject` (which Spark only applies to global
+  * ORDER BY + LIMIT). The reference's per-group top-1/slice_max sites
+  * (`QBReadStats.R:182-184`, `BuildingReadOrder.R:141-146`) compile to a
+  * window rank in Spark, which shuffles EVERY row to rank it and keep k.
+  *
+  * Here each input partition keeps a size-k bounded heap per group key
+  * and emits only its local top-k; the final exact window rank runs over
+  * those ≤ k·partitions survivors per key. Shuffle volume drops from
+  * O(N) to O(k · keys · partitions) — at 100 TB with k=3 that is the
+  * difference between shuffling the corpus and shuffling a rounding
+  * error of it. Results are identical to the window formulation because
+  * per-group top-k is a mergeable (bounded-semilattice) aggregate:
+  * global top-k ⊆ union of per-partition top-k.
+  *
+  * Ordering: (sortCol descending?, tieCol ascending) — a TOTAL order is
+  * required for a deterministic result, so tieCol must disambiguate.
+  */
+object GroupTopK {
+
+  def topK(df: DataFrame, groupCols: Seq[String], sortCol: String,
+           tieCol: String, k: Int, descending: Boolean = true,
+           rankCol: String = "rnk"): DataFrame = {
+    val schema = df.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val sIdx = schema.fieldIndex(sortCol)
+    val tIdx = schema.fieldIndex(tieCol)
+
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // "better" = earlier in the requested order
+    def better(a: Row, b: Row): Boolean = {
+      val c = cmp(a.get(sIdx), b.get(sIdx))
+      if (c != 0) { if (descending) c > 0 else c < 0 }
+      else cmp(a.get(tIdx), b.get(tIdx)) < 0
+    }
+    // ranks better rows greater; reversed, the heap's head is the WORST
+    // kept row — the eviction candidate. Sort/tie values must be
+    // non-null (Comparable), like any total order.
+    val betterGreater: Ordering[Row] = (a: Row, b: Row) =>
+      if (better(a, b)) 1 else if (better(b, a)) -1 else 0
+
+    val survivors = df.rdd.mapPartitions { it =>
+      val heaps = mutable.HashMap.empty[Seq[Any], mutable.PriorityQueue[Row]]
+      it.foreach { r =>
+        val key: Seq[Any] = gIdx.map(r.get).toSeq
+        val h = heaps.getOrElseUpdate(key,
+          mutable.PriorityQueue.empty[Row](betterGreater.reverse))
+        if (h.size < k) h.enqueue(r)
+        else if (better(r, h.head)) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+
+    val spark = df.sparkSession
+    val reduced = spark.createDataFrame(survivors, schema)
+    val sort = if (descending) col(sortCol).desc else col(sortCol).asc
+    reduced
+      .withColumn(rankCol, row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(sort, col(tieCol)))
+        .cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+}

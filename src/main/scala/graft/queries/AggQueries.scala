@@ -300,5 +300,22 @@ object AggQueries {
              round(sum("l_quantity"), 2).as("total_qty"),
              round(avg("l_discount"), 6).as("avg_disc"))
     },
+
+    // A20 (added, scale path) — sketch aggregates next to their exact
+    // twins: HyperLogLog++ distinct counts and approximate percentiles
+    // are the 100 TB form of A13/A2 (exact count-distinct shuffles every
+    // key; exact median needs a full sort — the sketches are one-pass,
+    // mergeable, fixed-size state). rows-only: sketch internals are
+    // engine-specific; SketchSpec bounds the relative error vs exact.
+    QueryDef.qRowsOnly("a20_approx_sketches") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          expr("percentile(value, 0.5)").as("exact_median"),
+          expr("approx_percentile(value, 0.5, 1000)").as("approx_median"))
+        .orderBy("event_type")
+    },
   )
 }

@@ -54,12 +54,15 @@ object BdbQueries {
     },
 
     // Entry point B, stage 5: coverage RandomForest metrics
-    // (DefCoverage.ipynb:124-187, 221-237)
+    // (DefCoverage.ipynb:124-187, 221-237). coalesce(4): the FIXTURE
+    // feature matrix is 10 rows — spreading tree-training jobs over 32
+    // near-empty shuffle partitions is pure scheduling overhead (a
+    // fixture-sized decision made here, not in the engine API).
     qRowsOnly("bdb_coverage_model") { (s, _) =>
       val (_, plays, players, playerPlay, tracking) = BdbMini.load(s)
       CoveragePlayModel.rfMetrics(
           CoveragePlayModel.features(plays, players, playerPlay, tracking,
-            positions = Seq("CB", "S")))
+            positions = Seq("CB", "S")).coalesce(4))
         .orderBy("metric")
     },
   )

@@ -275,5 +275,24 @@ object WindowQueries {
         .toDF()
         .orderBy("user_id", "session_start")
     },
+
+    // W15 — per-group top-k via GroupTopK's map-side partial selection
+    // (the grouped TakeOrderedAndProject; see operators.GroupTopK for
+    // the shuffle-volume argument). Oracle is the window formulation —
+    // results must be identical.
+    q("w15_group_topk",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin) { (s, dir) =>
+      graft.operators.GroupTopK.topK(
+          Tables.load(s, dir, "orders")
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          groupCols = Seq("o_orderpriority"), sortCol = "o_totalprice",
+          tieCol = "o_orderkey", k = 3)
+        .orderBy("o_orderpriority", "rnk")
+    },
   )
 }

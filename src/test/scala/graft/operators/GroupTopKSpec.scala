@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class GroupTopKSpec extends SparkSpec {
+
+  private lazy val orders = Tables.load(spark, sfDir, "orders")
+    .select("o_orderpriority", "o_orderkey", "o_totalprice").cache()
+
+  private def windowTopK(k: Int): Set[String] =
+    orders.withColumn("rnk", row_number().over(
+        Window.partitionBy("o_orderpriority")
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .collect().map(_.toString).toSet
+
+  test("GroupTopK equals the window formulation exactly") {
+    val got = GroupTopK.topK(orders, Seq("o_orderpriority"),
+        "o_totalprice", "o_orderkey", k = 3)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+      .collect().map(_.toString).toSet
+    assert(got == windowTopK(3))
+  }
+
+  test("GroupTopK is partitioning-independent") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GroupTopK.topK(df, Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 5)
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(orders) == run(orders.repartition(17)))
+  }
+
+  test("ascending order and k larger than group size work") {
+    val asc = GroupTopK.topK(orders.limit(100), Seq("o_orderpriority"),
+        "o_totalprice", "o_orderkey", k = 100000, descending = false)
+    val perGroup = orders.limit(100).groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotCounts = asc.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotCounts == perGroup) // k > group size keeps everything
+    // ascending rank 1 = group minimum
+    val firsts = asc.filter(col("rnk") === 1)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val mins = orders.limit(100).groupBy("o_orderpriority")
+      .agg(min("o_totalprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(firsts == mins)
+  }
+}
