@@ -110,13 +110,17 @@ object CoveragePlayModel {
     * inputs the split can starve a class, so metrics are also reported
     * over the full frame (the notebook's final overall-accuracy cell,
     * `DefCoverage.ipynb:221-237`). */
-  def rfMetrics(features: DataFrame): DataFrame = {
+  def rfMetrics(features0: DataFrame): DataFrame = {
+    // materialize the feature matrix once: indexer fit, split, RF fit
+    // and both evaluations are separate actions — uncached, each would
+    // recompute the whole defender-stats pipeline
+    val features = features0.cache()
     val fc = featureCols(features)
     val indexer = new org.apache.spark.ml.feature.StringIndexer()
       .setInputCol("pff_passCoverage").setOutputCol("label")
       .setStringOrderType("alphabetAsc")
     val data = indexer.fit(features).transform(
-      Pipelines.assembleZeroFilled(features, fc))
+      Pipelines.assembleZeroFilled(features, fc)).cache()
     val (train, test) = Pipelines.stratifiedSplit(
       data, "label", 0.8, seed = 42, idCols = Seq("gameId", "playId", "defensiveTeam"))
     val model = new org.apache.spark.ml.classification.RandomForestClassifier()
@@ -136,13 +140,15 @@ object CoveragePlayModel {
 
   /** Confusion matrix over the full frame (`DefCoverage.ipynb:191-206`),
     * by coverage name for readability. */
-  def confusion(features: DataFrame): DataFrame = {
+  def confusion(features0: DataFrame): DataFrame = {
+    val features = features0.cache()
     val fc = featureCols(features)
     val indexer = new org.apache.spark.ml.feature.StringIndexer()
       .setInputCol("pff_passCoverage").setOutputCol("label")
       .setStringOrderType("alphabetAsc")
     val indexerModel = indexer.fit(features)
-    val data = indexerModel.transform(Pipelines.assembleZeroFilled(features, fc))
+    val data = indexerModel.transform(
+      Pipelines.assembleZeroFilled(features, fc)).cache()
     val model = new org.apache.spark.ml.classification.RandomForestClassifier()
       .setNumTrees(50).setMaxDepth(8).setSeed(42)
       .fit(data)

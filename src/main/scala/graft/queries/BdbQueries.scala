@@ -54,15 +54,17 @@ object BdbQueries {
     },
 
     // Entry point B, stage 5: coverage RandomForest metrics
-    // (DefCoverage.ipynb:124-187, 221-237). coalesce(4): the FIXTURE
-    // feature matrix is 10 rows — spreading tree-training jobs over 32
-    // near-empty shuffle partitions is pure scheduling overhead (a
-    // fixture-sized decision made here, not in the engine API).
+    // (DefCoverage.ipynb:124-187, 221-237). repartition(4) — NOT
+    // coalesce, which would throttle the whole upstream feature-build
+    // stage to 4 tasks — inserts a barrier so only the many small
+    // tree-training jobs run on 4 instead of 32 near-empty partitions
+    // (the matrix is 10 rows; a fixture-sized decision made here, not
+    // in the engine API).
     qRowsOnly("bdb_coverage_model") { (s, _) =>
       val (_, plays, players, playerPlay, tracking) = BdbMini.load(s)
       CoveragePlayModel.rfMetrics(
           CoveragePlayModel.features(plays, players, playerPlay, tracking,
-            positions = Seq("CB", "S")).coalesce(4))
+            positions = Seq("CB", "S")).repartition(4))
         .orderBy("metric")
     },
   )
