@@ -62,4 +62,29 @@ object Multimodal {
       }
     }
   }
+
+  final case class ResizedMedia(media_id: Long, new_width: Long, new_height: Long,
+                                n_bytes_resized: Long, resized_payload: Array[Byte])
+
+  /** STUB resize — stands in for a real scaler: dimensions divide by
+    * `factor`, the payload keeps every factor-th byte (a real build
+    * swaps ONLY this arithmetic for a codec resample). Deterministic,
+    * so the oracle replays it byte for byte. */
+  def resizeStub(payload: Array[Byte], factor: Int): (Long, Long, Array[Byte]) = {
+    val (w, h) = decodeStub(payload)
+    val out = Array.range(0, payload.length, factor).map(payload(_))
+    (w / factor, h / factor, out)
+  }
+
+  /** Batched per-partition resize (same mapPartitions batch shape as
+    * extractFeatures; a real codec initializes once per partition). */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, p) = resizeStub(r.payload, factor)
+        ResizedMedia(r.media_id, w, h, p.length.toLong, p)
+      }
+    }
+  }
 }

@@ -69,4 +69,21 @@ object GroupTopK {
         .cast("long"))
       .filter(col(rankCol) <= k)
   }
+
+  /** The same operator as a NATIVE Catalyst plan (SURVEY §7.3 case (c)):
+    * `GroupTopKPlan` → `GroupTopKStrategy` → partial/final exec pair,
+    * with the Exchange carrying only partial survivors (see
+    * graft.plans.GroupTopKPlan). Output = input columns + BIGINT `rnk`.
+    */
+  def topKNative(df: DataFrame, groupCols: Seq[String], sortCol: String,
+                 tieCol: String, k: Int, descending: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    graft.plans.GraftExtensions.install(spark)
+    val lp = df.queryExecution.analyzed
+    def attr(n: String) = lp.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not in ${lp.output.map(_.name)}"))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      graft.plans.GroupTopKPlan(groupCols.map(attr), attr(sortCol), attr(tieCol),
+        k, descending, lp))
+  }
 }

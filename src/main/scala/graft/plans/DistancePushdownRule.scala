@@ -67,6 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => DistancePushdownRule)
     ext.injectFunction(GraftExtensions.withinDistDescriptor)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }
 
@@ -110,6 +111,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(DistancePushdownRule)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ DistancePushdownRule
+    }
+    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupTopKStrategy
     }
   }
 }

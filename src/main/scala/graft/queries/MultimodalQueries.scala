@@ -69,5 +69,33 @@ object MultimodalQueries {
         .filter(col("n_chars") > 300)
         .orderBy("media_id")
     },
+
+    // Resize (stub codec, real plumbing): dims halve, payload keeps
+    // every 2nd byte — DuckDB replays the byte subsample as the oracle
+    // (VARCHAR ops: testdata text is single-byte; BLOB slicing is not
+    // available there)
+    q("mm4_resize",
+      """WITH o AS (
+        |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n,
+        |         unnest(range(0, octet_length(CAST(text AS BLOB)), 2)) AS off
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |       CAST((n % 640) // 2 AS BIGINT) AS new_width,
+        |       CAST(((n * 7) % 480) // 2 AS BIGINT) AS new_height,
+        |       count(*) AS n_bytes_resized,
+        |       md5(string_agg(substring(text, CAST(off AS INT) + 1, 1), ''
+        |           ORDER BY off)) AS resized_digest
+        |FROM o GROUP BY doc_id, n ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+                col("text").cast("binary").as("payload"))
+        .as[MediaRow]
+      Multimodal.resize(media, factor = 2).toDF()
+        .select(col("media_id"), col("new_width"), col("new_height"),
+                col("n_bytes_resized"), md5(col("resized_payload")).as("resized_digest"))
+        .orderBy("media_id")
+    },
   )
 }

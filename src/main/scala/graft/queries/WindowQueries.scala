@@ -294,5 +294,24 @@ object WindowQueries {
           tieCol = "o_orderkey", k = 3)
         .orderBy("o_orderpriority", "rnk")
     },
+
+    // W16 — the same per-group top-k as a NATIVE Catalyst operator:
+    // GroupTopKPlan logical node → GroupTopKStrategy → partial/final
+    // exec pair (SURVEY §7.3 case (c); graft.plans.GroupTopKPlan).
+    // Identical oracle — both formulations must agree exactly.
+    q("w16_group_topk_native",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin) { (s, dir) =>
+      graft.operators.GroupTopK.topKNative(
+          Tables.load(s, dir, "orders")
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          groupCols = Seq("o_orderpriority"), sortCol = "o_totalprice",
+          tieCol = "o_orderkey", k = 3)
+        .orderBy("o_orderpriority", "rnk")
+    },
   )
 }

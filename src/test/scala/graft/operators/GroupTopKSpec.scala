@@ -31,6 +31,36 @@ class GroupTopKSpec extends SparkSpec {
     assert(run(orders) == run(orders.repartition(17)))
   }
 
+  test("native Catalyst GroupTopK equals the window formulation exactly") {
+    val native = GroupTopK.topKNative(orders, Seq("o_orderpriority"),
+        "o_totalprice", "o_orderkey", k = 3)
+    assert(native.columns.toSeq ==
+      Seq("o_orderpriority", "o_orderkey", "o_totalprice", "rnk"))
+    assert(native.collect().map(_.toString).toSet == windowTopK(3))
+  }
+
+  test("native plan is the partial/final pair with the exchange between") {
+    val native = GroupTopK.topKNative(orders, Seq("o_orderpriority"),
+        "o_totalprice", "o_orderkey", k = 3)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopKPartial"), plan)
+    assert(plan.contains("GroupTopKFinal"), plan)
+    // the exchange must sit between final and partial (survivors only)
+    val iFinal = plan.indexOf("GroupTopKFinal")
+    val iEx = plan.indexOf("Exchange", iFinal)
+    val iPartial = plan.indexOf("GroupTopKPartial", iFinal)
+    assert(iEx >= 0 && iEx < iPartial, plan)
+  }
+
+  test("native GroupTopK is partitioning-independent and composes downstream") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GroupTopK.topKNative(df, Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 5)
+        .filter(col("rnk") <= 2)                      // composes with filters
+        .groupBy("o_orderpriority").count()           // and aggregates
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(orders) == run(orders.repartition(17)))
+  }
+
   test("ascending order and k larger than group size work") {
     val asc = GroupTopK.topK(orders.limit(100), Seq("o_orderpriority"),
         "o_totalprice", "o_orderkey", k = 100000, descending = false)
