@@ -81,7 +81,9 @@ object Pipelines {
 
   /** Multinomial logistic regression, fixed seed + split. */
   def lrMetrics(embeddings: DataFrame, labelCol: String): DataFrame = {
+    // cache: fit/evaluate/count are separate actions over the same frame
     val data = withFeatures(embeddings).withColumn("label", col(labelCol).cast("double"))
+      .cache()
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
     val model = new LogisticRegression()
       .setMaxIter(50).setFamily("multinomial").setFeaturesCol("features")
@@ -103,6 +105,7 @@ object Pipelines {
     * model, `DefPosModel.ipynb:554-575`) as MultilayerPerceptron. */
   def mlpMetrics(embeddings: DataFrame): DataFrame = {
     val data = withFeatures(embeddings).withColumn("label", col("label").cast("double"))
+      .cache()
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
     val mlp = new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
       .setLayers(Array(64, 32, 16, 10)).setMaxIter(20).setBlockSize(128).setSeed(42)
@@ -121,7 +124,9 @@ object Pipelines {
   def cvBestRegParam(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    // cache: CV refits the estimator folds x grid times over this frame
     val data = withFeatures(embeddings).withColumn("label", col("label").cast("double"))
+      .cache()
     val lr = new LogisticRegression().setMaxIter(20).setFamily("multinomial")
     val grid = new ParamGridBuilder()
       .addGrid(lr.regParam, Array(0.0, 0.1)).build()
@@ -145,8 +150,9 @@ object Pipelines {
     * fallback SURVEY §2.9 prescribes. One boosted model per class,
     * trained on the same distributed feature frame. */
   def ovrGbtMetrics(embeddings: DataFrame, labelCol: String): DataFrame = {
+    // cache: OneVsRest fits one GBT per class over the same train frame
     val data = withFeatures(embeddings)
-      .withColumn("label", col(labelCol).cast("double"))
+      .withColumn("label", col(labelCol).cast("double")).cache()
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
     val gbt = new GBTClassifier().setMaxIter(10).setMaxDepth(4).setSeed(42)
     val model = new OneVsRest().setClassifier(gbt).fit(train)
@@ -165,6 +171,7 @@ object Pipelines {
     * M10's confusion matrix as groupBy(label, prediction).count. */
   def rfConfusion(embeddings: DataFrame): DataFrame = {
     val data = withFeatures(embeddings).withColumn("label", col("label").cast("double"))
+      .cache()
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
     val model = new RandomForestClassifier()
       .setNumTrees(50).setMaxDepth(8).setSeed(42)
