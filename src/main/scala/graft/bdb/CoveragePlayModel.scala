@@ -110,48 +110,51 @@ object CoveragePlayModel {
     * inputs the split can starve a class, so metrics are also reported
     * over the full frame (the notebook's final overall-accuracy cell,
     * `DefCoverage.ipynb:221-237`). */
-  def rfMetrics(features0: DataFrame): DataFrame = {
-    // materialize the feature matrix once: indexer fit, split, RF fit
-    // and both evaluations are separate actions — uncached, each would
-    // recompute the whole defender-stats pipeline
+  private def newRf() = new org.apache.spark.ml.classification.RandomForestClassifier()
+    .setNumTrees(50).setMaxDepth(8).setSeed(42)
+
+  /** Shared model prep for rfMetrics/confusion: cache the feature
+    * matrix (indexer fit, split, RF fit and evaluations are separate
+    * actions — uncached, each would recompute the whole defender-stats
+    * pipeline), label-encode, assemble. */
+  private def prepared(features0: DataFrame)
+      : (DataFrame, Seq[String], org.apache.spark.ml.feature.StringIndexerModel, DataFrame) = {
     val features = features0.cache()
     val fc = featureCols(features)
-    val indexer = new org.apache.spark.ml.feature.StringIndexer()
+    val indexerModel = new org.apache.spark.ml.feature.StringIndexer()
       .setInputCol("pff_passCoverage").setOutputCol("label")
       .setStringOrderType("alphabetAsc")
-    val data = indexer.fit(features).transform(
+      .fit(features)
+    val data = indexerModel.transform(
       Pipelines.assembleZeroFilled(features, fc)).cache()
+    (features, fc, indexerModel, data)
+  }
+
+  def rfMetrics(features0: DataFrame): DataFrame = {
+    val (features, fc, _, data) = prepared(features0)
     val (train, test) = Pipelines.stratifiedSplit(
       data, "label", 0.8, seed = 42, idCols = Seq("gameId", "playId", "defensiveTeam"))
-    val model = new org.apache.spark.ml.classification.RandomForestClassifier()
-      .setNumTrees(50).setMaxDepth(8).setSeed(42)
-      .fit(train)
+    val model = newRf().fit(train)
     import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
     val evalAcc = new MulticlassClassificationEvaluator().setMetricName("accuracy")
     val spark = features.sparkSession
     import spark.implicits._
-    Seq(
+    val out = Seq(
       ("overall_accuracy", evalAcc.evaluate(model.transform(data))),
       ("val_accuracy", if (test.isEmpty) -1.0 else evalAcc.evaluate(model.transform(test))),
       ("n_plays", data.count().toDouble),
       ("n_features", fc.size.toDouble)
     ).toDF("metric", "value")
+    data.unpersist(); features.unpersist() // metrics are driver scalars
+    out
   }
 
   /** Confusion matrix over the full frame (`DefCoverage.ipynb:191-206`),
-    * by coverage name for readability. */
+    * by coverage name for readability. (The returned frame derives from
+    * the cached matrix, so the cache stays owned by the session here.) */
   def confusion(features0: DataFrame): DataFrame = {
-    val features = features0.cache()
-    val fc = featureCols(features)
-    val indexer = new org.apache.spark.ml.feature.StringIndexer()
-      .setInputCol("pff_passCoverage").setOutputCol("label")
-      .setStringOrderType("alphabetAsc")
-    val indexerModel = indexer.fit(features)
-    val data = indexerModel.transform(
-      Pipelines.assembleZeroFilled(features, fc)).cache()
-    val model = new org.apache.spark.ml.classification.RandomForestClassifier()
-      .setNumTrees(50).setMaxDepth(8).setSeed(42)
-      .fit(data)
+    val (_, _, indexerModel, data) = prepared(features0)
+    val model = newRf().fit(data)
     val labels = indexerModel.labelsArray(0)
     val toName = udf((i: Double) => labels(i.toInt))
     model.transform(data)

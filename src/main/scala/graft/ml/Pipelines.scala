@@ -62,7 +62,12 @@ object Pipelines {
                       seed: Long, idCols: Seq[String]): (DataFrame, DataFrame) = {
     val classes = df.select(labelCol).distinct().collect().map(_.get(0))
     val fractions = classes.map(_ -> trainFrac).toMap
-    val train = df.stat.sampleBy(labelCol, fractions, seed)
+    // cache pins ONE evaluation of the sample: sampleBy consumes a
+    // per-partition RNG stream in row order, so re-evaluating it inside
+    // the anti-join could draw a DIFFERENT row set whenever upstream
+    // row order is not stable (e.g. after a shuffle) — breaking the
+    // disjoint+covering split contract
+    val train = df.stat.sampleBy(labelCol, fractions, seed).cache()
     val test = df.join(train.select(idCols.map(col): _*), idCols, "left_anti")
     (train, test)
   }
@@ -96,9 +101,11 @@ object Pipelines {
       .setMetricName("logLoss").evaluate(scored)
     val spark = embeddings.sparkSession
     import spark.implicits._
-    Seq(("accuracy", acc), ("logLoss", ll), ("n_train", train.count().toDouble),
-        ("n_test", test.count().toDouble))
+    val out = Seq(("accuracy", acc), ("logLoss", ll),
+        ("n_train", train.count().toDouble), ("n_test", test.count().toDouble))
       .toDF("metric", "value")
+    data.unpersist() // all metrics are driver scalars by now
+    out
   }
 
   /** M8 — feed-forward network (the reference's 64→32→16→softmax Keras
@@ -115,7 +122,9 @@ object Pipelines {
       .setMetricName("accuracy").evaluate(model.transform(test))
     val spark = embeddings.sparkSession
     import spark.implicits._
-    Seq(("mlp_accuracy", acc), ("n_layers", 4.0)).toDF("metric", "value")
+    val out = Seq(("mlp_accuracy", acc), ("n_layers", 4.0)).toDF("metric", "value")
+    data.unpersist()
+    out
   }
 
   /** M9 — hyperparameter search via CrossValidator (the reference's
@@ -138,10 +147,12 @@ object Pipelines {
     val best = model.bestModel.asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
     val spark = embeddings.sparkSession
     import spark.implicits._
-    model.avgMetrics.zip(grid).toSeq
+    val out = model.avgMetrics.zip(grid).toSeq
       .map { case (m, pm) => (pm(lr.regParam), m) }
       .toDF("regParam", "avg_logloss")
       .withColumn("is_best", col("regParam") === best.getRegParam)
+    data.unpersist() // avgMetrics are driver-side already
+    out
   }
 
   /** M6 — multiclass boosted trees. The reference's best models are
@@ -161,10 +172,12 @@ object Pipelines {
       .setMetricName("accuracy").evaluate(model.transform(test))
     val spark = embeddings.sparkSession
     import spark.implicits._
-    Seq(("ovr_gbt_accuracy", acc),
+    val out = Seq(("ovr_gbt_accuracy", acc),
         ("n_classes", model.models.length.toDouble),
         ("n_test", test.count().toDouble))
       .toDF("metric", "value")
+    data.unpersist()
+    out
   }
 
   /** RandomForest confusion matrix: (label, prediction, n) rows —

@@ -34,13 +34,28 @@ object GroupTopK {
     val sIdx = schema.fieldIndex(sortCol)
     val tIdx = schema.fieldIndex(tieCol)
 
-    def cmp(a: Any, b: Any): Int =
-      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // comparisons in FINAL SORT ORDER terms: negative = sorts earlier.
+    // Null placement matches Spark's window defaults (asc = NULLS FIRST,
+    // desc = NULLS LAST) so results stay identical to the row_number
+    // formulation when sort values are null.
+    def sortCmp(a: Any, b: Any): Int =
+      if (a == null && b == null) 0
+      else if (a == null) { if (descending) 1 else -1 }
+      else if (b == null) { if (descending) -1 else 1 }
+      else {
+        val n = a.asInstanceOf[Comparable[Any]].compareTo(b)
+        if (descending) -n else n
+      }
+    def tieCmp(a: Any, b: Any): Int = // ascending, NULLS FIRST
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else a.asInstanceOf[Comparable[Any]].compareTo(b)
     // "better" = earlier in the requested order
     def better(a: Row, b: Row): Boolean = {
-      val c = cmp(a.get(sIdx), b.get(sIdx))
-      if (c != 0) { if (descending) c > 0 else c < 0 }
-      else cmp(a.get(tIdx), b.get(tIdx)) < 0
+      val c = sortCmp(a.get(sIdx), b.get(sIdx))
+      if (c != 0) c < 0
+      else tieCmp(a.get(tIdx), b.get(tIdx)) < 0
     }
     // ranks better rows greater; reversed, the heap's head is the WORST
     // kept row — the eviction candidate. Sort/tie values must be

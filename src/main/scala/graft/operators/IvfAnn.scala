@@ -28,10 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  /** Top-k cosine neighbors for each query via nProbe-of-nCells IVF.
-    * corpus: (vec_id, embedding); queries: (query_id, qe). */
-  def topK(corpus: DataFrame, queries: DataFrame,
-           k: Int, nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+  /** Candidate pairs before re-ranking: each query joined to the
+    * vectors of its nProbe probed cells. Exposed so the pruning
+    * property (candidates ≪ Q·N) is testable — the final top-k output
+    * size says nothing about how much was scanned. */
+  def candidates(corpus: DataFrame, queries: DataFrame,
+                 nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
     graft.plans.GraftExtensions.install(spark)
 
@@ -58,11 +60,17 @@ object IvfAnn {
 
     assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
+  }
+
+  /** Top-k cosine neighbors for each query via nProbe-of-nCells IVF.
+    * corpus: (vec_id, embedding); queries: (query_id, qe). */
+  def topK(corpus: DataFrame, queries: DataFrame,
+           k: Int, nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame =
+    candidates(corpus, queries, nCells, nProbe, seed)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               round(cosineSim(col("qe"), col("embedding")), 6).as("cos"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id")))
         .cast("long"))
       .filter(col("rnk") <= k)
-  }
 }

@@ -20,8 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Fold order is pinned left-to-right in DOUBLE — bitwise-identical to
   * both the previous UDF and DuckDB's `list_reduce` oracle mirror, so
   * scores hash-match pre-round. Null elements inside an embedding are
-  * not expected (schema is array<float> of dense vectors); length
-  * mismatch folds over the common prefix like `zip_with`.
+  * not expected (schema is array<float> of dense vectors); a LENGTH
+  * MISMATCH returns null, matching the HOF mirror (`zip_with` pads with
+  * null, poisoning the fold) rather than silently scoring a prefix.
   */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -43,9 +44,12 @@ case class CosineSim(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(aa.numElements(), bb.numElements())
+    if (aa.numElements() != bb.numElements()) return null
+    val n = aa.numElements()
     val (fa, fb) = (isFloat(left), isFloat(right))
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -70,14 +74,18 @@ case class CosineSim(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $x = (double) $a.$getA($i);
-          double $y = (double) $b.$getB($i);
-          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = (double) $a.$getA($i);
+            double $y = (double) $b.$getB($i);
+            $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
   }

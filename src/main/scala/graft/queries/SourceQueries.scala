@@ -184,6 +184,8 @@ object SourceQueries {
     // asserted in HtmlSinkSpec.
     QueryDef.qRowsOnly("s11_html_sink") { (s, dir) =>
       import graft.sources.HtmlSink
+      // cache: the two renderTable collects below would otherwise each
+      // re-run the global top-33 reduction
       val ranked = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_totalprice")
         .orderBy(desc("o_totalprice"), col("o_orderkey"))
@@ -191,6 +193,7 @@ object SourceQueries {
         .withColumn("rnk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(desc("o_totalprice"), col("o_orderkey"))))
+        .cache()
       val top = HtmlSink.renderTable(
         ranked.filter(col("rnk") <= 10), "Top 10 Orders")
       val bottom = HtmlSink.renderTable(

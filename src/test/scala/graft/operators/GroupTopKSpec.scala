@@ -61,6 +61,30 @@ class GroupTopKSpec extends SparkSpec {
     assert(run(orders) == run(orders.repartition(17)))
   }
 
+  test("native GLOBAL top-k (no group cols) returns one consistent ranking") {
+    val native = GroupTopK.topKNative(orders.repartition(7), Seq.empty,
+        "o_totalprice", "o_orderkey", k = 5)
+      .collect().map(r => (r.getLong(3), r.getLong(1))).sortBy(_._1)
+    val expect = orders.orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(5).collect().map(_.getLong(1))
+    assert(native.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L)) // no dup ranks
+    assert(native.map(_._2).toSeq == expect.toSeq)
+  }
+
+  test("null sort values rank NULLS LAST under desc, like the window form") {
+    import spark.implicits._
+    val df = Seq((1L, "g", Some(5.0)), (2L, "g", None),
+                 (3L, "g", Some(7.0)), (4L, "g", Some(1.0)))
+      .toDF("id", "grp", "v")
+    val got = GroupTopK.topK(df, Seq("grp"), "v", "id", k = 3)
+      .orderBy("rnk").collect().map(_.getLong(0)).toSeq
+    // desc NULLS LAST: 7.0, 5.0, 1.0 — the null row is ranked 4th, cut
+    assert(got == Seq(3L, 1L, 4L))
+    val nat = GroupTopK.topKNative(df, Seq("grp"), "v", "id", k = 3)
+      .orderBy("rnk").collect().map(_.getLong(0)).toSeq
+    assert(nat == got)
+  }
+
   test("ascending order and k larger than group size work") {
     val asc = GroupTopK.topK(orders.limit(100), Seq("o_orderpriority"),
         "o_totalprice", "o_orderkey", k = 100000, descending = false)

@@ -50,4 +50,13 @@ class CosineSimSpec extends SparkSpec {
       .head
     assert(r.isNullAt(0))
   }
+
+  test("cosine_sim returns null on length mismatch, like the HOF mirror") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(
+      SimilarityQueries.cosineSim(col("a"), col("b")).as("native"),
+      SimilarityQueries.cosine(col("a"), col("b")).as("hof")).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
 }
