@@ -204,5 +204,18 @@ object SourceQueries {
       Seq(("top10", top), ("rows24_33", bottom), ("combined", html))
         .toDF("section", "html").orderBy("section")
     },
+
+    // S12 — custom DataSource V2 provider (graft.sources.BdbMiniSource):
+    // per-game input partitions, EqualTo(gameId) pushdown prunes whole
+    // splits, column pruning reaches the reader. rows-only: the table
+    // is the generated fixture; parity + pushdown asserted in
+    // BdbMiniSourceSpec.
+    QueryDef.qRowsOnly("s12_dsv2_source") { (s, _) =>
+      s.read.format("graft-bdb").option("table", "tracking").load()
+        .filter(col("gameId") === 2022090800L) // pushed: 1 of 2 splits read
+        .groupBy("club")
+        .agg(count(lit(1)).as("n"), round(avg("s"), 6).as("avg_speed"))
+        .orderBy("club")
+    },
   )
 }

@@ -1,0 +1,169 @@
+package graft.sources
+
+import graft.bdb.{BdbMini, Schemas}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{Encoder, Encoders}
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 provider for the BdbMini data model —
+  * `spark.read.format("graft-bdb").option("table", "tracking")` — the
+  * source-side extension tier (TableProvider → Table → ScanBuilder →
+  * Batch → PartitionReader) complementing the engine's Expression /
+  * Rule / Strategy tiers.
+  *
+  * Scale semantics demonstrated for real:
+  *  - one InputPartition per game — the natural split key of tracking
+  *    data (a real deployment has thousands of games ⇒ thousands of
+  *    splits);
+  *  - `SupportsPushDownFilters`: an `EqualTo(gameId, _)` conjunct is
+  *    consumed by the source and PRUNES entire partitions before any
+  *    row is generated — the DSv2 analog of partition pruning;
+  *  - `SupportsPushDownRequiredColumns`: the reader materializes only
+  *    the pruned schema, so `select(x, y)` never pays for the other
+  *    columns (asserted in BdbMiniSourceSpec).
+  *
+  * Each reader generates its split's rows on the EXECUTOR (the fixture
+  * generator is a pure function), so nothing flows through the driver.
+  */
+class BdbMiniSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-bdb"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BdbMiniSource.schemaOf(BdbMiniSource.tableName(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new BdbMiniTable(BdbMiniSource.tableName(
+      new CaseInsensitiveStringMap(properties)))
+}
+
+object BdbMiniSource {
+  val tables = Seq("games", "plays", "players", "player_play", "tracking")
+
+  def tableName(options: CaseInsensitiveStringMap): String = {
+    val t = options.getOrDefault("table", "")
+    require(tables.contains(t), s"option 'table' must be one of $tables, got '$t'")
+    t
+  }
+
+  def schemaOf(table: String): StructType = (table match {
+    case "games" => Encoders.product[Schemas.Game]
+    case "plays" => Encoders.product[Schemas.Play]
+    case "players" => Encoders.product[Schemas.Player]
+    case "player_play" => Encoders.product[Schemas.PlayerPlay]
+    case "tracking" => Encoders.product[Schemas.Tracking]
+  }).schema
+
+  /** Rows of one split (gameId = None ⇒ the table has no game key and
+    * lives in a single split). Runs on the executor. */
+  def rowsOf(table: String, gameId: Option[Long]): Iterator[InternalRow] = {
+    def ser[T: Encoder](rows: Seq[T]): Iterator[InternalRow] = {
+      val s = ExpressionEncoder(implicitly[Encoder[T]]
+          .asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[T]])
+        .createSerializer()
+      rows.iterator.map(r => s(r).copy())
+    }
+    table match {
+      case "games" =>
+        ser(BdbMini.games.filter(g => gameId.forall(_ == g.gameId)))(Encoders.product[Schemas.Game])
+      case "plays" =>
+        ser(BdbMini.plays.filter(p => gameId.forall(_ == p.gameId)))(Encoders.product[Schemas.Play])
+      case "players" =>
+        ser(BdbMini.players)(Encoders.product[Schemas.Player])
+      case "player_play" =>
+        ser(BdbMini.playerPlay.filter(p => gameId.forall(_ == p.gameId)))(Encoders.product[Schemas.PlayerPlay])
+      case "tracking" =>
+        ser(BdbMini.tracking.filter(t => gameId.forall(_ == t.gameId)))(Encoders.product[Schemas.Tracking])
+    }
+  }
+}
+
+class BdbMiniTable(tableName: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-bdb.$tableName"
+  override def schema(): StructType = BdbMiniSource.schemaOf(tableName)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BdbMiniScanBuilder(tableName)
+}
+
+class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = BdbMiniSource.schemaOf(tableName)
+  private var gameFilter: Option[Long] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    this.requiredSchema = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("gameId", v: Long) => gameFilter = Some(v); true
+      case EqualTo("gameId", v: Int) => gameFilter = Some(v.toLong); true
+      case _ => false
+    }
+    pushed = accepted
+    rejected // Spark re-applies these after the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new BdbMiniScan(tableName, requiredSchema, gameFilter)
+}
+
+case class BdbMiniSplit(table: String, gameId: Option[Long]) extends InputPartition
+
+class BdbMiniScan(tableName: String, requiredSchema: StructType,
+                  gameFilter: Option[Long]) extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-bdb table=$tableName pushedGame=$gameFilter"
+
+  /** One split per surviving game — EqualTo(gameId) pushdown prunes
+    * splits HERE, before any row exists. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (tableName == "players") Array(BdbMiniSplit(tableName, None))
+    else BdbMini.games.map(_.gameId)
+      .filter(g => gameFilter.forall(_ == g))
+      .map(g => BdbMiniSplit(tableName, Some(g)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BdbMiniReaderFactory(tableName, requiredSchema)
+}
+
+class BdbMiniReaderFactory(tableName: String, requiredSchema: StructType)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val split = partition.asInstanceOf[BdbMiniSplit]
+    new PartitionReader[InternalRow] {
+      private val full = BdbMiniSource.schemaOf(tableName)
+      private val indices = requiredSchema.fieldNames.map(full.fieldIndex)
+      private val it = BdbMiniSource.rowsOf(tableName, split.gameId).map { r =>
+        // project to the pruned schema only
+        InternalRow.fromSeq(indices.map(i => r.get(i, full(i).dataType)).toSeq)
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
