@@ -255,6 +255,25 @@ object AggQueries {
         .orderBy("flag", "status", "gid")
     },
 
+    // A21 — CUBE: all four grouping sets in one pass (rollup's sibling;
+    // SURVEY §2.4 lists grouping sets as the available extension)
+    q("a21_cube",
+      """SELECT coalesce(l_returnflag, '<all>') AS flag,
+        |       coalesce(l_linestatus, '<all>') AS status,
+        |       grouping_id(l_returnflag, l_linestatus) AS gid,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status, gid""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+             round(sum("l_quantity"), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+                coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+                col("gid"), col("n"), col("qty"))
+        .orderBy("flag", "status", "gid")
+    },
+
     // A18 — A12's coefficient of variation as a SINGLE-PASS typed
     // Aggregator (Welford/Chan merge — associative partials, safe under
     // partial aggregation at any parallelism); oracle is the two-agg
