@@ -208,5 +208,21 @@ object DedupQueries {
         .filter(col("hd") <= 3)
         .orderBy("doc_a", "doc_b")
     },
+
+    // Streaming-feed dedup, batch twin: an at-least-once delivery is
+    // simulated by replaying the whole feed twice; keyed dedup restores
+    // exactly-once, so the oracle is simply the original table. Runs
+    // through StreamOps.dedupedStream — the SAME code path the
+    // watermarked stream uses (dropDuplicatesWithinWatermark;
+    // watermark is a no-op on batch), so StreamOpsSpec's stream≡batch
+    // assertion plus this oracle certifies the streaming semantics.
+    q("d6_stream_dedup",
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      graft.streaming.StreamOps.dedupedStream(e.unionAll(e))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("event_id")
+    },
   )
 }

@@ -283,5 +283,29 @@ object JoinQueries {
         .select(li("l_orderkey"), li("l_linenumber"), li("l_partkey"), col("grp_qty"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "grp_qty")
     },
+
+    // J14 — event-time interval join: each view matched to the same
+    // user's purchases inside [view_ts, view_ts + 10 min). Batch twin of
+    // the watermarked stream-stream join (StreamOps.viewPurchaseJoin —
+    // the exact same code path; withWatermark is a no-op on batch), so
+    // the oracle here also certifies the streaming result via the
+    // stream≡batch spec. Plan: one shuffle per side on user_id
+    // (SortMergeJoin) with the range bound as join residual — no
+    // nested-loop.
+    q("j14_interval_join",
+      """SELECT v.user_id AS user_id, v.event_id AS view_id,
+        |       p.event_id AS purchase_id, v.ts AS view_ts,
+        |       p.ts AS purchase_ts, round(p.value, 2) AS purchase_value
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 2 HOUR
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      graft.streaming.StreamOps.viewPurchaseJoin(
+          e.filter(col("event_type") === "view"),
+          e.filter(col("event_type") === "purchase"))
+        .orderBy("view_id", "purchase_id")
+    },
   )
 }

@@ -97,5 +97,26 @@ object MultimodalQueries {
                 col("n_bytes_resized"), md5(col("resized_payload")).as("resized_digest"))
         .orderBy("media_id")
     },
+
+    // Training-pair assembly: text ⋈ embedding by id with a minimum-
+    // length quality gate — the join that builds (text, embedding, label)
+    // training samples. Scale shape: both sides shuffle once on the id
+    // (or zero times if bucketed on it at write, per s10); the quality
+    // predicate is pushed to the documents scan.
+    q("mm5_pair_assembly",
+      """SELECT d.doc_id AS doc_id, d.source AS source, d.lang AS lang,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       e.label AS label, CAST(len(e.embedding) AS BIGINT) AS dim
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |WHERE d.n_chars >= 50
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").filter(col("n_chars") >= 50)
+      val e = Tables.load(s, dir, "embeddings")
+      d.join(e, d("doc_id") === e("vec_id"))
+        .select(d("doc_id"), d("source"), d("lang"),
+          size(split(d("text"), " ")).cast("long").as("n_tokens"),
+          e("label"), size(e("embedding")).cast("long").as("dim"))
+        .orderBy("doc_id")
+    },
   )
 }

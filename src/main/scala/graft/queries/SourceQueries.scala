@@ -217,5 +217,203 @@ object SourceQueries {
         .agg(count(lit(1)).as("n"), round(avg("s"), 6).as("avg_speed"))
         .orderBy("club")
     },
+
+    // S13 — MERGE INTO / upsert semantics over a stored snapshot: a
+    // change feed (updates to ~10% of keys + a slice of brand-new keys)
+    // merged into the base by keep-latest-per-key. The union+row_number
+    // formulation is the engine-agnostic MERGE: one shuffle on the key,
+    // no driver-side diffing, and at 100 TB the window degenerates to a
+    // per-key top-1 (GroupTopK's shape) over base ∪ delta — the delta
+    // side is typically small enough that partition-pruned rewrites
+    // touch only affected partitions.
+    q("s13_upsert_merge",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(o_totalprice AS DECIMAL(38,2)) AS o_totalprice, 0 AS version
+        |  FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.05, 2)
+        |              AS DECIMAL(38,2)) AS o_totalprice, 1 AS version
+        |  FROM orders WHERE o_orderkey % 100 < 10
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderpriority,
+        |         CAST(o_totalprice AS DECIMAL(38,2)), 1 AS version
+        |  FROM orders WHERE o_orderkey % 100 >= 95),
+        |merged AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                               ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes))
+        |SELECT o_orderkey, o_orderpriority, o_totalprice, version
+        |FROM merged WHERE rn = 1 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // money math in exact DECIMAL on both engines: double*1.05 lands on
+      // half-way thirds decimals where Spark (shortest-repr HALF_UP) and
+      // DuckDB (binary-value round) disagree; DECIMAL(38,2) pins the width
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+                col("o_totalprice").cast("decimal(38,2)").as("o_totalprice"),
+                lit(0).as("version"))
+      val updates = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 < 10)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.05, 2) AS DECIMAL(38,2))")
+            .as("o_totalprice"),
+          lit(1).as("version"))
+      val inserts = base.filter(col("o_orderkey") % 100 >= 95)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("version", lit(1))
+      val merged = base.unionByName(updates).unionByName(inserts)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_orderkey").orderBy(desc("version"))))
+      merged.filter(col("rn") === 1)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "version")
+        .orderBy("o_orderkey")
+    },
+
+    // S14 — table profiling (deequ-style data-quality summary): per
+    // column, null count, exact distinct count, numeric min/max (epoch
+    // micros for timestamps, NULL for strings) — computed in ONE scan
+    // (single wide agg, then stack to long form). The multi-distinct
+    // expands the scan 6-way before one shuffle (Spark's Expand); at
+    // 100 TB swap count_distinct for approx_count_distinct (a20's HLL
+    // sketch) and the profile becomes a plain one-pass map-side agg.
+    q("s14_profile",
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+        |       count(*) - count(event_id) AS n_nulls,
+        |       count(DISTINCT event_id) AS n_distinct,
+        |       CAST(min(event_id) AS DOUBLE) AS min_val,
+        |       CAST(max(event_id) AS DOUBLE) AS max_val FROM events
+        |UNION ALL
+        |SELECT 'ts', count(*), count(*) - count(ts), count(DISTINCT ts),
+        |       CAST(epoch_us(min(ts)) AS DOUBLE), CAST(epoch_us(max(ts)) AS DOUBLE)
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', count(*), count(*) - count(user_id),
+        |       count(DISTINCT user_id),
+        |       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE) FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*), count(*) - count(event_type),
+        |       count(DISTINCT event_type),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events
+        |UNION ALL
+        |SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value),
+        |       min(value), max(value) FROM events
+        |UNION ALL
+        |SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val wide = e.agg(
+        count(lit(1)).as("n"),
+        count(col("event_id")).as("c_event_id"),
+        countDistinct(col("event_id")).as("d_event_id"),
+        min(col("event_id")).cast("double").as("mn_event_id"),
+        max(col("event_id")).cast("double").as("mx_event_id"),
+        count(col("ts")).as("c_ts"),
+        countDistinct(col("ts")).as("d_ts"),
+        unix_micros(min(col("ts"))).cast("double").as("mn_ts"),
+        unix_micros(max(col("ts"))).cast("double").as("mx_ts"),
+        count(col("user_id")).as("c_user_id"),
+        countDistinct(col("user_id")).as("d_user_id"),
+        min(col("user_id")).cast("double").as("mn_user_id"),
+        max(col("user_id")).cast("double").as("mx_user_id"),
+        count(col("event_type")).as("c_event_type"),
+        countDistinct(col("event_type")).as("d_event_type"),
+        count(col("value")).as("c_value"),
+        countDistinct(col("value")).as("d_value"),
+        min(col("value")).as("mn_value"),
+        max(col("value")).as("mx_value"),
+        count(col("props")).as("c_props"),
+        countDistinct(col("props")).as("d_props"))
+      wide.selectExpr(
+        """stack(6,
+          |  'event_id',   n, n - c_event_id,   d_event_id,   mn_event_id, mx_event_id,
+          |  'ts',         n, n - c_ts,         d_ts,         mn_ts,       mx_ts,
+          |  'user_id',    n, n - c_user_id,    d_user_id,    mn_user_id,  mx_user_id,
+          |  'event_type', n, n - c_event_type, d_event_type, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          |  'value',      n, n - c_value,      d_value,      mn_value,    mx_value,
+          |  'props',      n, n - c_props,      d_props,      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+          |) AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)""".stripMargin)
+        .orderBy("col_name")
+    },
+
+    // S15 — dynamic partition overwrite: rewrite ONE partition of a
+    // partitioned table in place (partitionOverwriteMode=dynamic), the
+    // idempotent-backfill primitive of a partitioned lake. Static mode
+    // would truncate the whole table; dynamic touches only partitions
+    // present in the incoming frame. Oracle replays the rewrite
+    // arithmetically. At 100 TB this is the difference between
+    // rewriting one day and rewriting the table.
+    q("s15_dynamic_overwrite",
+      """SELECT event_type, count(*) AS n,
+        |       round(sum(CASE WHEN event_type = 'click' THEN value * 2
+        |                      ELSE value END), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val path = scratch(s, dir, "s15")
+      val e = Tables.load(s, dir, "events")
+      e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        e.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+          .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      s.read.parquet(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("event_type")
+    },
+
+    // S16 — snapshot diff: added/removed/changed/unchanged between two
+    // table versions via one full-outer join on the key — the audit
+    // operator behind incremental publishing (what changed since the
+    // last snapshot?). One shuffle on the key; at 100 TB both snapshots
+    // bucketed on the key make it exchange-free (s10's layout).
+    q("s16_snapshot_diff",
+      """WITH snap0 AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |snap1 AS (
+        |  SELECT o_orderkey, round(o_totalprice * 1.05, 2) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 < 10
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 90
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice FROM orders
+        |  WHERE o_orderkey % 100 >= 95)
+        |SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |            WHEN b.o_orderkey IS NULL THEN 'removed'
+        |            WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       count(*) AS n
+        |FROM snap0 a FULL JOIN snap1 b ON a.o_orderkey = b.o_orderkey
+        |GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val snap0 = o.select(col("o_orderkey"), col("o_totalprice"))
+      val m = col("o_orderkey") % 100
+      val snap1 = o.filter(m < 10)
+          .select(col("o_orderkey"),
+                  round(col("o_totalprice") * 1.05, 2).as("o_totalprice"))
+        .unionByName(o.filter(m >= 10 && m < 90)
+          .select(col("o_orderkey"), col("o_totalprice")))
+        .unionByName(o.filter(m >= 95)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+                  col("o_totalprice")))
+      snap0.as("a").join(snap1.as("b"),
+          col("a.o_orderkey") === col("b.o_orderkey"), "full")
+        .select(
+          when(col("a.o_orderkey").isNull, "added")
+            .when(col("b.o_orderkey").isNull, "removed")
+            .when(col("a.o_totalprice") =!= col("b.o_totalprice"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    },
   )
 }

@@ -115,5 +115,74 @@ object TextQueries {
         .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
+
+    // Sensitive-term redaction: global regex replace + per-doc redaction
+    // count — the scrubbing pass a corpus runs before training. Digest
+    // (not the full redacted body) keeps the compared relation narrow;
+    // the replace itself is map-only and codegen'd. DuckDB needs the 'g'
+    // flag — its regexp_replace is first-match-only by default, Spark's
+    // is global.
+    q("x7_redact",
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '\b(key|hash|token)\b')) AS n_redacted,
+        |       md5(regexp_replace(text, '\b(key|hash|token)\b',
+        |                          '[REDACTED]', 'g')) AS redacted_digest
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pat = "\\b(key|hash|token)\\b"
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as("n_redacted"),
+          md5(regexp_replace(col("text"), pat, "[REDACTED]").cast("binary"))
+            .as("redacted_digest"))
+        .orderBy("doc_id")
+    },
+
+    // Token-budget sequence packing (approximate): docs are packed into
+    // 512-token context windows by a running token total, SHARDED BY
+    // SOURCE — the window is partitioned, never global, so packing
+    // parallelizes across shards at 100 TB (the exact first-fit pack is
+    // inherently sequential; the cumsum bin is the standard distributed
+    // relaxation, overflow bounded by one document per bin).
+    q("x8_token_packing",
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      t.withColumn("cum", sum("n_tokens").over(
+          Window.partitionBy("source").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / lit(512.0)).cast("long").as("pack_id"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus vocabulary top-k: explode → count → global top-20 with a
+    // deterministic tie-break. The limit runs as TakeOrderedAndProject
+    // (per-partition heaps, only k rows reach the driver-side merge) —
+    // never a global sort of the full vocabulary.
+    q("x9_vocab_topk",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |f AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)
+        |SELECT token, freq FROM f
+        |ORDER BY freq DESC, token LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("token"))
+        .limit(20)
+    },
   )
 }

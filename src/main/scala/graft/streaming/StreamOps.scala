@@ -152,4 +152,62 @@ object StreamOps {
   /** Streaming entry: watermarked gap sessionization (Append mode). */
   def gapSessionStream(events: DataFrame, gapMinutes: Int): Dataset[SessionOut] =
     gapSessions(events.withWatermark("ts", "0 seconds"), gapMinutes, emitOpen = false)
+
+  /** Exactly-once repair of an at-least-once feed: drop redelivered
+    * events by key inside the watermark horizon
+    * (`dropDuplicatesWithinWatermark`). Batch twin: `d6_stream_dedup`.
+    *
+    * Scale shape: one shuffle on event_id into the state store, and —
+    * unlike plain `dropDuplicates` on a stream — state is EVICTED once
+    * the watermark passes an event's time, so the store is bounded by
+    * the dedup horizon (events per hour), not by stream history. This
+    * is the streaming half of the d1 exact-dedup story: d1 dedups a
+    * corpus at rest, this dedups the feed that builds it.
+    *
+    * `dropDuplicatesWithinWatermark` exists only for streams, so the
+    * batch twin (`d6_stream_dedup`) takes the plain `dropDuplicates`
+    * branch — same keyed keep-one semantics, and StreamOpsSpec asserts
+    * the two branches produce the identical relation over the same
+    * (duplicated) feed. */
+  def dedupedStream(events: DataFrame): DataFrame =
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
+  /** Stream-stream interval join: each view joined to the same user's
+    * purchases that land within [view_ts, view_ts + 10 min) — the
+    * attribution join a live training-data feed runs. Batch twin:
+    * `j14_interval_join` (identical select on the batch frames).
+    *
+    * Both sides are watermarked and the join condition carries the
+    * time-range bound, so the state store retains only rows inside the
+    * horizon (Spark derives each side's eviction point from watermark +
+    * interval); without the range bound stream-stream join state grows
+    * forever. One shuffle per side on user_id. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+              col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    v.join(p,
+        col("v_user") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") < col("view_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+              col("view_ts"), col("purchase_ts"),
+              round(col("purchase_value"), 2).as("purchase_value"))
+  }
+
+  /** Streaming entry for the interval join: split one event stream by
+    * type and join the two sides. */
+  def viewPurchaseJoinStream(events: DataFrame): DataFrame =
+    viewPurchaseJoin(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"))
 }

@@ -83,4 +83,29 @@ class StreamOpsSpec extends SparkSpec {
       s"batch-only sessions must be final-open ones: ${((b -- s) -- lastPerUser).take(3)}")
     assert(s.nonEmpty)
   }
+
+  test("watermarked stream dedup restores exactly-once from a duplicated feed") {
+    // stage the feed TWICE = at-least-once redelivery across files
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dup")
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    java.nio.file.Files.copy(src, dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(src, dir.resolve("b.parquet"))
+    val streamed = runStream(
+      StreamOps.dedupedStream(StreamOps.eventStream(spark, dir.toString)),
+      "dedup_stream", mode = "append")
+    val batch = Tables.load(spark, sfDir, "events")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(canon(streamed.selectExpr(cols: _*)) == canon(batch.selectExpr(cols: _*)))
+    assert(streamed.count() == batch.count())
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val events = StreamOps.eventStream(spark, eventsDir)
+    val streamed = runStream(
+      StreamOps.viewPurchaseJoinStream(events),
+      "vp_join", mode = "append")
+    val batch = graft.SparkEntry.queries("j14_interval_join")(spark, sfDir)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
 }
