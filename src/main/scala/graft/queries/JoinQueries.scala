@@ -285,7 +285,7 @@ object JoinQueries {
     },
 
     // J14 — event-time interval join: each view matched to the same
-    // user's purchases inside [view_ts, view_ts + 10 min). Batch twin of
+    // user's purchases inside [view_ts, view_ts + 2 h). Batch twin of
     // the watermarked stream-stream join (StreamOps.viewPurchaseJoin —
     // the exact same code path; withWatermark is a no-op on batch), so
     // the oracle here also certifies the streaming result via the

@@ -184,5 +184,53 @@ object TextQueries {
         .orderBy(desc("freq"), col("token"))
         .limit(20)
     },
+
+    // Reproducible corpus sampling: a ~10% sample selected by a
+    // DETERMINISTIC key hash (LCG mix), not rand() — the same docs are
+    // chosen on every run, every engine, any partitioning. Map-only, no
+    // shuffle; contrast with M4's seeded randomSplit whose output is
+    // Spark-internal. The multiplier keeps doc_id*a < 2^63 at corpus
+    // scale (ids ≤ ~8e9 before widening is needed).
+    q("x10_hash_sample",
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |WHERE (doc_id * 1103515245 + 12345) % 100 < 10
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter((col("doc_id") * 1103515245L + 12345L) % 100 < 10)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // Length stratification for sampling design: decile strata of token
+    // length within each source (ntile), then per-stratum count and
+    // token range — the histogram a stratified sampler draws from. The
+    // ntile window is partitioned by source, never global.
+    q("x11_length_strata",
+      """WITH t AS (
+        |  SELECT source, len(string_split(text, ' ')) AS n_tokens, doc_id
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, n_tokens,
+        |         ntile(10) OVER (PARTITION BY source
+        |                         ORDER BY n_tokens, doc_id) AS stratum
+        |  FROM t)
+        |SELECT source, stratum, count(*) AS n_docs,
+        |       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        |FROM s GROUP BY source, stratum
+        |ORDER BY source, stratum""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"), col("doc_id"))
+        .withColumn("stratum", ntile(10).over(
+            Window.partitionBy("source").orderBy("n_tokens", "doc_id"))
+          .cast("long")) // DuckDB ntile → BIGINT; driver hash is type-aware
+        .groupBy("source", "stratum")
+        .agg(count(lit(1)).as("n_docs"),
+             min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+        .orderBy("source", "stratum")
+    },
   )
 }

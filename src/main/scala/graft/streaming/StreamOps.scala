@@ -177,7 +177,7 @@ object StreamOps {
     else events.dropDuplicates("event_id")
 
   /** Stream-stream interval join: each view joined to the same user's
-    * purchases that land within [view_ts, view_ts + 10 min) — the
+    * purchases that land within [view_ts, view_ts + 2 h) — the
     * attribution join a live training-data feed runs. Batch twin:
     * `j14_interval_join` (identical select on the batch frames).
     *
