@@ -210,4 +210,38 @@ object StreamOps {
     viewPurchaseJoin(
       events.filter(col("event_type") === "view"),
       events.filter(col("event_type") === "purchase"))
+
+  /** Idempotent insert-if-absent sink via `foreachBatch` — the
+    * production pattern for landing an at-least-once stream in a plain
+    * parquet table with exactly-once EFFECT: each micro-batch is
+    * deduped against the keys already in the sink (left_anti) and only
+    * fresh rows are appended. Unlike `dedupedStream`, idempotency here
+    * survives a checkpoint wipe or a replay from offset 0, because the
+    * sink itself is the state.
+    *
+    * The fresh set is materialized (persist + count) BEFORE the append
+    * so the anti-join's scan of `path` completes before new files land
+    * in it. Scale shape: the sink-side read prunes to the key column;
+    * with the sink bucketed on the key the anti-join is exchange-free
+    * on the sink side. */
+  def upsertSink(events: DataFrame, path: String,
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existingKeys =
+          try spark.read.parquet(path).select("event_id")
+          catch { case _: Throwable => batch.select("event_id").limit(0) }
+        val fresh = batch.dropDuplicates("event_id")
+          .join(existingKeys, Seq("event_id"), "left_anti")
+          .persist()
+        fresh.count()
+        fresh.write.mode("append").parquet(path)
+        fresh.unpersist()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

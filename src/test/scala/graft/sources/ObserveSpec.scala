@@ -1,0 +1,38 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** `Observe.withQualityMetrics`: counters ride the query's own action
+  * (CollectMetrics in the plan), and match a directly-computed profile. */
+class ObserveSpec extends SparkSpec {
+
+  test("observed quality metrics match a direct aggregate, in one action") {
+    val e = Tables.load(spark, sfDir, "events")
+    val (observed, obs) = Observe.withQualityMetrics(e, "event_id", "value")
+    // the observed frame is the SAME relation
+    assert(observed.schema == e.schema)
+    // one action resolves both the query result and the metrics
+    val nRows = observed.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    val direct = e.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("event_id").isNull.cast("long")).as("n_null_keys"),
+      sum(col("value").isNull.cast("long")).as("n_null_values"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value")).collect()(0)
+    assert(m("n_rows") == direct.getAs[Long]("n_rows"))
+    assert(m("n_null_keys") == direct.getAs[Long]("n_null_keys"))
+    assert(m("n_null_values") == direct.getAs[Long]("n_null_values"))
+    assert(m("min_value") == direct.getAs[Double]("min_value"))
+    assert(m("max_value") == direct.getAs[Double]("max_value"))
+  }
+
+  test("metrics are collected inside the plan, not by a second scan") {
+    val e = Tables.load(spark, sfDir, "events")
+    val (observed, _) = Observe.withQualityMetrics(e, "event_id", "value")
+    val plan = observed.queryExecution.analyzed.toString
+    assert(plan.contains("CollectMetrics"),
+      s"expected a CollectMetrics node, got:\n$plan")
+  }
+}

@@ -108,4 +108,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(canon(streamed) == canon(batch))
     assert(streamed.count() > 0)
   }
+
+  test("foreachBatch upsert sink lands a duplicated feed exactly once") {
+    // duplicated feed, forced into SEPARATE micro-batches
+    // (maxFilesPerTrigger=1) so idempotency crosses batch boundaries
+    // through the sink itself, not the state store
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_src")
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    java.nio.file.Files.copy(src, dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(src, dir.resolve("b.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val sink = java.nio.file.Files.createTempDirectory("graft_upsert_sink").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
+    val q = StreamOps.upsertSink(stream, sink, ck)
+    q.awaitTermination()
+    val landed = spark.read.parquet(sink)
+    val batch = Tables.load(spark, sfDir, "events")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(landed.count() == batch.count())
+    assert(canon(landed.selectExpr(cols: _*)) == canon(batch.selectExpr(cols: _*)))
+  }
 }
