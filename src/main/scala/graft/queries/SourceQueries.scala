@@ -415,5 +415,36 @@ object SourceQueries {
         .groupBy("status").agg(count(lit(1)).as("n"))
         .orderBy("status")
     },
+
+    // S17 — incremental aggregate maintenance: a stored per-user
+    // aggregate over history is MERGED with the delta's aggregate
+    // instead of rescanning history — the materialized-view-refresh
+    // primitive. Decimal accumulation (j8's pattern) makes the merge
+    // exact, so merged(history, delta) ≡ full recompute, which is
+    // exactly what the oracle computes. At 100 TB the history side is
+    // a tiny aggregate table; only the delta is scanned.
+    q("s17_incremental_agg",
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val cutoff = lit("2024-01-21").cast("timestamp")
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("t"))
+      val hist = agg(e.filter(col("ts") < cutoff))   // stored aggregate
+      val delta = agg(e.filter(col("ts") >= cutoff)) // new arrivals
+      hist.as("h").join(delta.as("d"),
+          col("h.user_id") === col("d.user_id"), "full")
+        .select(
+          coalesce(col("h.user_id"), col("d.user_id")).as("user_id"),
+          (coalesce(col("h.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+            .as("n_events"),
+          (coalesce(col("h.t"), lit(0).cast("decimal(18,6)")) +
+           coalesce(col("d.t"), lit(0).cast("decimal(18,6)")))
+            .cast("decimal(38,6)").as("total"))
+        .orderBy("user_id")
+    },
   )
 }

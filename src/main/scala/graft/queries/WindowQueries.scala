@@ -313,5 +313,36 @@ object WindowQueries {
           tieCol = "o_orderkey", k = 3)
         .orderBy("o_orderpriority", "rnk")
     },
+
+    // W17 — ordered-event funnel: users progressing view → click →
+    // purchase, each stage strictly after the previous user's stage
+    // time. Three per-user min-aggregations chained by time-bounded
+    // joins — every stage is a key-partitioned agg + equi-join, no
+    // window over the full event stream and no per-user UDAF.
+    q("w17_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_buy FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = e.filter(col("event_type") === "click").as("e")
+        .join(v, col("e.user_id") === v("user_id") && col("e.ts") > col("t_view"))
+        .groupBy(col("e.user_id")).agg(min("e.ts").as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").as("e2")
+        .join(c, col("e2.user_id") === c("user_id") && col("e2.ts") > col("t_click"))
+        .groupBy(col("e2.user_id")).agg(min("e2.ts").as("t_buy"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    },
   )
 }

@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * report (the one-off full profile is `s14_profile`; this is the
   * always-on per-job variant a production pipeline attaches to every
   * write).
+  *
+  * Caveat (Spark 4.1): the first `observe` on a session initializes its
+  * lazy `ObservationManager`, which is not java-serializable. A closure
+  * that later captures THAT session object (e.g. a spark.ml model whose
+  * training summary holds a session reference, used inside a transform)
+  * will then fail closure cleaning. Attach observations on a dedicated
+  * `spark.newSession()` when the same session's object graph can end up
+  * inside task closures.
   */
 object Observe {
 

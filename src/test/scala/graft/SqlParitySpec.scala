@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** SQL-surface parity (SURVEY §2.1 S7): for every oracle whose SQL is
+  * ANSI-portable, running THAT SAME TEXT through `spark.sql` over the
+  * registered views must reproduce the DataFrame-API result — the
+  * engine is one surface, not two. Oracles using DuckDB dialect
+  * (len/string_split/epoch_us/`//`/list_* etc.) are excluded; they are
+  * covered by the DuckDB gate instead.
+  */
+class SqlParitySpec extends SparkSpec {
+
+  // oracles whose text parses and evaluates identically in Spark SQL
+  private val portable = Seq(
+    "j1_left_join", "j2_inner_join", "j3_diff_key_names", "j5_right_join",
+    "j6_semi_join", "j6b_anti_join", "j7_self_join", "j8_broadcast_dims",
+    "j11_full_outer", "j14_interval_join",
+    "p1_project", "p4_filter_eq", "p5_col_compare", "p6_conjunctive",
+    "p7_in_set", "p8_null_filter", "p9_range", "p13_case_ladder",
+    "p14_distinct",
+    "a1_avg_group", "a3_count", "a5_multi_stat", "a6_minmax_ts",
+    "a13_count_distinct", "a16_global_scalars",
+    "w1_dense_rank", "w3_running_sum", "w5_max_filter", "w6_top1_per_group",
+    "w15_group_topk", "w16_group_topk_native", "w17_funnel",
+    "r1_union_all", "r11_intersect", "r12_except",
+    "s13_upsert_merge", "s16_snapshot_diff", "s17_incremental_agg",
+    "x10_hash_sample")
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("portable oracle SQL through spark.sql matches the DataFrame API") {
+    Tables.registerAll(spark, sfDir)
+    val failures = portable.flatMap { name =>
+      val sql = SparkEntry.oracleSql(name)
+      try {
+        val viaSql = canon(spark.sql(sql))
+        val viaDf = canon(SparkEntry.queries(name)(spark, sfDir))
+        if (viaSql == viaDf) None
+        else Some(s"$name: result mismatch (${viaSql.size} vs ${viaDf.size} rows)")
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

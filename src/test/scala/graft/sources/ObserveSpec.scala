@@ -4,11 +4,19 @@ import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 /** `Observe.withQualityMetrics`: counters ride the query's own action
-  * (CollectMetrics in the plan), and match a directly-computed profile. */
+  * (CollectMetrics in the plan), and match a directly-computed profile.
+  *
+  * Runs on its OWN SparkSession (same SparkContext): `observe`
+  * initializes the session's lazy ObservationManager, and that manager
+  * is not java-serializable — a later suite that serializes the shared
+  * session inside a task closure (spark.ml model summaries hold a
+  * session reference) would then fail closure cleaning. Session
+  * isolation keeps the shared session's field uninitialized. */
 class ObserveSpec extends SparkSpec {
+  private lazy val obsSession = spark.newSession()
 
   test("observed quality metrics match a direct aggregate, in one action") {
-    val e = Tables.load(spark, sfDir, "events")
+    val e = Tables.load(obsSession, sfDir, "events")
     val (observed, obs) = Observe.withQualityMetrics(e, "event_id", "value")
     // the observed frame is the SAME relation
     assert(observed.schema == e.schema)
@@ -29,10 +37,15 @@ class ObserveSpec extends SparkSpec {
   }
 
   test("metrics are collected inside the plan, not by a second scan") {
-    val e = Tables.load(spark, sfDir, "events")
-    val (observed, _) = Observe.withQualityMetrics(e, "event_id", "value")
+    val e = Tables.load(obsSession, sfDir, "events")
+    val (observed, obs) = Observe.withQualityMetrics(e, "event_id", "value")
     val plan = observed.queryExecution.analyzed.toString
     assert(plan.contains("CollectMetrics"),
       s"expected a CollectMetrics node, got:\n$plan")
+    // complete the observation lifecycle: a registered-but-never-resolved
+    // Observation stays in the session's ObservationManager and poisons
+    // later closure-cleaning (the manager is not serializable)
+    observed.write.format("noop").mode("overwrite").save()
+    assert(obs.get("n_rows").asInstanceOf[Long] > 0L)
   }
 }

@@ -8,7 +8,9 @@ results AND physical column types (DESCRIBE on both sides) — the driver's
 hash is type-aware, so a Spark DECIMAL(28,6) vs DuckDB DECIMAL(38,6) must
 fail here too, even when values stringify identically.
 
-Usage: python3 tools/verify_local.py <sfDir> <outDir>
+Usage: python3 tools/verify_local.py <sfDir> <outDir> [skip1,skip2,...]
+(skip = oracle names whose DuckDB replay is infeasibly slow at big SF;
+skipped queries are counted as rows-only)
 """
 import glob
 import json
@@ -44,7 +46,7 @@ def col_types(con, sql):
     return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -63,6 +65,10 @@ def main(sf_dir, out_dir):
         res = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         got_cols = [d[0] for d in res.description]
         got = res.fetchall()
+        if name in skip:
+            print(f"SKIP  {name}: oracle skipped by arg, {len(got)} rows")
+            n_rows_only += 1
+            continue
         if name not in oracle:
             status = "ROWS " if len(got) > 0 else "FAIL "
             if len(got) > 0:
@@ -106,4 +112,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+             tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 else ()))
