@@ -336,5 +336,26 @@ object AggQueries {
           expr("approx_percentile(value, 0.5, 1000)").as("approx_median"))
         .orderBy("event_type")
     },
+
+    // A22 — per-group z-score normalization (feature standardization
+    // without MLlib, the relational twin of m3_standard_scaler): group
+    // stats once, broadcast back over the fact rows. Two passes over
+    // the group key, one shuffle for the tiny stats side; the stats
+    // join is broadcast so the fact scan never shuffles.
+    q("a22_group_zscore",
+      """WITH s AS (SELECT event_type, avg(value) AS mu,
+        |                  stddev_samp(value) AS sd
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, round((e.value - s.mu) / s.sd, 4) AS z
+        |FROM events e JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val stats = e.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sd"))
+      e.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+                round((col("value") - col("mu")) / col("sd"), 4).as("z"))
+        .orderBy("event_id")
+    },
   )
 }

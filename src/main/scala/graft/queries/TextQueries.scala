@@ -232,5 +232,34 @@ object TextQueries {
              min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
         .orderBy("source", "stratum")
     },
+
+    // Deterministic negative sampling for contrastive training: K=4
+    // negatives per document by an arithmetic probe over the dense
+    // [0, N) id space — reproducible across runs, engines, and
+    // partitionings (rand()-based sampling is none of those). Self-hits
+    // shift to the next id. Map-only after a broadcast of the scalar N;
+    // for non-dense id spaces, remap ids with GlobalRank first.
+    q("x12_negative_sampling",
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |i AS (SELECT unnest(range(0, 4)) AS neg_idx),
+        |pairs AS (
+        |  SELECT d.doc_id, i.neg_idx,
+        |         (d.doc_id * 37 + 11 * i.neg_idx + 7) % n.n AS cand, n.n AS n
+        |  FROM documents d CROSS JOIN n CROSS JOIN i)
+        |SELECT doc_id, neg_idx,
+        |       CASE WHEN cand = doc_id THEN (cand + 1) % n ELSE cand END AS neg_id
+        |FROM pairs ORDER BY doc_id, neg_idx""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val n = d.agg(count(lit(1)).as("n"))
+      d.select("doc_id")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(0L), lit(3L))).as("neg_idx"))
+        .withColumn("cand", (col("doc_id") * 37 + col("neg_idx") * 11 + 7) % col("n"))
+        .select(col("doc_id"), col("neg_idx"),
+          when(col("cand") === col("doc_id"), (col("cand") + 1) % col("n"))
+            .otherwise(col("cand")).as("neg_id"))
+        .orderBy("doc_id", "neg_idx")
+    },
   )
 }

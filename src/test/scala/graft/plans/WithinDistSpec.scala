@@ -30,14 +30,21 @@ class WithinDistSpec extends SparkSpec {
   }
 
   test("the pushdown rule surfaces bounding-box filters at the parquet scan") {
-    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .filter(expr("within_dist(l_quantity, l_discount, 25.0, 0.05, 3.0)"))
-    val scanLine = df.queryExecution.executedPlan.toString
-      .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
-    // cx−r / cx+r fold to 22.0 / 28.0 and reach the scan (the y-axis
-    // bounds push too but the plan string truncates the filter list)
-    assert(scanLine.contains("GreaterThanOrEqual(l_quantity,22.0)"), scanLine)
-    assert(scanLine.contains("LessThanOrEqual(l_quantity,28.0)"), scanLine)
+    // the scan's metadata string truncates at maxMetadataStringLength
+    // (default 100), and the pushed-filter ORDER is not stable across
+    // optimizer runs — widen the limit so the assertion sees the full
+    // list instead of depending on which filters happen to come first
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(expr("within_dist(l_quantity, l_discount, 25.0, 0.05, 3.0)"))
+      val scanLine = df.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+      // cx−r / cx+r fold to 22.0 / 28.0 and reach the scan
+      assert(scanLine.contains("GreaterThanOrEqual(l_quantity,22.0)"), scanLine)
+      assert(scanLine.contains("LessThanOrEqual(l_quantity,28.0)"), scanLine)
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
   }
 
   test("rule does not change results (circle test still applied)") {
