@@ -289,9 +289,11 @@ object JoinQueries {
     // the watermarked stream-stream join (StreamOps.viewPurchaseJoin —
     // the exact same code path; withWatermark is a no-op on batch), so
     // the oracle here also certifies the streaming result via the
-    // stream≡batch spec. Plan: one shuffle per side on user_id
-    // (SortMergeJoin) with the range bound as join residual — no
-    // nested-loop.
+    // stream≡batch spec. Plan: equi-join on user_id with the range
+    // bound as join residual — never a nested-loop. Small filtered
+    // sides broadcast (zero shuffles, see EXPLAIN.md); past the
+    // broadcast threshold it is a SortMergeJoin with one shuffle per
+    // side.
     q("j14_interval_join",
       """SELECT v.user_id AS user_id, v.event_id AS view_id,
         |       p.event_id AS purchase_id, v.ts AS view_ts,

@@ -441,9 +441,15 @@ object SourceQueries {
           coalesce(col("h.user_id"), col("d.user_id")).as("user_id"),
           (coalesce(col("h.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
             .as("n_events"),
-          (coalesce(col("h.t"), lit(0).cast("decimal(18,6)")) +
-           coalesce(col("d.t"), lit(0).cast("decimal(18,6)")))
-            .cast("decimal(38,6)").as("total"))
+          // both-sides-NULL must stay NULL (a user whose values are all
+          // NULL sums to NULL in the full recompute, not 0)
+          when(col("h.t").isNull && col("d.t").isNull,
+               lit(null).cast("decimal(38,6)"))
+            .otherwise(
+              (coalesce(col("h.t"), lit(0).cast("decimal(18,6)")) +
+               coalesce(col("d.t"), lit(0).cast("decimal(18,6)")))
+                .cast("decimal(38,6)"))
+            .as("total"))
         .orderBy("user_id")
     },
   )

@@ -23,13 +23,17 @@ object StreamOps {
 
   /** File-source stream over parquet event files. The testdata's ts is
     * TIMESTAMP(NANOS); reading through the nanosAsLong legacy conf and
-    * truncating to micros matches Tables.load / the DuckDB oracle. */
-  def eventStream(spark: SparkSession, path: String): DataFrame = {
+    * truncating to micros matches Tables.load / the DuckDB oracle.
+    * `maxFilesPerTrigger` throttles micro-batch size (rate-limited
+    * replay; also how specs force multi-batch execution). */
+  def eventStream(spark: SparkSession, path: String,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val reader = spark.readStream
       .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")
-      .parquet(path)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(path)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -221,9 +225,14 @@ object StreamOps {
     *
     * The fresh set is materialized (persist + count) BEFORE the append
     * so the anti-join's scan of `path` completes before new files land
-    * in it. Scale shape: the sink-side read prunes to the key column;
-    * with the sink bucketed on the key the anti-join is exchange-free
-    * on the sink side. */
+    * in it. The anti-join is null-safe (`<=>`): a redelivered NULL-key
+    * row must be recognized as already landed, or replays would append
+    * it forever. Only the sink-not-yet-created read failure is treated
+    * as an empty sink — any other read error must ABORT the batch (a
+    * transient FS error read as "empty" would re-append every
+    * previously-landed key). Scale shape: the sink-side read prunes to
+    * the key column; with the sink bucketed on the key the anti-join
+    * is exchange-free on the sink side. */
   def upsertSink(events: DataFrame, path: String,
                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
@@ -232,10 +241,16 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val existingKeys =
-          try spark.read.parquet(path).select("event_id")
-          catch { case _: Throwable => batch.select("event_id").limit(0) }
+          (try Some(spark.read.parquet(path))
+           catch {
+             // first batch: sink directory does not exist yet
+             case e: org.apache.spark.sql.AnalysisException
+               if e.getErrorClass == "PATH_NOT_FOUND" => None
+           })
+            .map(_.select(col("event_id").as("landed_id")))
+            .getOrElse(batch.select(col("event_id").as("landed_id")).limit(0))
         val fresh = batch.dropDuplicates("event_id")
-          .join(existingKeys, Seq("event_id"), "left_anti")
+          .join(existingKeys, col("event_id") <=> col("landed_id"), "left_anti")
           .persist()
         fresh.count()
         fresh.write.mode("append").parquet(path)

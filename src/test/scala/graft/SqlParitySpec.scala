@@ -33,14 +33,18 @@ class SqlParitySpec extends SparkSpec {
   test("portable oracle SQL through spark.sql matches the DataFrame API") {
     Tables.registerAll(spark, sfDir)
     val failures = portable.flatMap { name =>
-      val sql = SparkEntry.oracleSql(name)
       try {
+        val sql = SparkEntry.oracleSql(name)
         val viaSql = canon(spark.sql(sql))
         val viaDf = canon(SparkEntry.queries(name)(spark, sfDir))
         if (viaSql == viaDf) None
         else Some(s"$name: result mismatch (${viaSql.size} vs ${viaDf.size} rows)")
       } catch {
-        case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}")
+        // getMessage may be null (wrapped SparkThrowables) — never let
+        // the reporter itself throw and mask the remaining queries
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.toString)
+          Some(s"$name: ${msg.linesIterator.toSeq.headOption.getOrElse(msg)}")
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))

@@ -22,16 +22,19 @@ class TextQueriesSpec extends SparkSpec {
     assert(viol == 0L)
   }
 
-  test("x8 packing: bins are dense per source, starting at 0") {
+  test("x8 packing: ids start at 0 and are bounded by total/budget") {
+    // NOT asserted: bin-id density — a doc longer than the 512 budget
+    // legitimately skips bins (floor((cum-n)/512) jumps by >1), so
+    // density is a property of the data, not of the operator
     val packed = graft.SparkEntry.queries("x8_token_packing")(spark, sfDir)
     val perSource = packed.groupBy("source")
       .agg(min("pack_id").as("lo"), max("pack_id").as("hi"),
-           countDistinct("pack_id").as("n"))
+           sum("n_tokens").as("total"))
       .collect()
     perSource.foreach { r =>
-      assert(r.getAs[Long]("lo") == 0L)
-      assert(r.getAs[Long]("n") == r.getAs[Long]("hi") + 1,
-        s"holes in pack ids for ${r}")
+      assert(r.getAs[Long]("lo") == 0L) // first doc's prefix sum is 0
+      assert(r.getAs[Long]("hi") <= r.getAs[Long]("total") / 512L,
+        s"pack id beyond token budget bound: ${r}")
     }
   }
 

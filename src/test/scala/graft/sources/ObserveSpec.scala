@@ -21,7 +21,7 @@ class ObserveSpec extends SparkSpec {
     // the observed frame is the SAME relation
     assert(observed.schema == e.schema)
     // one action resolves both the query result and the metrics
-    val nRows = observed.write.format("noop").mode("overwrite").save()
+    observed.write.format("noop").mode("overwrite").save()
     val m = obs.get
     val direct = e.agg(
       count(lit(1)).as("n_rows"),

@@ -117,13 +117,7 @@ class StreamOpsSpec extends SparkSpec {
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
     java.nio.file.Files.copy(src, dir.resolve("a.parquet"))
     java.nio.file.Files.copy(src, dir.resolve("b.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val stream = StreamOps.eventStream(spark, dir.toString, maxFilesPerTrigger = Some(1))
     val sink = java.nio.file.Files.createTempDirectory("graft_upsert_sink").toString + "/t"
     val ck = java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
     val q = StreamOps.upsertSink(stream, sink, ck)

@@ -66,8 +66,14 @@ def main(sf_dir, out_dir, skip=()):
         got_cols = [d[0] for d in res.description]
         got = res.fetchall()
         if name in skip:
-            print(f"SKIP  {name}: oracle skipped by arg, {len(got)} rows")
-            n_rows_only += 1
+            # still enforce the rows-only sanity check: a skipped oracle
+            # must not hide an empty (broken) result
+            status = "SKIP " if len(got) > 0 else "FAIL "
+            if len(got) > 0:
+                n_rows_only += 1
+            else:
+                n_fail += 1
+            print(f"{status} {name}: oracle skipped by arg, {len(got)} rows")
             continue
         if name not in oracle:
             status = "ROWS " if len(got) > 0 else "FAIL "
