@@ -209,6 +209,71 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Substring-level dedup (the exact-substring pass of LLM corpus
+    // cleaning): every 8-token shingle that occurs in >= 2 DISTINCT docs
+    // is "duplicated text"; per doc, overlapping/adjacent duplicated
+    // shingles merge into maximal [span_start, span_end] token spans —
+    // the cut list a dedup pass hands to the trainer. Scale shape:
+    // shingling is map-side; document-frequency counting is ONE shuffle
+    // on a 128-bit digest (uniform keys — shingle strings never move);
+    // the hot-set filter is a semi-join on the same digest; span
+    // merging is a lag/cumsum window partitioned BY DOC, never global.
+    // At 100 TB every stage is linear and skew-free.
+    q("d7_dup_ngram_spans",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 6, 1))) AS i
+        |  FROM toks),
+        |sh AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         md5(array_to_string(ts[i:i+7], ' ')) AS h
+        |  FROM idx),
+        |hot AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM hot)),
+        |fl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM fl)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |       count(*) AS n_shingles
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 8)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("ts")) - 8),
+          i => md5(array_join(slice(col("ts"), i + 1, lit(8)), " ")
+            .cast("binary")))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+      val hot = sh.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .select("h")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      sh.join(hot, Seq("h"), "left_semi")
+        .select("doc_id", "pos")
+        .withColumn("brk",
+          when(lag("pos", 1).over(w).isNull ||
+               col("pos") - lag("pos", 1).over(w) > 8, 1).otherwise(0))
+        .withColumn("island", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("span_start"),
+             (max("pos") + 7).as("span_end"),
+             count(lit(1)).as("n_shingles"))
+        .select("doc_id", "span_start", "span_end", "n_shingles")
+        .orderBy("doc_id", "span_start")
+    },
+
     // Streaming-feed dedup, batch twin: an at-least-once delivery is
     // simulated by replaying the whole feed twice; keyed dedup restores
     // exactly-once, so the oracle is simply the original table. Runs

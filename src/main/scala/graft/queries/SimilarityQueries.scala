@@ -181,6 +181,56 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // ANN scale path #3: int8 scalar quantization (SQ8) + exact re-rank.
+    // Each vector is quantized per-vector-symmetric (scale = max|x|/127,
+    // q_i = round(x_i/scale) ∈ [-127,127]); the per-vector scales CANCEL
+    // in the cosine, so candidate scoring is pure integer arithmetic:
+    // cos ≈ Σ qa·qb / (√Σqa² · √Σqb²). At 100 TB the corpus scan for
+    // candidate generation reads 1 byte/dim instead of 4 (4× bandwidth,
+    // integer-SIMD dots) — the approx stage touches ONLY (vec_id, q, qnorm);
+    // full-precision vectors are fetched afterwards by joining the tiny
+    // Q×4k candidate set back to the corpus by vec_id for the exact
+    // re-rank. Candidate selection is GroupTopK (map-side partial heaps,
+    // shuffle O(k·queries·partitions), never a full-corpus window sort).
+    // Quantizer constants aren't SQL-expressible → rows-only; recall vs
+    // exact v1 is asserted in SimilaritySpec.
+    qRowsOnly("v5_ann_sq8_topk") { (s, dir) =>
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.load(s, dir, "embeddings")
+      def quantized(emb: Column): Column = {
+        val scale = greatest(
+          aggregate(emb, lit(0.0), (a, x) => greatest(a, abs(x.cast("double")))),
+          lit(1e-30)) / 127.0
+        transform(emb, x => round(x.cast("double") / scale, 0).cast("long"))
+      }
+      def intDot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+      def intNorm(a: Column): Column =
+        sqrt(aggregate(transform(a, x => x * x), lit(0L), _ + _).cast("double"))
+      val corpus = e.select(col("vec_id"), quantized(col("embedding")).as("cq"))
+        .withColumn("cn", intNorm(col("cq")))
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), quantized(col("embedding")).as("qq"))
+        .withColumn("qn", intNorm(col("qq")))
+      val approx = corpus.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (intDot(col("cq"), col("qq")) / (col("cn") * col("qn"))).as("approx"))
+      val cand = graft.operators.GroupTopK
+        .topK(approx, Seq("query_id"), "approx", "vec_id", k = 20)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      cand
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+        .join(broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosineSim(col("qe"), col("embedding")), 6).as("cos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id")))
+          .cast("long"))
+        .filter(col("rnk") <= 5)
+        .orderBy("query_id", "rnk")
+    },
+
     // ANN scale path #2: IVF (data-adaptive KMeans coarse quantizer +
     // nProbe cell probing + exact re-rank) — see operators.IvfAnn for
     // the 100 TB shape. rows-only: the trained quantizer isn't

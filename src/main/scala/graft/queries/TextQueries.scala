@@ -233,6 +233,67 @@ object TextQueries {
         .orderBy("source", "stratum")
     },
 
+    // BM25 keyword relevance (k1=1.2, b=0.75) for a fixed query-term set —
+    // the retrieval scorer a data pipeline uses to mine topical subsets.
+    // Scale shape: corpus stats (N, Σlen, per-term document frequency) are
+    // ONE map-side-combined aggregation to a single tiny row, broadcast
+    // back; scoring is then map-only (per-term tf via codegen'd array
+    // filters, fixed-order expression sum — no shuffle); top-20 runs as
+    // TakeOrderedAndProject, never a global sort. Both engines evaluate
+    // the identical expression tree (exact-integer stats, one ln() per
+    // term), so scores agree to the 6-decimal round.
+    {
+      val terms = Seq("spark", "vector", "stream")
+      val duckTf = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n        |         ")
+      val duckDf = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val duckScore = terms.indices.map(i =>
+        s"""ln((g.n_docs - g.df$i + 0.5) / (g.df$i + 0.5) + 1.0) * tf$i * 2.2
+           |      / (tf$i + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / (g.sum_len / g.n_docs)))"""
+          .stripMargin).mkString("\n        |    + ")
+      q("x13_bm25",
+        s"""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |t AS (
+           |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS len,
+           |         $duckTf
+           |  FROM d),
+           |g AS (
+           |  SELECT count(*) AS n_docs, CAST(sum(len) AS DOUBLE) AS sum_len,
+           |         $duckDf
+           |  FROM t),
+           |s AS (
+           |  SELECT doc_id,
+           |    $duckScore AS score
+           |  FROM t CROSS JOIN g)
+           |SELECT doc_id, round(score, 6) AS bm25 FROM s
+           |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+          .select(col("doc_id") +: size(col("ts")).cast("long").as("len") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              size(filter(col("ts"), x => x === t)).cast("double").as(s"tf$i")
+            }: _*)
+        val aggs = count(lit(1)).as("n_docs") +:
+          sum("len").cast("double").as("sum_len") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1).otherwise(0)).as(s"df$i"))
+        val stats = base.agg(aggs.head, aggs.tail: _*)
+        val score = terms.indices.map { i =>
+          log((col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0) *
+            col(s"tf$i") * 2.2 /
+            (col(s"tf$i") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("len").cast("double") / (col("sum_len") / col("n_docs"))))
+        }.reduce(_ + _)
+        base.crossJoin(broadcast(stats))
+          .select(col("doc_id"), round(score, 6).as("bm25"))
+          .orderBy(desc("bm25"), col("doc_id"))
+          .limit(20)
+      }
+    },
+
     // Deterministic negative sampling for contrastive training: K=4
     // negatives per document by an arithmetic probe over the dense
     // [0, N) id space — reproducible across runs, engines, and

@@ -93,4 +93,50 @@ class DedupSpec extends SparkSpec {
     assert(d2.nonEmpty)
     assert(d3 == d2)
   }
+
+  test("d7 spans are well-formed, maximal, and disjoint per doc") {
+    val spans = graft.SparkEntry.queries("d7_dup_ngram_spans")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty)
+    spans.foreach { case (_, s, e, n) =>
+      assert(e - s >= 7, s"span shorter than one shingle: [$s,$e]")
+      // contiguity bound: at most one shingle per position in the span
+      assert(n >= 1 && n <= e - s - 6, s"shingle count $n outside [$s,$e]")
+    }
+    // maximality: consecutive spans of a doc are separated by at least
+    // one non-duplicated token (else the islands would have merged)
+    spans.groupBy(_._1).values.foreach { ds =>
+      ds.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 + 1, s"adjacent spans not merged: $e1 -> $s2")
+        case _ =>
+      }
+    }
+  }
+
+  test("d7 covers exact-duplicate docs end to end with a single span") {
+    import org.apache.spark.sql.functions._
+    // every doc whose full text occurs >= 2x in the corpus has ALL its
+    // shingles duplicated, so its whole token range must be one span.
+    // only sf0.1 contains exact duplicates — run this one there.
+    val dir = "/root/testdata/sf0.1"
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"),
+              md5(col("text").cast("binary")).as("dg"))
+    val dupDocs = docs.join(
+        docs.groupBy("dg").count().filter(col("count") >= 2).select("dg"), "dg")
+      .filter(col("n_tok") >= 8)
+      .select("doc_id", "n_tok").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dupDocs.nonEmpty, "corpus has no exact duplicates to test against")
+    val spans = graft.SparkEntry.queries("d7_dup_ngram_spans")(spark, dir)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSeq).toMap
+    dupDocs.foreach { case (id, nTok) =>
+      assert(spans.get(id).exists(_.contains((0L, nTok - 1))),
+        s"exact-dup doc $id not fully covered: ${spans.get(id)}")
+    }
+  }
 }

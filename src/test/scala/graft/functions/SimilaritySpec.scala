@@ -51,6 +51,39 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("SQ8 quantized top-k achieves >= 80% recall vs brute force at sf0.001") {
+    def pairs(name: String) =
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("v1_cosine_topk")
+    val sq8 = pairs("v5_ann_sq8_topk")
+    // int8 per-vector symmetric quantization of 64-dim vectors keeps the
+    // candidate ordering nearly intact; with a 4x candidate cushion the
+    // exact re-rank should recover almost all true neighbors
+    val recall = (exact intersect sq8).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall $recall too low")
+    assert(sq8.forall { case (q, n) => q != n })
+  }
+
+  test("SQ8 quantization error is bounded: approx cosine within 0.02 of exact") {
+    import org.apache.spark.sql.functions._
+    // quantize + dequantize round trip: q_i = round(x_i/s), |x_i - q_i*s|
+    // <= s/2 per dim, so the cosine of 64-dim unit-ish vectors moves by
+    // O(1/127) — assert the observed bound on real corpus vectors
+    val e = graft.Tables.load(spark, sfDir, "embeddings").limit(200)
+    def quant(c: org.apache.spark.sql.Column) = {
+      val scale = greatest(aggregate(c, lit(0.0),
+        (a, x) => greatest(a, abs(x.cast("double")))), lit(1e-30)) / 127.0
+      transform(c, x => round(x.cast("double") / scale, 0) * scale)
+    }
+    val drift = e.select(
+      abs(cosine(col("embedding"), col("embedding")) -
+          cosine(quant(col("embedding")), col("embedding"))).as("d"))
+      .agg(max("d")).head.getDouble(0)
+    assert(drift <= 0.02, s"quantization cosine drift $drift")
+  }
+
   test("IVF probing scans a bounded candidate fraction, not the full corpus") {
     import org.apache.spark.sql.functions._
     val e = graft.Tables.load(spark, sfDir, "embeddings")

@@ -22,6 +22,23 @@ class TextQueriesSpec extends SparkSpec {
     assert(viol == 0L)
   }
 
+  test("x13 bm25: results are positive, ordered, and term-bearing") {
+    val rows = graft.SparkEntry.queries("x13_bm25")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(r => (r.getDouble(1), r.getLong(0)))
+    assert(scores.forall(_._1 > 0.0))
+    // output order is (bm25 desc, doc_id asc) — verify it's really sorted
+    assert(scores.sameElements(scores.sortBy { case (s, id) => (-s, id) }))
+    // a positive BM25 means at least one query term matched
+    val ids = rows.map(_.getLong(0)).toSet
+    import org.apache.spark.sql.functions._
+    val noTerm = graft.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .filter(!col("text").rlike("\\b(spark|vector|stream)\\b"))
+      .count()
+    assert(noTerm == 0L)
+  }
+
   test("x8 packing: ids start at 0 and are bounded by total/budget") {
     // NOT asserted: bin-id density — a doc longer than the 512 budget
     // legitimately skips bins (floor((cum-n)/512) jumps by >1), so
