@@ -129,13 +129,14 @@ object JoinQueries {
     // The revenue sum is accumulated in DECIMAL (exact, order-independent)
     // so partial-aggregation order can't flip a rounding boundary vs the
     // oracle; the per-row product is still computed in double (identical
-    // IEEE ops on both engines) before the cast. Terminal CAST to
-    // DECIMAL(38,6) on both sides: Spark widens a sum to DECIMAL(28,6),
-    // DuckDB to DECIMAL(38,6) — driver hashes are type-aware.
+    // IEEE ops on both engines) before the cast. Terminal CAST to DOUBLE
+    // on both sides: a decimal output column cannot hash-match across the
+    // driver's readers (arrow keeps Decimal('x.500000'), duckdb.df() gives
+    // float x.5), while an exact-decimal-to-double cast is bit-identical.
     q("j8_broadcast_dims",
       """SELECT p_brand, s_name, count(*) AS n_lines,
-        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-        |            AS DECIMAL(38,6)) AS revenue
+        |       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |            AS DECIMAL(38,6)) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -149,7 +150,8 @@ object JoinQueries {
         .groupBy("p_brand", "s_name")
         .agg(count(lit(1)).as("n_lines"),
              sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-               .cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"))
+               .cast("decimal(18,6)")).cast("decimal(38,6)")
+               .cast("double").as("revenue"))
         .orderBy("p_brand", "s_name")
     },
 

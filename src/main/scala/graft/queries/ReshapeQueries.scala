@@ -81,38 +81,40 @@ object ReshapeQueries {
     // R4 — pivot table with fill value (position stats → wide play features,
     // fill_value=0 — DefCoverage.ipynb:347-359). DECIMAL sums: exact and
     // order-independent, so the 0-fill compare is deterministic.
-    // Terminal CAST to DECIMAL(38,2) on both sides — sum-widening differs
-    // (Spark 28, DuckDB 38) and the driver hash is type-aware.
+    // Terminal CAST to DOUBLE on both sides — decimal output columns cannot
+    // hash-match across the driver's readers (arrow Decimal vs duckdb.df()
+    // float); the exact-decimal-to-double cast is bit-identical.
     q("r4_pivot_fill",
       """SELECT user_id,
         |       CAST(coalesce(sum(CAST(CASE WHEN event_type = 'click' THEN value END
-        |                    AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS click,
+        |                    AS DECIMAL(18,2))), 0) AS DOUBLE) AS click,
         |       CAST(coalesce(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END
-        |                    AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS purchase
+        |                    AS DECIMAL(18,2))), 0) AS DOUBLE) AS purchase
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       val pv = Tables.load(s, dir, "events")
         .groupBy("user_id")
         .pivot("event_type", Seq("click", "purchase"))
         .agg(sum(col("value").cast("decimal(18,2)")))
       pv.select(col("user_id"),
-          coalesce(col("click"), lit(0)).cast("decimal(38,2)").as("click"),
-          coalesce(col("purchase"), lit(0)).cast("decimal(38,2)").as("purchase"))
+          coalesce(col("click"), lit(0)).cast("double").as("click"),
+          coalesce(col("purchase"), lit(0)).cast("double").as("purchase"))
         .orderBy("user_id")
     },
 
     // R5 — column-name flattening after a multi-stat pivot ({stat}_{pos} —
     // DefCoverage.ipynb:119): Spark names them value_stat; normalize
-    // Terminal CAST to DECIMAL(38,4) on both sides — round() keeps the
-    // engine-specific widened precision (Spark 27, DuckDB 38) and the
-    // driver hash is type-aware.
+    // Terminal CAST to DOUBLE on both sides — the rounded DECIMAL(_,4) is
+    // exact, so the decimal-to-double cast is bit-identical in both engines
+    // (a decimal output column itself cannot hash-match across the driver's
+    // readers: arrow Decimal vs duckdb.df() float).
     q("r5_pivot_multi_stat",
       """SELECT user_id,
         |       count(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
         |       CAST(round(coalesce(sum(CAST(CASE WHEN event_type = 'click' THEN value END
-        |             AS DECIMAL(18,6))), 0), 4) AS DECIMAL(38,4)) AS click_sum,
+        |             AS DECIMAL(18,6))), 0), 4) AS DOUBLE) AS click_sum,
         |       count(CASE WHEN event_type = 'error' THEN 1 END) AS error_n,
         |       CAST(round(coalesce(sum(CAST(CASE WHEN event_type = 'error' THEN value END
-        |             AS DECIMAL(18,6))), 0), 4) AS DECIMAL(38,4)) AS error_sum
+        |             AS DECIMAL(18,6))), 0), 4) AS DOUBLE) AS error_sum
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy("user_id")
@@ -121,9 +123,9 @@ object ReshapeQueries {
              sum(col("value").cast("decimal(18,6)")).as("sum"))
         .select(col("user_id"),
           col("click_n"),
-          round(coalesce(col("click_sum"), lit(0)), 4).cast("decimal(38,4)").as("click_sum"),
+          round(coalesce(col("click_sum"), lit(0)), 4).cast("double").as("click_sum"),
           col("error_n"),
-          round(coalesce(col("error_sum"), lit(0)), 4).cast("decimal(38,4)").as("error_sum"))
+          round(coalesce(col("error_sum"), lit(0)), 4).cast("double").as("error_sum"))
         .orderBy("user_id")
     },
 

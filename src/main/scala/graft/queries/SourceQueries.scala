@@ -244,11 +244,14 @@ object SourceQueries {
         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
         |                               ORDER BY version DESC) AS rn
         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes))
-        |SELECT o_orderkey, o_orderpriority, o_totalprice, version
+        |SELECT o_orderkey, o_orderpriority,
+        |       CAST(o_totalprice AS DOUBLE) AS o_totalprice, version
         |FROM merged WHERE rn = 1 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       // money math in exact DECIMAL on both engines: double*1.05 lands on
       // half-way thirds decimals where Spark (shortest-repr HALF_UP) and
-      // DuckDB (binary-value round) disagree; DECIMAL(38,2) pins the width
+      // DuckDB (binary-value round) disagree. The OUTPUT column is a
+      // terminal decimal-to-double cast (bit-identical both sides) — a
+      // decimal output column cannot hash-match across the driver's readers.
       val base = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
                 col("o_totalprice").cast("decimal(38,2)").as("o_totalprice"),
@@ -267,7 +270,9 @@ object SourceQueries {
           org.apache.spark.sql.expressions.Window
             .partitionBy("o_orderkey").orderBy(desc("version"))))
       merged.filter(col("rn") === 1)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice", "version")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+                col("o_totalprice").cast("double").as("o_totalprice"),
+                col("version"))
         .orderBy("o_orderkey")
     },
 
@@ -425,7 +430,7 @@ object SourceQueries {
     // a tiny aggregate table; only the delta is scanned.
     q("s17_incremental_agg",
       """SELECT user_id, count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       val e = Tables.load(s, dir, "events")
       val cutoff = lit("2024-01-21").cast("timestamp")
@@ -443,12 +448,13 @@ object SourceQueries {
             .as("n_events"),
           // both-sides-NULL must stay NULL (a user whose values are all
           // NULL sums to NULL in the full recompute, not 0)
+          // terminal decimal-to-double cast: exact merge, hashable output
           when(col("h.t").isNull && col("d.t").isNull,
-               lit(null).cast("decimal(38,6)"))
+               lit(null).cast("double"))
             .otherwise(
               (coalesce(col("h.t"), lit(0).cast("decimal(18,6)")) +
                coalesce(col("d.t"), lit(0).cast("decimal(18,6)")))
-                .cast("decimal(38,6)"))
+                .cast("double"))
             .as("total"))
         .orderBy("user_id")
     },

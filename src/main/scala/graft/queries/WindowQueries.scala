@@ -55,20 +55,22 @@ object WindowQueries {
     // W3 — group-wise running sum (cumulative QB distance —
     // BuildingReadOrder.R:88-94). Accumulates in DECIMAL: window-agg
     // association order differs between engines on doubles. Terminal
-    // CAST to DECIMAL(38,6) on both sides — sum-widening differs
-    // (Spark 28, DuckDB 38) and the driver hash is type-aware.
+    // CAST to DOUBLE on both sides — decimal output columns cannot
+    // hash-match across the driver's readers (arrow Decimal vs duckdb.df()
+    // float); the exact-decimal-to-double cast is bit-identical.
     q("w3_running_sum",
       """SELECT event_id, user_id,
-        |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
         |         PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |         AS DECIMAL(38,6)) AS running_value
+        |         AS DECIMAL(38,6)) AS DOUBLE) AS running_value
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, dir, "events")
         .withColumn("running_value",
-          sum(col("value").cast("decimal(18,6)")).over(w).cast("decimal(38,6)"))
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("decimal(38,6)")
+            .cast("double"))
         .select("event_id", "user_id", "running_value")
         .orderBy("event_id")
     },
