@@ -27,18 +27,29 @@ object Bench {
       try Tables.load(spark, sfDir, n).count()
       catch { case _: Throwable => }
     }
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must be distinguishable from a fast success: record
+      // its name in "errors" and report value -1, never a small elapsed
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          errors += name
+          System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     def jmap(kvs: Iterable[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}""")
+    def jlist(xs: Iterable[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    val errs = s""""errors":${jlist(errors)}"""
+    println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":${jmap(results)},$errs,"sf":"$sfDir"}""")
     val slowest = results.toSeq.sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(slowest)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(slowest)},$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,22 +54,20 @@ object Pipelines {
 
   /** M4 — per-class stratified train/test split (sklearn
     * `train_test_split(stratify=y)`, `DefCoverage.ipynb:167-172`).
-    * `sampleBy` draws ~trainFrac of each class (Bernoulli per row, so
-    * exact only in expectation); the test side is the anti-join on the
-    * row identity `idCols`. The class-list collect is driver-side but
-    * bounded by the number of classes, not rows. */
+    * Each row draws Bernoulli(trainFrac) from a DETERMINISTIC uniform:
+    * xxhash64(idCols, label, seed) scaled to [0,1). Unlike
+    * `df.stat.sampleBy` (which consumes a per-partition RNG stream in
+    * row order and therefore needs a cache pin to keep the two sides
+    * disjoint), the hash draw is a pure function of the row identity —
+    * disjoint + covering by construction, reproducible across
+    * re-evaluations, no cached materialization to leak, and at 100 TB
+    * both sides stay lazy single-pass filters with no anti-join. */
   def stratifiedSplit(df: DataFrame, labelCol: String, trainFrac: Double,
                       seed: Long, idCols: Seq[String]): (DataFrame, DataFrame) = {
-    val classes = df.select(labelCol).distinct().collect().map(_.get(0))
-    val fractions = classes.map(_ -> trainFrac).toMap
-    // cache pins ONE evaluation of the sample: sampleBy consumes a
-    // per-partition RNG stream in row order, so re-evaluating it inside
-    // the anti-join could draw a DIFFERENT row set whenever upstream
-    // row order is not stable (e.g. after a shuffle) — breaking the
-    // disjoint+covering split contract
-    val train = df.stat.sampleBy(labelCol, fractions, seed).cache()
-    val test = df.join(train.select(idCols.map(col): _*), idCols, "left_anti")
-    (train, test)
+    val u = pmod(xxhash64((idCols :+ labelCol).map(col) :+ lit(seed): _*),
+                 lit(1000000L)).cast("double") / 1000000.0
+    val inTrain = u < trainFrac
+    (df.filter(inTrain), df.filter(!inTrain))
   }
 
   /** Standardize features (withMean so the oracle formula is exact:

@@ -34,11 +34,38 @@ object GroupTopK {
     val sIdx = schema.fieldIndex(sortCol)
     val tIdx = schema.fieldIndex(tieCol)
 
+    // the heap comparator works on external Row values via Comparable, so
+    // only atomic orderable types are supported (arrays/structs/maps would
+    // ClassCastException mid-task) — fail fast at plan time instead. The
+    // native topKNative path builds its comparator from Catalyst's
+    // RowOrdering and has no such restriction.
+    import org.apache.spark.sql.types._
+    Seq(sortCol -> sIdx, tieCol -> tIdx).foreach { case (n, i) =>
+      schema(i).dataType match {
+        case _: NumericType | StringType | BooleanType | DateType |
+             TimestampType | TimestampNTZType => ()
+        case dt => throw new IllegalArgumentException(
+          s"GroupTopK.topK: unsupported sort/tie column type $dt for '$n'; " +
+          "use an atomic orderable type or GroupTopK.topKNative")
+      }
+    }
+    // Spark SQL sorts -0.0 and 0.0 as EQUAL (it normalizes signed zeros);
+    // java.lang.Double/Float.compareTo orders -0.0 < 0.0. Normalize before
+    // comparing so a -0.0/0.0 straddle at the k boundary can't select
+    // different survivors than the window-rank formulation. (NaN needs no
+    // fix: compareTo puts it last under asc, same as Spark.)
+    def normZero(v: Any): Any = v match {
+      case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+      case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+      case other => other
+    }
+
     // comparisons in FINAL SORT ORDER terms: negative = sorts earlier.
     // Null placement matches Spark's window defaults (asc = NULLS FIRST,
     // desc = NULLS LAST) so results stay identical to the row_number
     // formulation when sort values are null.
-    def sortCmp(a: Any, b: Any): Int =
+    def sortCmp(a0: Any, b0: Any): Int = {
+      val (a, b) = (normZero(a0), normZero(b0))
       if (a == null && b == null) 0
       else if (a == null) { if (descending) 1 else -1 }
       else if (b == null) { if (descending) -1 else 1 }
@@ -46,11 +73,14 @@ object GroupTopK {
         val n = a.asInstanceOf[Comparable[Any]].compareTo(b)
         if (descending) -n else n
       }
-    def tieCmp(a: Any, b: Any): Int = // ascending, NULLS FIRST
+    }
+    def tieCmp(a0: Any, b0: Any): Int = { // ascending, NULLS FIRST
+      val (a, b) = (normZero(a0), normZero(b0))
       if (a == null && b == null) 0
       else if (a == null) -1
       else if (b == null) 1
       else a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
     // "better" = earlier in the requested order
     def better(a: Row, b: Row): Boolean = {
       val c = sortCmp(a.get(sIdx), b.get(sIdx))

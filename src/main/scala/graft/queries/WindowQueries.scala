@@ -269,7 +269,9 @@ object WindowQueries {
         |                            ROWS UNBOUNDED PRECEDING) AS sid
         |      FROM g)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |         AS total_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
       graft.streaming.StreamOps.gapSessions(

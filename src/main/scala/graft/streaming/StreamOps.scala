@@ -65,8 +65,12 @@ object StreamOps {
 
   case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   /** start/last are epoch MICROSECONDS — the data is micro-precision and
-    * gap comparisons must not truncate to millis. */
-  case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
+    * gap comparisons must not truncate to millis. `totalMicros` is the
+    * session value total in exact DECIMAL(_,6) semantics stored as a
+    * scaled Long: a sequential Double fold is association-order-dependent
+    * and can flip the 2-decimal rounding vs an oracle that sums in
+    * arbitrary order (the same hazard w3/j8 fixed with DECIMAL sums). */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, totalMicros: Long)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_end: java.sql.Timestamp, n_events: Long,
                         total_value: Double)
@@ -80,11 +84,19 @@ object StreamOps {
     t
   }
 
+  /** double → exact DECIMAL(_,6) as a scaled Long, matching both engines'
+    * CAST(value AS DECIMAL(18,6)) (shortest-repr, HALF_UP at scale 6). */
+  private def valueMicros(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
   private def closed(uid: Long, s: SessionState): SessionOut =
     SessionOut(uid, mkTs(s.startUs), mkTs(s.lastUs),
       s.n,
-      // same rounding as Spark's round(x, 2) and DuckDB's round: HALF_UP
-      java.math.BigDecimal.valueOf(s.total)
+      // exact decimal total → round HALF_UP to 2 → double; identical to
+      // round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE in the oracle
+      java.math.BigDecimal.valueOf(s.totalMicros, 6)
         .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
 
   /** Gap-based sessionization with CUSTOM state via
@@ -129,12 +141,13 @@ object StreamOps {
               val us = toUs(e.ts)
               cur match {
                 case Some(s) if us - s.lastUs <= gapUs =>
-                  cur = Some(s.copy(lastUs = us, n = s.n + 1, total = s.total + e.value))
+                  cur = Some(s.copy(lastUs = us, n = s.n + 1,
+                                    totalMicros = s.totalMicros + valueMicros(e.value)))
                 case Some(s) =>
                   out += closed(uid, s)
-                  cur = Some(SessionState(us, us, 1L, e.value))
+                  cur = Some(SessionState(us, us, 1L, valueMicros(e.value)))
                 case None =>
-                  cur = Some(SessionState(us, us, 1L, e.value))
+                  cur = Some(SessionState(us, us, 1L, valueMicros(e.value)))
               }
             }
             cur match {
