@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through unprefixed: sbt's default
+// LoggedOutput prepends "[info] " to every line, which breaks any
+// line-oriented JSON consumer of `runMain graft.Bench` output (the
+// driver's BENCH_r{N} tail parse failed on the prefix in rounds 1-2).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
