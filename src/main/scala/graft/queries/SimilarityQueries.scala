@@ -244,5 +244,59 @@ object SimilarityQueries {
           k = 5, nCells = 16, nProbe = 6)
         .orderBy("query_id", "rnk")
     },
+
+    // SemDeDup-style semantic dedup: assign every vector to its nearest
+    // centroid by cosine, then drop any vector that has a smaller-id
+    // within-cluster neighbor with cosine >= 0.35, reporting the kept
+    // canonical per dropped vector. Centroids here are the deterministic
+    // vec_id < 10 slice so the DuckDB oracle can replay the assignment
+    // exactly — at scale you plug KMeans centroids (operators.IvfAnn
+    // trains one) without changing the dataflow. Scale shape: the
+    // centroid table broadcasts (k rows), assignment is map-only over
+    // the corpus scan, and the pair join shuffles on the cluster key —
+    // in SemDeDup k grows ~sqrt(N), so cluster keys are high-cardinality
+    // and per-cluster work stays small-quadratic by design (unlike a
+    // fixed-label self-join, which is why v2 needs its chunk split).
+    q("v6_semdedup",
+      s"""WITH assign AS (
+         |  SELECT vec_id, embedding, cluster FROM (
+         |    SELECT v.vec_id, v.embedding, c.vec_id AS cluster,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${sqlDot("v.embedding", "c.embedding")}
+         |               / (${sqlNorm("v.embedding")} * ${sqlNorm("c.embedding")}) DESC,
+         |               c.vec_id) AS rn
+         |    FROM embeddings v JOIN embeddings c ON c.vec_id < 10 AND v.vec_id >= 10)
+         |  WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, a.cluster,
+         |         ${sqlDot("a.embedding", "b.embedding")}
+         |           / (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}) AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |SELECT vb AS dropped_id, min(va) AS canonical_id, min(cluster) AS cluster
+         |FROM pairs WHERE cos >= 0.35 GROUP BY vb ORDER BY dropped_id""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("cluster"), col("embedding").as("ce"))
+      val assign = e.filter(col("vec_id") >= 10)
+        .join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cluster"),
+          cosineSim(col("embedding"), col("ce")).as("cos_c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("cluster"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+      assign.as("a")
+        .join(assign.as("b"),
+          col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vb"), col("a.vec_id").as("va"),
+          col("a.cluster").as("cluster"),
+          cosineSim(col("a.embedding"), col("b.embedding")).as("cos"))
+        .filter(col("cos") >= 0.35)
+        .groupBy(col("vb").as("dropped_id"))
+        .agg(min("va").as("canonical_id"), min("cluster").as("cluster"))
+        .orderBy("dropped_id")
+    },
   )
 }

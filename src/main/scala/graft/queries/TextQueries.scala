@@ -322,5 +322,100 @@ object TextQueries {
             .otherwise(col("cand")).as("neg_id"))
         .orderBy("doc_id", "neg_idx")
     },
+
+    // Benchmark decontamination: flag training docs that share >= 3
+    // distinct 3-gram shingles with any held-out eval doc (the n-gram
+    // overlap pass run before training to drop test-set leakage; the
+    // eval split here is the deterministic doc_id % 29 == 0 slice so
+    // both engines carve the identical sets). Scale shape: shingling is
+    // map-side; shingles join on an 8-byte xxhash64 key (uniform — the
+    // strings never shuffle), then one count-shuffle on the (train,
+    // eval) pair. With a real benchmark set (thousands of docs, not a
+    // corpus slice) the eval side is broadcast and the whole pass is
+    // map-only over the corpus scan.
+    q("x14_decontaminate",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+        |    for i in range(1, greatest(len(string_split(text,' ')) - 1, 2))])) AS g
+        |  FROM documents)
+        |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS n_shared
+        |FROM sh t JOIN sh e ON t.g = e.g AND t.doc_id % 29 <> 0 AND e.doc_id % 29 = 0
+        |GROUP BY train_doc, eval_doc HAVING count(*) >= 3
+        |ORDER BY train_doc, eval_doc""".stripMargin) { (s, dir) =>
+      val hashed = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      val tr = hashed.filter(col("doc_id") % 29 =!= 0)
+        .select(col("doc_id").as("train_doc"), col("gh"))
+      val ev = hashed.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("eval_doc"), col("gh"))
+      tr.join(ev, "gh")
+        .groupBy("train_doc", "eval_doc")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("train_doc", "eval_doc")
+    },
+
+    // Domain-weighted mixture sampling: given per-source mix weights and
+    // a global token budget (30% of the corpus), derive a per-source
+    // sampling rate rate_s = min(1, budget_s / tokens_s) and draw docs by
+    // a deterministic LCG coin — the "data mixing" step that reweights
+    // domains into a training corpus. Weights here derive from the source
+    // name (a stand-in for the mixture config table both engines can
+    // reproduce). Scale shape: one per-source agg (20 keys, partial-agg'd
+    // map-side), a two-row global scalar broadcast back, then a map-only
+    // filter over the scan — the rate computation never touches the data
+    // path. All rate math is integer or fixed-order double, so the floor
+    // to basis points is bit-identical across engines.
+    q("x15_domain_mix",
+      """WITH d AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+        |         1.0 + (CAST(substr(source, 4) AS INT) % 4) AS w
+        |  FROM documents),
+        |srcs AS (
+        |  SELECT source, any_value(w) AS w, count(*) AS n_total,
+        |         CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+        |  FROM d GROUP BY source),
+        |rates AS (
+        |  SELECT source, n_total, tokens_total,
+        |         CAST(floor(least(1.0,
+        |           ((SELECT CAST(sum(tokens_total) AS DOUBLE) FROM srcs) * 0.3 * w
+        |             / (SELECT sum(w) FROM srcs)) / CAST(tokens_total AS DOUBLE))
+        |           * 10000) AS BIGINT) AS rate_bp
+        |  FROM srcs),
+        |kept AS (
+        |  SELECT d.source, count(*) AS n_kept, CAST(sum(d.n_tokens) AS BIGINT) AS tokens_kept
+        |  FROM d JOIN rates r ON d.source = r.source
+        |  WHERE (d.doc_id * 1103515245 + 12345) % 10000 < r.rate_bp
+        |  GROUP BY d.source)
+        |SELECT r.source, r.n_total, r.tokens_total, r.rate_bp,
+        |       coalesce(k.n_kept, 0) AS n_kept, coalesce(k.tokens_kept, 0) AS tokens_kept
+        |FROM rates r LEFT JOIN kept k ON r.source = k.source
+        |ORDER BY r.source""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          (lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 4)).as("w"))
+      val srcs = d.groupBy("source")
+        .agg(first("w").as("w"), count(lit(1)).as("n_total"),
+             sum("n_tokens").as("tokens_total"))
+      val tot = srcs.agg(sum("tokens_total").cast("double").as("grand_tokens"),
+                         sum("w").as("w_sum"))
+      val rates = srcs.crossJoin(broadcast(tot))
+        .withColumn("rate_bp",
+          floor(least(lit(1.0),
+            (col("grand_tokens") * lit(0.3) * col("w") / col("w_sum"))
+              / col("tokens_total").cast("double")) * 10000).cast("long"))
+        .select("source", "n_total", "tokens_total", "rate_bp")
+      val kept = d.join(broadcast(rates.select("source", "rate_bp")), "source")
+        .filter((col("doc_id") * 1103515245L + 12345L) % 10000 < col("rate_bp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("tokens_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_total"), col("tokens_total"), col("rate_bp"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+        .orderBy("source")
+    },
   )
 }

@@ -98,4 +98,27 @@ class SimilaritySpec extends SparkSpec {
     assert(nCand < full * 6 / 10, s"IVF scanned $nCand of $full pairs")
     assert(nCand > 0)
   }
+
+  test("v6 semdedup: canonical precedes dropped, same cluster, one row per drop") {
+    val rows = graft.SparkEntry.queries("v6_semdedup")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "semdedup found no near-dups on the test corpus")
+    val dropped = rows.map(_.getAs[Long]("dropped_id"))
+    assert(dropped.distinct.length == dropped.length, "a vector dropped twice")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("canonical_id") < r.getAs[Long]("dropped_id"),
+        s"canonical does not precede dropped: $r")
+    }
+    // every (canonical, dropped) pair really is cosine >= 0.35: re-score
+    // the reported pairs directly against the embeddings table
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    import spark.implicits._
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("canonical_id"), r.getAs[Long]("dropped_id"))).toSeq.toDF("ca", "dr")
+    val bad = pairs
+      .join(e.select(col("vec_id").as("ca"), col("embedding").as("ea")), "ca")
+      .join(e.select(col("vec_id").as("dr"), col("embedding").as("eb")), "dr")
+      .filter(cosine(col("ea"), col("eb")) < 0.35)
+      .count()
+    assert(bad == 0L, s"$bad reported pairs fall below the cosine gate")
+  }
 }

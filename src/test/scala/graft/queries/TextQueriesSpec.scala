@@ -65,4 +65,41 @@ class TextQueriesSpec extends SparkSpec {
     val frac = a.size.toDouble / total
     assert(frac > 0.02 && frac < 0.25, s"sample fraction $frac far off 10%")
   }
+
+  test("x14 decontamination: split is honored and counts are real overlaps") {
+    val rows = graft.SparkEntry.queries("x14_decontaminate")(spark, sfDir).collect()
+    // the train/eval carve must be disjoint and the threshold enforced
+    rows.foreach { r =>
+      assert(r.getAs[Long]("train_doc") % 29 != 0, s"eval doc on train side: $r")
+      assert(r.getAs[Long]("eval_doc") % 29 == 0, s"train doc on eval side: $r")
+      assert(r.getAs[Long]("n_shared") >= 3, s"below threshold: $r")
+    }
+    // recount one reported pair straight from the texts
+    rows.headOption.foreach { r =>
+      val d = graft.Tables.load(spark, sfDir, "documents")
+      def sh(id: Long) = d.filter(col("doc_id") === id)
+        .select(graft.functions.TextFunctions.shingles(col("text"), 3).as("s"))
+        .head.getSeq[String](0).toSet
+      val exact = (sh(r.getAs[Long]("train_doc")) & sh(r.getAs[Long]("eval_doc"))).size
+      assert(exact == r.getAs[Long]("n_shared"), s"overlap recount mismatch: $r vs $exact")
+    }
+  }
+
+  test("x15 domain mix: rates bounded, kept subsets real, draw deterministic") {
+    val rows = graft.SparkEntry.queries("x15_domain_mix")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Long]("rate_bp")
+      assert(rate >= 0 && rate <= 10000, s"rate out of bounds: $r")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"), s"kept > total: $r")
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_total"), s"kept tokens > total: $r")
+    }
+    // recount one source's kept docs from the raw table with the same LCG
+    val r0 = rows.head
+    val manual = graft.Tables.load(spark, sfDir, "documents")
+      .filter(col("source") === r0.getAs[String]("source"))
+      .filter((col("doc_id") * 1103515245L + 12345L) % 10000 < r0.getAs[Long]("rate_bp"))
+      .count()
+    assert(manual == r0.getAs[Long]("n_kept"), s"kept recount mismatch for ${r0}")
+  }
 }
