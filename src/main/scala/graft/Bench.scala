@@ -32,8 +32,14 @@ object Bench {
       val t0 = System.nanoTime()
       // a failed query must be distinguishable from a fast success: record
       // its name in "errors" and report value -1, never a small elapsed
+      // strip the terminal oracle-determinism ORDER BY (GraftBenchPlan
+      // scaladoc) so the timing covers the operator, not an output sort
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try {
+          org.apache.spark.sql.GraftBenchPlan.withoutTerminalSort(fn(spark, sfDir))
+            .write.format("noop").mode("overwrite").save()
+          true
+        }
         catch { case e: Throwable =>
           errors += name
           System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")

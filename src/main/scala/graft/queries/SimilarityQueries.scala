@@ -279,14 +279,18 @@ object SimilarityQueries {
       val e = Tables.load(s, dir, "embeddings")
       val cents = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("cluster"), col("embedding").as("ce"))
+      // argmax by (cos desc, cluster asc) as a max_by aggregate, NOT a
+      // row_number window: partial aggregation collapses the k-per-point
+      // expansion map-side, so the exchange moves N rows instead of N*k
       val assign = e.filter(col("vec_id") >= 10)
         .join(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("cluster"),
           cosineSim(col("embedding"), col("ce")).as("cos_c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("cluster"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cluster"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("cluster"), col("embedding")),
+                    struct(col("cos_c"), -col("cluster"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+                col("best.cluster").as("cluster"))
       assign.as("a")
         .join(assign.as("b"),
           col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
