@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Automated plan audit over every registered relational query: the
+  * scale anti-patterns the round reviews hunt by hand become a failing
+  * test. Checked on the pre-adaptive physical plan (subqueries included):
+  *
+  *  - CartesianProduct: never acceptable — an unkeyed shuffled cross
+  *    product does O(n*m) work through a full shuffle of both sides.
+  *  - BroadcastNestedLoopJoin: acceptable ONLY as a deliberate expansion
+  *    against a broadcast tiny side (a scalar, a config table, a centroid
+  *    table) — each allowlisted name documents its tiny build side.
+  *  - WindowExec with an empty partitionSpec: moves ALL rows to one
+  *    partition — acceptable only when a prior limit bounds the input to
+  *    a constant row count.
+  *
+  * ML and domain-pipeline queries are excluded: constructing their frames
+  * trains models (covered by QueriesSmokeSpec); their plans are pipeline
+  * compositions, not single relational operators.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  /** Deliberate broadcast-tiny expansions: name -> the tiny build side. */
+  private val bnljAllowed: Map[String, String] = Map(
+    "x12_negative_sampling" -> "1-row corpus-count scalar",
+    "x13_bm25"              -> "1-row corpus-stats scalar",
+    "x15_domain_mix"        -> "1-row budget/weight scalar",
+    "v6_semdedup"           -> "k-row centroid table",
+    "v1_cosine_topk"        -> "8-row query-vector table (corpus scanned once map-side)",
+    "v4_ann_ivf_topk"       -> "nCells-row trained-centroid table",
+    "w17_funnel"            -> "1-row stage-count scalars (conversion-rate join)",
+    "a16_global_scalars"    -> "1-row scalar join",
+    "s16_snapshot_diff"     -> "1-row snapshot-version scalar",
+  )
+
+  /** Global windows fed by a constant-bounded input. */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "w8_topk_offset"     -> "window input is limit(33) via TakeOrderedAndProject",
+    "s11_html_sink"      -> "window input is limit(33) via TakeOrderedAndProject",
+    "a10_share_of_total" -> "window input is the grouped aggregate (bounded by enum-key cardinality)",
+    "a11_entropy"        -> "window input is the grouped aggregate (bounded by enum-key cardinality)",
+    "a14_freq_pct"       -> "window input is the grouped aggregate (bounded by enum-key cardinality)",
+  )
+
+  private def excluded(name: String): Boolean =
+    name.startsWith("bdb_") ||
+    (name.head == 'm' && name.length > 1 && name(1).isDigit) ||
+    name == "k2_openness" // MC kernel: typed Dataset map, not a relational plan
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !excluded(name)) {
+    test(s"plan hygiene: $name") {
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val cart = plan.collectWithSubqueries { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"CartesianProduct in $name — unkeyed O(n*m) shuffle join")
+      val bnlj = plan.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+      if (!bnljAllowed.contains(name))
+        assert(bnlj.isEmpty,
+          s"BroadcastNestedLoopJoin in $name without a documented tiny build side")
+      val gw = plan.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (!globalWindowAllowed.contains(name))
+        assert(gw.isEmpty,
+          s"unpartitioned Window in $name — single-partition sort at scale")
+    }
+  }
+}
