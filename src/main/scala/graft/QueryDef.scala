@@ -7,9 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Column names MUST match between `run`'s output and the oracle SQL — the
   * driver sorts columns by name before hashing values. Every query orders
-  * its rows deterministically on both sides; `EliminateSorts` strips the
-  * order-by when Bench wraps the plan in a bare count, so determinism costs
-  * nothing at scale.
+  * its rows deterministically on both sides; Bench strips that terminal
+  * oracle-determinism sort before timing (`GraftBenchPlan`), so the
+  * determinism costs nothing in the measured path.
   */
 final case class QueryDef(
     name: String,

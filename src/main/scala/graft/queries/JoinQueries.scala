@@ -311,5 +311,29 @@ object JoinQueries {
           e.filter(col("event_type") === "purchase"))
         .orderBy("view_id", "purchase_id")
     },
+
+    // J15 — explicit salted skew join (operators.SaltedJoin): lineitem
+    // keyed on l_returnflag (3 distinct values, one holding ~half the
+    // rows — the static-skew worst case) against per-flag stats. The
+    // salt spreads the hot flag over 8 reducers; the result is
+    // salt-invariant, so the oracle is the plain join. This is the
+    // AQE-less/streaming path; batch plans under Graft.session() get
+    // the same protection from the AQE skew-join split.
+    q("j15_salted_skew_join",
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, f.n_flag
+        |FROM lineitem l
+        |JOIN (SELECT l_returnflag, count(*) AS n_flag
+        |      FROM lineitem GROUP BY 1) f
+        |  ON l.l_returnflag = f.l_returnflag
+        |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val stats = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_flag"))
+      graft.operators.SaltedJoin.inner(
+          li.select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"),
+          stats, Seq("l_returnflag"),
+          saltBy = col("l_orderkey"), salts = 8)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "n_flag")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+    },
   )
 }
