@@ -187,6 +187,49 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Incremental LSH index maintenance: the operational shape at
+    // 100 TB — when a delta of new documents arrives (here the
+    // deterministic doc_id % 17 == 0 slice), you do NOT re-shingle the
+    // corpus; you band ONLY the delta and join its band keys against
+    // the standing index (base ∪ delta buckets). Cost ∝ |delta| ×
+    // bucket hit rate. Detection probability at these band parameters
+    // is ≈1 for J ≥ 0.7 (as for d3), so the oracle is the exact
+    // all-pairs result restricted to pairs touching the delta.
+    q("d8_incremental_lsh",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+        |           for i in range(1, greatest(len(string_split(text,' ')) - 1, 2))]) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0
+        |         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+        |  AND (a.doc_id % 17 = 0 OR b.doc_id % 17 = 0)
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sh = shingled(s, dir).cache()
+      val bands = sh
+        .select(col("doc_id"), posexplode(bandKeysFast(16, 4)(col("s"))))
+        .toDF("doc_id", "band", "bkey")
+      val deltaBands = bands.filter(col("doc_id") % 17 === 0)
+      val cand = deltaBands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+                greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jraw"))
+        .filter(col("jraw") >= 0.7)
+        .select(col("doc_a"), col("doc_b"), round(col("jraw"), 4).as("j"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // SimHash near-dup: 64-bit signatures, pigeonhole chunk blocking
     // (4 chunks ⇒ complete for Hamming ≤ 3), Hamming verification.
     // xxhash64 signatures aren't SQL-expressible in the oracle → rows-only.

@@ -139,4 +139,19 @@ class DedupSpec extends SparkSpec {
         s"exact-dup doc $id not fully covered: ${spans.get(id)}")
     }
   }
+
+  test("d8 incremental LSH equals the full rebuild restricted to the delta") {
+    // the maintenance guarantee: probing the standing index with only
+    // the delta's band keys finds exactly the full-recompute pairs that
+    // touch the delta — nothing missed, nothing extra
+    def pairs(name: String) =
+      graft.SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incremental = pairs("d8_incremental_lsh")
+    val fullTouchingDelta = pairs("d3_minhash_lsh")
+      .filter { case (a, b) => a % 17 == 0 || b % 17 == 0 }
+    assert(incremental == fullTouchingDelta,
+      s"missed: ${fullTouchingDelta -- incremental}; extra: ${incremental -- fullTouchingDelta}")
+    assert(incremental.nonEmpty, "delta produced no near-dup pairs to check")
+  }
 }
