@@ -18,6 +18,24 @@ object TextFunctions {
   def bpeIshTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|\\S"), lit(0)))
 
+  /** Map-only decontamination filter: keep documents sharing fewer than
+    * `minShared` distinct 3-gram shingles with the benchmark shingle
+    * set, which ships as a plan literal (benchmark sets are small —
+    * thousands of docs — so the union shingle set broadcasts with the
+    * plan). Pure projection + filter, so the SAME code path runs over a
+    * batch frame and over a readStream micro-batch: stream-static
+    * decontamination-on-ingest with zero state and zero shuffle.
+    * Union-set semantics (vs x14's per-eval-doc pair counts): a doc is
+    * dropped when its total overlap with the whole benchmark reaches
+    * the threshold — strictly more conservative. */
+  def deconSurvivors(docs: org.apache.spark.sql.DataFrame,
+                     evalShingles: Seq[String], minShared: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("n_shared",
+        size(array_intersect(shingles(col("text"), 3), typedLit(evalShingles))).cast("long"))
+      .filter(col("n_shared") < minShared)
+      .select(col("doc_id"), col("n_shared"))
+
   /** Distinct word n-gram shingles (space-joined), the dedup unit.
     * Floor of 1, not 0: Spark `sequence(1, 0)` DESCENDS to [1, 0], which
     * would emit a bogus slice-at-0; texts shorter than n yield one

@@ -417,5 +417,30 @@ object TextQueries {
           coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
         .orderBy("source")
     },
+
+    // Decontamination-on-ingest (the filter form of x14): keep training
+    // docs whose overlap with the WHOLE benchmark shingle set stays
+    // under 3 — union-set semantics, strictly more conservative than
+    // x14's per-eval-doc pairs. The benchmark set collects to a plan
+    // literal (small by construction in practice), so the filter is a
+    // map-only projection that runs unchanged over a readStream
+    // micro-batch — the stream-static ingest gate (see StreamOpsSpec).
+    q("x16_decon_survivors",
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+        |    for i in range(1, greatest(len(string_split(text,' ')) - 1, 2))]) AS s
+        |  FROM documents),
+        |ev AS (SELECT list_distinct(flatten(list(s))) AS es FROM sh WHERE doc_id % 29 = 0)
+        |SELECT doc_id, CAST(len(list_intersect(s, es)) AS BIGINT) AS n_shared
+        |FROM sh CROSS JOIN ev
+        |WHERE doc_id % 29 <> 0 AND len(list_intersect(s, es)) < 3
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val evalSh = docs.filter(col("doc_id") % 29 === 0)
+        .select(explode(shingles(col("text"), 3)).as("g"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      deconSurvivors(docs.filter(col("doc_id") % 29 =!= 0), evalSh, 3)
+        .orderBy("doc_id")
+    },
   )
 }

@@ -128,4 +128,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(landed.count() == batch.count())
     assert(canon(landed.selectExpr(cols: _*)) == canon(batch.selectExpr(cols: _*)))
   }
+
+  test("stream-static decontamination gate equals the batch x16 result") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val evalSh = docs.filter(col("doc_id") % 29 === 0)
+      .select(explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    // stage the documents file as a stream source directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val docStream = spark.readStream
+      .schema(docs.schema).parquet(dir.toString)
+      .filter(col("doc_id") % 29 =!= 0)
+    // map-only filter → append mode with zero state
+    val streamed = runStream(
+      graft.functions.TextFunctions.deconSurvivors(docStream, evalSh, 3),
+      "decon_gate", mode = "append")
+    val batch = graft.SparkEntry.queries("x16_decon_survivors")(spark, sfDir)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
 }
