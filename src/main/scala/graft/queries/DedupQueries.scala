@@ -147,13 +147,20 @@ object DedupQueries {
       var labels = und.select(col("u").as("doc_id")).distinct()
         .withColumn("label", col("doc_id"))
         .localCheckpoint()
+      // convergence check via the label sum: propagate only ever lowers a
+      // label (min of self and neighbors), so the sum is stationary iff
+      // no label changed — a cheap aggregate instead of a change-join
+      def labelSum(l: org.apache.spark.sql.DataFrame): Long =
+        l.agg(sum("label")).head.getLong(0)
+      var prevSum = labelSum(labels)
       var converged = false
       var outer = 0
       while (!converged && outer < 7) {
         val next = Iterator.iterate(labels)(propagate).drop(3).next()
           .localCheckpoint()
-        converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-          .filter(col("label") =!= col("old")).isEmpty
+        val nextSum = labelSum(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
         labels = next
         outer += 1
       }

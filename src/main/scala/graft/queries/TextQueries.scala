@@ -442,5 +442,35 @@ object TextQueries {
       deconSurvivors(docs.filter(col("doc_id") % 29 =!= 0), evalSh, 3)
         .orderBy("doc_id")
     },
+
+    // Within-document repetition (the Gopher-style rep filter): fraction
+    // of duplicate word bigrams per doc — high values flag boilerplate
+    // and degenerate generations. Unlike d7 (cross-corpus duplicated
+    // spans), this is a purely intra-row signal: map-only, no shuffle,
+    // linear at any corpus size.
+    q("x17_repetition",
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |         [array_to_string(string_split(text,' ')[i:i+1], ' ')
+        |           for i in range(1, greatest(len(string_split(text,' ')), 2))] AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(b) AS BIGINT) AS n_bigrams,
+        |       CAST(len(list_distinct(b)) AS BIGINT) AS n_distinct,
+        |       round(1.0 - len(list_distinct(b)) * 1.0 / len(b), 4) AS dup_frac
+        |FROM bg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ts = tokens(col("text"))
+      val bigrams = transform(
+        sequence(lit(1), greatest(size(ts) - 1, lit(1))),
+        i => array_join(slice(ts, i, lit(2)), " "))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), bigrams.as("b"))
+        .select(col("doc_id"),
+          size(col("b")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("b"))).cast("long").as("n_distinct"))
+        .withColumn("dup_frac",
+          round(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_bigrams"), 4))
+        .orderBy("doc_id")
+    },
   )
 }
