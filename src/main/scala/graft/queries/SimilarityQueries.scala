@@ -302,5 +302,26 @@ object SimilarityQueries {
         .agg(min("va").as("canonical_id"), min("cluster").as("cluster"))
         .orderBy("dropped_id")
     },
+
+    // MMR diverse top-k (operators.Mmr): relevance = cosine to the
+    // vec_id-0 probe; each greedy round is one distributed TakeOrdered
+    // with the selected vectors as plan literals. rows-only: the greedy
+    // argmax chain isn't SQL-expressible; SimilaritySpec asserts
+    // determinism, the first-pick identity, and that the MMR set is
+    // strictly more diverse than the plain top-k.
+    qRowsOnly("v7_mmr_topk") { (s, dir) =>
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val corpus = e.filter(col("vec_id") > 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("embedding"),
+          cosineSim(col("embedding"), col("qe")).as("rel"))
+      graft.operators.Mmr.select(corpus, col("rel"), col("embedding"),
+          col("vec_id"), k = 8, lambda = 0.7,
+          sim = (a, b) => cosineSim(a, b))
+        .orderBy("rnk")
+    },
   )
 }

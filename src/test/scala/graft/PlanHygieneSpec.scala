@@ -28,6 +28,7 @@ class PlanHygieneSpec extends SparkSpec {
     "x13_bm25"              -> "1-row corpus-stats scalar",
     "x15_domain_mix"        -> "1-row budget/weight scalar",
     "v6_semdedup"           -> "k-row centroid table",
+    "v7_mmr_topk"           -> "1-row probe vector (greedy rounds are TakeOrdered scans)",
     "v1_cosine_topk"        -> "8-row query-vector table (corpus scanned once map-side)",
     "v4_ann_ivf_topk"       -> "nCells-row trained-centroid table",
     "w17_funnel"            -> "1-row stage-count scalars (conversion-rate join)",

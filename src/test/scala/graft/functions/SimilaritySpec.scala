@@ -121,4 +121,36 @@ class SimilaritySpec extends SparkSpec {
       .count()
     assert(bad == 0L, s"$bad reported pairs fall below the cosine gate")
   }
+
+  test("v7 MMR: deterministic, relevance-first, more diverse than plain top-k") {
+    val run1 = graft.SparkEntry.queries("v7_mmr_topk")(spark, sfDir).collect()
+    val run2 = graft.SparkEntry.queries("v7_mmr_topk")(spark, sfDir).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq, "MMR not deterministic")
+    assert(run1.length == 8)
+    // with no penalty yet, the first pick must be the plain relevance argmax
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val scored = e.filter(col("vec_id") > 0).crossJoin(probe)
+      .select(col("vec_id"), col("embedding"), cosine(col("embedding"), col("qe")).as("rel"))
+    val top = scored.orderBy(desc("rel"), col("vec_id")).limit(8).collect()
+    assert(run1.head.getLong(1) == top.head.getLong(0), "first MMR pick is not the argmax")
+    // diversity: mean pairwise cosine within the MMR set must not exceed
+    // the plain top-k's (top-k of one probe clusters tightly; MMR spreads)
+    def meanPairwiseCos(ids: Seq[Long]): Double = {
+      val vecs = e.filter(col("vec_id").isin(ids: _*))
+        .select("embedding").collect().map(_.getSeq[Float](0))
+      val sims = for (i <- vecs.indices; j <- i + 1 until vecs.length) yield {
+        val (a, b) = (vecs(i), vecs(j))
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        dot / (na * nb)
+      }
+      sims.sum / sims.length
+    }
+    val mmrCos = meanPairwiseCos(run1.map(_.getLong(1)).toSeq)
+    val topCos = meanPairwiseCos(top.map(_.getLong(0)).toSeq)
+    assert(mmrCos <= topCos + 1e-9,
+      s"MMR set (mean cos $mmrCos) not more diverse than top-k (mean cos $topCos)")
+  }
 }
