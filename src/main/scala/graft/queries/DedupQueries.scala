@@ -151,7 +151,7 @@ object DedupQueries {
       // label (min of self and neighbors), so the sum is stationary iff
       // no label changed — a cheap aggregate instead of a change-join
       def labelSum(l: org.apache.spark.sql.DataFrame): Long =
-        l.agg(sum("label")).head.getLong(0)
+        l.agg(coalesce(sum("label"), lit(0L))).head.getLong(0) // empty edge set → 0, not null
       var prevSum = labelSum(labels)
       var converged = false
       var outer = 0
