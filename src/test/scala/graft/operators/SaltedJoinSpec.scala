@@ -46,4 +46,13 @@ class SaltedJoinSpec extends SparkSpec {
       saltBy = col("l_orderkey"), salts = 1)
     assert(one.count() == li.count())
   }
+
+  test("result is invariant across salt counts") {
+    val expected = li.count()
+    for (s <- Seq(2, 3, 5, 16)) {
+      val n = SaltedJoin.inner(li, stats, Seq("l_returnflag"),
+        saltBy = col("l_orderkey"), salts = s).count()
+      assert(n == expected, s"salts=$s changed the result cardinality: $n != $expected")
+    }
+  }
 }

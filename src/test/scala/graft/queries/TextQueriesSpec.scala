@@ -102,4 +102,22 @@ class TextQueriesSpec extends SparkSpec {
       .count()
     assert(manual == r0.getAs[Long]("n_kept"), s"kept recount mismatch for ${r0}")
   }
+
+  test("x16 gate: raising the threshold only admits more survivors") {
+    import graft.functions.TextFunctions
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val evalSh = docs.filter(col("doc_id") % 29 === 0)
+      .select(explode(TextFunctions.shingles(col("text"), 3)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val train = docs.filter(col("doc_id") % 29 =!= 0)
+    def survivors(t: Int): Map[Long, Long] =
+      TextFunctions.deconSurvivors(train, evalSh, t).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val strict = survivors(3)
+    val loose = survivors(5)
+    assert(strict.keySet.subsetOf(loose.keySet),
+      s"monotonicity broken: ${strict.keySet -- loose.keySet}")
+    // n_shared is a property of the doc, not of the threshold
+    strict.foreach { case (id, n) => assert(loose(id) == n, s"n_shared drifted for $id") }
+  }
 }
