@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.BdbQueries.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.DedupQueries.defs ++
-    graft.queries.SimilarityQueries.defs
+    graft.queries.SimilarityQueries.defs ++
+    graft.queries.PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-schema rollup: revenue per region × order priority, with rank of

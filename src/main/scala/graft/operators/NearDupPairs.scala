@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact J ≥ 0.7 near-dup pairs over a shingled frame `(doc_id, s)` via
+  * hashed PPJoin-style prefix filtering (reference dedups by full-text
+  * equality only; this is the corpus-scale generalization).
+  *
+  * Shingles hash to 64-bit keys (string equality ⇔ hash equality up to a
+  * ~n²/2⁶⁵ collision), each doc sorts its hash set (any shared total order
+  * works) and indexes only the first L − ⌈0.7·L⌉ + 1 — two docs with
+  * J ≥ 0.7 MUST share a prefix element (prefix-filter theorem), so the
+  * candidate join touches ~30% of the inverted index at ~10% of the naive
+  * candidate volume. Size-ratio prune (min/max ≥ 0.7) inside the join,
+  * exact Jaccard on the full hash sets afterwards. Never materializes the
+  * O(n²) cross product: the join shuffles on uniform 8-byte hash keys.
+  *
+  * Returns (doc_a, doc_b, jraw) with doc_a < doc_b and jraw ≥ 0.7.
+  */
+object NearDupPairs {
+
+  def over(shingled: DataFrame): DataFrame = {
+    val sh = shingled
+      .select(col("doc_id"), sort_array(transform(col("s"), xxhash64(_))).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .cache()
+    val inv = sh.select(col("doc_id"), col("sz"),
+      explode(slice(col("hs"), lit(1),
+        (col("sz") - ceil(col("sz") * 0.7) + 1).cast("int"))).as("sh_h"))
+    val cand = inv.as("a")
+      .join(inv.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz") * lit(10) >= col("b.sz") * 7 &&
+        col("b.sz") * lit(10) >= col("a.sz") * 7)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("sz").as("sza")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("sz").as("szb")), "doc_b")
+      .withColumn("c", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jraw", col("c").cast("double") / (col("sza") + col("szb") - col("c")))
+      .filter(col("jraw") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("jraw"))
+  }
+}

@@ -44,30 +44,10 @@ object DedupQueries {
       .select(col("doc_id"), shingles(col("text"), 3).as("s"))
 
   /** Exact J ≥ 0.7 near-dup pairs via hashed prefix filtering (the d2
-    * pipeline, factored for reuse by the cluster-resolution step). */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
-      .select(col("doc_id"), sort_array(transform(col("s"), xxhash64(_))).as("hs"))
-      .withColumn("sz", size(col("hs")))
-      .cache()
-    val inv = sh.select(col("doc_id"), col("sz"),
-      explode(slice(col("hs"), lit(1),
-        (col("sz") - ceil(col("sz") * 0.7) + 1).cast("int"))).as("sh_h"))
-    val cand = inv.as("a")
-      .join(inv.as("b"),
-        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id") &&
-        col("a.sz") * lit(10) >= col("b.sz") * 7 &&
-        col("b.sz") * lit(10) >= col("a.sz") * 7)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("sz").as("sza")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("sz").as("szb")), "doc_b")
-      .withColumn("c", size(array_intersect(col("ha"), col("hb"))))
-      .withColumn("jraw", col("c").cast("double") / (col("sza") + col("szb") - col("c")))
-      .filter(col("jraw") >= 0.7)
-      .select(col("doc_a"), col("doc_b"), col("jraw"))
-  }
+    * pipeline, factored into operators.NearDupPairs for reuse by the
+    * cluster-resolution step and the x18 corpus pipeline). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDupPairs.over(shingled(s, dir))
 
   val defs: Seq[QueryDef] = Seq(
 

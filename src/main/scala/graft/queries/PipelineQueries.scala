@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end pretraining-corpus pipeline: every cleaning stage the
+  * engine provides, composed in the order a production corpus build runs
+  * them (builder prompt; stages are the x-family operators):
+  *
+  *   raw → language gate (x2) → quality gates (x3/x17) → exact dedup (d1)
+  *       → near-dedup (d2's prefix-filter pairs) → decontamination (x16)
+  *       → token packing (x8)
+  *
+  * x18 emits the surviving corpus with its pack assignment (per-doc rows —
+  * the strongest cross-engine check); x19 emits the per-stage funnel
+  * report (docs + tokens after each stage) a pipeline operator watches.
+  *
+  * Scale shape at 100 TB: the language/quality gates are map-only over the
+  * scan; exact dedup is one shuffle on a 128-bit digest; near-dedup is the
+  * prefix-filtered inverted-index join (uniform 8-byte keys, never O(n²) —
+  * swap in d3's LSH banding above ~10⁹ docs, detection ≈1 at J ≥ 0.7);
+  * decontamination is a map-only filter against a plan-literal benchmark
+  * set; packing is a per-source window, never global. Every gate uses
+  * INTEGER threshold arithmetic (n_stop·50 ≥ n_tokens etc.), so no float
+  * boundary can flip a keep/drop decision between engines.
+  */
+object PipelineQueries {
+
+  /** Shared DuckDB CTE chain replicating each stage. */
+  private val stageCte = {
+    val stopList = langProfiles.head._2.map("'" + _ + "'").mkString(",")
+    val scoreList = langProfiles.map { case (_, ws) =>
+      s"len(list_filter(ts, x -> x IN (${ws.map("'" + _ + "'").mkString(",")})))"
+    }.mkString(",\n    ")
+    val codeList = langProfiles.map("'" + _._1 + "'").mkString(",")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text, string_split(text, ' ') AS ts FROM documents),
+       |feat AS (
+       |  SELECT doc_id, source, text, ts, len(ts) AS n_tokens,
+       |         len(list_filter(ts, x -> x IN ($stopList))) AS n_stop,
+       |         list_reduce(list_prepend(0::BIGINT,
+       |           list_transform(ts, x -> CAST(length(x) AS BIGINT))),
+       |           (a, b) -> a + b) AS sum_len,
+       |         [$scoreList] AS scores,
+       |         [array_to_string(ts[i:i+1], ' ')
+       |           for i in range(1, greatest(len(ts), 2))] AS bg
+       |  FROM t),
+       |s1 AS (
+       |  SELECT * FROM feat
+       |  WHERE [$codeList][list_position(scores, list_max(scores))] = 'en'),
+       |s2 AS (
+       |  SELECT * FROM s1
+       |  WHERE n_tokens >= 10
+       |    AND n_stop * 50 >= n_tokens
+       |    AND sum_len >= 3 * n_tokens AND sum_len <= 12 * n_tokens
+       |    AND (len(bg) - len(list_distinct(bg))) * 10 <= 3 * len(bg)),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+       |s3 AS (SELECT s2.* FROM s2 JOIN keepers USING (doc_id)),
+       |sh3 AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         list_distinct([array_to_string(ts[i:i+2], ' ')
+       |           for i in range(1, greatest(len(ts) - 1, 2))]) AS s
+       |  FROM s3),
+       |nd AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+       |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+       |s4 AS (SELECT * FROM sh3 WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+       |ev AS (
+       |  SELECT list_distinct(flatten(list(list_distinct(
+       |           [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+       |             for i in range(1, greatest(len(string_split(text, ' ')) - 1, 2))])))) AS es
+       |  FROM documents WHERE doc_id % 29 = 0),
+       |s5 AS (
+       |  SELECT s4.doc_id, s4.source, s4.n_tokens
+       |  FROM s4 CROSS JOIN ev WHERE len(list_intersect(s4.s, es)) < 3)""".stripMargin
+  }
+
+  /** Spark stage frames (raw-features, lang, quality, exact, neardup,
+    * decon), built once and shared by x18/x19. The near-dup drop rule is
+    * greedy-by-id: a doc is dropped when ANY lower-id survivor is a
+    * J ≥ 0.7 near-dup (same rule on both engines; full transitive
+    * clustering is d5's job). */
+  private def stages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val docs = Tables.load(s, dir, "documents")
+    val ts = tokens(col("text"))
+    val bigrams = transform(sequence(lit(1), greatest(size(ts) - 1, lit(1))),
+      i => array_join(slice(ts, i, lit(2)), " "))
+    val stops = langProfiles.head._2
+    val feat = docs.select(col("doc_id"), col("source"), col("text"),
+      size(ts).cast("long").as("n_tokens"),
+      size(filter(ts, t => t.isin(stops.map(lit(_)): _*))).cast("long").as("n_stop"),
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+      langId(col("text")).as("pred"),
+      bigrams.as("bg"))
+    val s1 = feat.filter(col("pred") === "en")
+    val s2 = s1.filter(
+      col("n_tokens") >= 10 &&
+      col("n_stop") * 50 >= col("n_tokens") &&
+      col("sum_len") >= col("n_tokens") * 3 &&
+      col("sum_len") <= col("n_tokens") * 12 &&
+      (size(col("bg")).cast("long") - size(array_distinct(col("bg"))).cast("long")) * 10
+        <= size(col("bg")).cast("long") * 3)
+    val keepers = s2
+      .groupBy(md5(col("text").cast("binary")).as("digest"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val s3 = s2.join(keepers, Seq("doc_id"), "left_semi")
+    val sh3 = s3
+      .select(col("doc_id"), col("source"), col("n_tokens"), shingles(col("text"), 3).as("s"))
+      .cache()
+    val nd = graft.operators.NearDupPairs.over(sh3.select("doc_id", "s"))
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s4 = sh3.join(nd, Seq("doc_id"), "left_anti")
+    // benchmark set: collected once at plan build (small by construction —
+    // a held-out eval set, not a corpus slice, in production)
+    val evalSh = docs.filter(col("doc_id") % 29 === 0)
+      .select(explode(shingles(col("text"), 3)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val s5 = s4.filter(size(array_intersect(col("s"), typedLit(evalSh))) < 3)
+      .select("doc_id", "source", "n_tokens")
+    Seq("0_raw" -> feat, "1_lang" -> s1, "2_quality" -> s2,
+        "3_exact" -> s3, "4_neardup" -> s4, "5_decon" -> s5)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("x18_pretrain_pipeline",
+      s"""$stageCte,
+         |pk AS (
+         |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM s5)
+         |SELECT doc_id, source, n_tokens,
+         |       CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+         |FROM pk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val s5 = stages(s, dir).last._2
+      s5.withColumn("cum", sum("n_tokens").over(
+          Window.partitionBy("source").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / lit(512.0)).cast("long").as("pack_id"))
+        .orderBy("doc_id")
+    },
+
+    q("x19_pipeline_funnel",
+      s"""$stageCte
+         |SELECT * FROM (
+         |  SELECT '0_raw' AS stage, count(*) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM feat
+         |  UNION ALL SELECT '1_lang', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s1
+         |  UNION ALL SELECT '2_quality', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s2
+         |  UNION ALL SELECT '3_exact', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s3
+         |  UNION ALL SELECT '4_neardup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s4
+         |  UNION ALL SELECT '5_decon', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s5)
+         |ORDER BY stage""".stripMargin) { (s, dir) =>
+      stages(s, dir).map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      }.reduce(_ unionByName _).orderBy("stage")
+    },
+  )
+}
