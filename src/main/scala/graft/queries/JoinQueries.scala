@@ -335,5 +335,28 @@ object JoinQueries {
         .select("l_orderkey", "l_linenumber", "l_partkey", "n_flag")
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")
     },
+
+    // J16 — bloom-pruned semi join (operators.BloomPrune): lineitem
+    // against the selective set of urgent high-value orders. The Bloom
+    // filter drops ~97% of lineitem MAP-SIDE before the semi join's
+    // shuffle; false positives are removed by the exact semi join, so
+    // the oracle is the plain IN-subquery. The manual form of runtime
+    // row-level filtering, for when selectivity is known to the caller
+    // but not provable by the optimizer.
+    q("j16_bloom_semi",
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT'
+        |                       AND o_totalprice > 200000)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val sel = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
+      graft.operators.BloomPrune.semiJoin(li, "l_orderkey", sel, "o_orderkey",
+          expectedItems = 100000L)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
   )
 }

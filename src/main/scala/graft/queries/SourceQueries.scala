@@ -31,6 +31,26 @@ object SourceQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // S18 — Z-order clustered layout (operators.ZOrder): events written
+    // along the Morton curve of (user_id, value), then a box predicate
+    // read back from the clustered files. The oracle is the same filter
+    // on the original table — layout never changes results, only which
+    // files a selective scan must touch (ZOrderSpec measures the
+    // pruning; at 100 TB this is the difference between reading ~4% and
+    // 100% of the table for a 2-dim selective query).
+    q("s18_zorder_skip",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id BETWEEN 2 AND 6 AND value BETWEEN 50 AND 150
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val path = scratch(s, dir, "s18")
+      val e = Tables.load(s, dir, "events").select("event_id", "user_id", "value")
+      graft.operators.ZOrder.cluster(e, "user_id", "value")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("user_id").between(2, 6) && col("value").between(50, 150))
+        .orderBy("event_id")
+    },
+
     // S1 + S9 — CSV sink then CSV scan with EXPLICIT schema (inference is
     // nondeterministic at scale; DatabaseCreation.R:14-35 infers, we pin)
     q("s1_csv_roundtrip",
