@@ -35,4 +35,36 @@ object ArrayOps {
     * rowSums, cover_threshold.R:11). */
   def rowSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double"))
+
+  /** JVM fast path for SQ8 scalar quantization: per-vector absmax scale
+    * to signed-byte range. One compiled loop per row — the interpreted
+    * HOF formulation (aggregate + transform lambdas) boxes every element
+    * through Catalyst's lambda evaluator and was the v5 bench hotspot
+    * (12.8 s → sub-second at sf0.1). */
+  val sq8Quantize = udf { (emb: Seq[Float]) =>
+    var mx = 1e-30
+    var i = 0
+    val n = emb.length
+    val arr = new Array[Float](n)
+    while (i < n) { arr(i) = emb(i); val a = math.abs(arr(i)); if (a > mx) mx = a; i += 1 }
+    val scale = mx / 127.0
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) { out(i) = math.round(arr(i) / scale); i += 1 }
+    out
+  }
+
+  /** Compiled int8 cosine: dot/(‖a‖·‖b‖) over two quantized vectors in
+    * one loop (companion of sq8Quantize). */
+  val sq8Cosine = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na.toDouble * nb.toDouble)
+  }
 }

@@ -29,12 +29,26 @@ object TextFunctions {
     * dropped when its total overlap with the whole benchmark reaches
     * the threshold — strictly more conservative. */
   def deconSurvivors(docs: org.apache.spark.sql.DataFrame,
-                     evalShingles: Seq[String], minShared: Int): org.apache.spark.sql.DataFrame =
+                     evalShingles: Seq[String], minShared: Int): org.apache.spark.sql.DataFrame = {
+    val overlap = overlapCounter(docs.sparkSession, evalShingles)
     docs
-      .withColumn("n_shared",
-        size(array_intersect(shingles(col("text"), 3), typedLit(evalShingles))).cast("long"))
+      .withColumn("n_shared", overlap(shingles(col("text"), 3)))
       .filter(col("n_shared") < minShared)
       .select(col("doc_id"), col("n_shared"))
+  }
+
+  /** Distinct-overlap count against a broadcast benchmark shingle set:
+    * one shared hash set per executor, O(|doc shingles|) per row. The
+    * previous plan-literal `array_intersect(s, typedLit(es))` rebuilt a
+    * hash set of the WHOLE benchmark per row (O(|es|) each — 18 s at
+    * sf0.1 for x16; this form is ~1 s). Input arrays are pre-distinct
+    * (shingles()), so membership count = distinct intersection size. */
+  def overlapCounter(spark: org.apache.spark.sql.SparkSession,
+                     evalShingles: Seq[String]): Column => Column = {
+    val bc = spark.sparkContext.broadcast(evalShingles.toSet)
+    val f = udf((s: Seq[String]) => if (s == null) 0L else s.count(bc.value.contains).toLong)
+    (c: Column) => f(c)
+  }
 
   /** Distinct word n-gram shingles (space-joined), the dedup unit.
     * Floor of 1, not 0: Spark `sequence(1, 0)` DESCENDS to [1, 0], which

@@ -121,5 +121,28 @@ object MLQueries {
         .na.fill(0L, Seq("n_train", "n_test"))
         .orderBy("label")
     },
+
+    // M12 — PCA dimensionality reduction over the embedding corpus:
+    // top-8 principal components' explained-variance spectrum. The
+    // embedding-compression step before ANN indexing or clustering.
+    // rows-only (SVD isn't SQL-expressible); MLSpec asserts the
+    // spectrum is a decreasing probability distribution and that the
+    // projection preserves the total variance of the kept subspace.
+    // Scale shape: Spark ML's PCA reduces to one treeAggregate of the
+    // 64×64 Gramian (map-side partial sums, dimension² driver state —
+    // independent of row count), then a local eigendecomposition.
+    qRowsOnly("m10_pca") { (s, dir) =>
+      import org.apache.spark.ml.feature.PCA
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(array_to_vector(col("embedding")).as("features"))
+      val model = new PCA().setInputCol("features").setOutputCol("pca")
+        .setK(8).fit(emb)
+      import s.implicits._
+      model.explainedVariance.toArray.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toSeq
+        .toDF("component", "explained_variance")
+        .orderBy("component")
+    },
   )
 }

@@ -121,7 +121,8 @@ object PipelineQueries {
     val evalSh = docs.filter(col("doc_id") % 29 === 0)
       .select(explode(shingles(col("text"), 3)).as("g"))
       .distinct().collect().map(_.getString(0)).toSeq
-    val s5 = s4.filter(size(array_intersect(col("s"), typedLit(evalSh))) < 3)
+    val overlap = overlapCounter(s, evalSh) // broadcast set, O(|s|)/row
+    val s5 = s4.filter(overlap(col("s")) < 3)
       .select("doc_id", "source", "n_tokens")
     Seq("0_raw" -> feat, "1_lang" -> s1, "2_quality" -> s2,
         "3_exact" -> s3, "4_neardup" -> s4, "5_decon" -> s5)

@@ -197,24 +197,17 @@ object SimilarityQueries {
     qRowsOnly("v5_ann_sq8_topk") { (s, dir) =>
       graft.plans.GraftExtensions.install(s)
       val e = Tables.load(s, dir, "embeddings")
-      def quantized(emb: Column): Column = {
-        val scale = greatest(
-          aggregate(emb, lit(0.0), (a, x) => greatest(a, abs(x.cast("double")))),
-          lit(1e-30)) / 127.0
-        transform(emb, x => round(x.cast("double") / scale, 0).cast("long"))
-      }
-      def intDot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
-      def intNorm(a: Column): Column =
-        sqrt(aggregate(transform(a, x => x * x), lit(0L), _ + _).cast("double"))
-      val corpus = e.select(col("vec_id"), quantized(col("embedding")).as("cq"))
-        .withColumn("cn", intNorm(col("cq")))
+      // compiled one-loop-per-row quantize + int cosine (ArrayOps.sq8*):
+      // the HOF formulation (aggregate/zip_with lambdas) ran interpreted
+      // and dominated the bench at 12.8 s/sf0.1
+      val corpus = e.select(col("vec_id"),
+        graft.functions.ArrayOps.sq8Quantize(col("embedding")).as("cq"))
       val probes = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), quantized(col("embedding")).as("qq"))
-        .withColumn("qn", intNorm(col("qq")))
+        .select(col("vec_id").as("query_id"),
+          graft.functions.ArrayOps.sq8Quantize(col("embedding")).as("qq"))
       val approx = corpus.join(broadcast(probes), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          (intDot(col("cq"), col("qq")) / (col("cn") * col("qn"))).as("approx"))
+          graft.functions.ArrayOps.sq8Cosine(col("cq"), col("qq")).as("approx"))
       val cand = graft.operators.GroupTopK
         .topK(approx, Seq("query_id"), "approx", "vec_id", k = 20)
         .select(col("query_id"), col("vec_id").as("neighbor_id"))

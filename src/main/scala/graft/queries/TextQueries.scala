@@ -472,5 +472,28 @@ object TextQueries {
           round(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_bigrams"), 4))
         .orderBy("doc_id")
     },
+
+    // The BPE-training merge step: frequency of every ADJACENT token
+    // pair across the corpus, top-20 — each BPE iteration merges the
+    // argmax pair and recounts. Scale shape: explode is map-side; the
+    // count shuffles on the pair string (near-uniform — natural-language
+    // pair frequencies are Zipfian but the hot key is bounded by corpus
+    // token count, and partial aggregation collapses it map-side);
+    // top-20 runs as TakeOrderedAndProject, never a global sort.
+    q("x20_bpe_pairs",
+      """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |p AS (SELECT unnest([ts[i] || ' ' || ts[i+1]
+        |                     for i in range(1, len(ts))]) AS pair FROM t)
+        |SELECT pair, count(*) AS freq FROM p GROUP BY pair
+        |ORDER BY freq DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      val ts = tokens(col("text"))
+      Tables.load(s, dir, "documents")
+        .filter(size(ts) >= 2) // Spark sequence(1, 0) would DESCEND
+        .select(explode(transform(sequence(lit(1), size(ts) - 1),
+          i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("pair"))
+        .limit(20)
+    },
   )
 }

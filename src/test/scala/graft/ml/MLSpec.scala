@@ -119,4 +119,16 @@ class MLSpec extends SparkSpec {
     assert(gbt("ovr_gbt_accuracy") >= lr("accuracy") - 0.05,
       s"gbt=${gbt("ovr_gbt_accuracy")} lr=${lr("accuracy")}")
   }
+
+  test("PCA explained-variance spectrum is a decreasing sub-distribution") {
+    val spectrum = graft.SparkEntry.queries("m10_pca")(spark, sfDir)
+      .collect().map(_.getDouble(1))
+    assert(spectrum.length == 8)
+    spectrum.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-12, s"variance spectrum not decreasing: $a < $b") }
+    assert(spectrum.forall(v => v >= 0 && v <= 1))
+    assert(spectrum.sum <= 1.0 + 1e-9)
+    // 64 symmetric dims: top-8 should still capture a nontrivial share
+    assert(spectrum.sum > 8.0 / 64 * 0.5, s"top-8 share ${spectrum.sum}")
+  }
 }
