@@ -97,6 +97,7 @@ object PipelineQueries {
       aggregate(ts, lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
       langId(col("text")).as("pred"),
       bigrams.as("bg"))
+      .cache() // x19 aggregates 3 stages over this frame; x18 re-walks it
     val s1 = feat.filter(col("pred") === "en")
     val s2 = s1.filter(
       col("n_tokens") >= 10 &&
