@@ -478,5 +478,68 @@ object SourceQueries {
             .as("total"))
         .orderBy("user_id")
     },
+
+    // S19 — SCD2 dimension build (slowly-changing dimension, type 2):
+    // two snapshot versions of the orders dimension (v1 reprices ~10% of
+    // keys and adds a slice of new keys — s13's deterministic change
+    // feed) become validity-interval rows (eff_from, eff_to, is_current):
+    // one row per key per VALUE EPOCH, new row only where the value
+    // actually changed. The union + per-key lag-filter + lead shape is
+    // one shuffle on the key; at 100 TB each snapshot delta is small and
+    // the window partitions by key — never global. Money math stays in
+    // exact DECIMAL (s13's pattern); the output price is a terminal
+    // decimal-to-double cast.
+    q("s19_scd2",
+      """WITH v0 AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,2)) AS price,
+        |         0 AS version
+        |  FROM orders),
+        |v1 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 100 < 10
+        |              THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.05, 2)
+        |                        AS DECIMAL(38,2))
+        |              ELSE CAST(o_totalprice AS DECIMAL(38,2)) END AS price,
+        |         1 AS version
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, CAST(o_totalprice AS DECIMAL(38,2)), 1
+        |  FROM orders WHERE o_orderkey % 100 >= 95),
+        |u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1),
+        |ch AS (
+        |  SELECT *, lag(price) OVER (PARTITION BY o_orderkey ORDER BY version) AS prev
+        |  FROM u),
+        |scd AS (
+        |  SELECT o_orderkey, price, version AS eff_from,
+        |         lead(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS eff_to
+        |  FROM ch WHERE prev IS NULL OR price <> prev)
+        |SELECT o_orderkey, CAST(price AS DOUBLE) AS price, eff_from, eff_to,
+        |       eff_to IS NULL AS is_current
+        |FROM scd ORDER BY o_orderkey, eff_from""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.load(s, dir, "orders")
+      val v0 = o.select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(38,2)").as("price"), lit(0).as("version"))
+      val v1 = o.select(col("o_orderkey"),
+          when(col("o_orderkey") % 100 < 10,
+            // SQL literal 1.05 is DECIMAL(3,2): exact decimal multiply
+            // (the DSL's `* 1.05` would promote to an inexact double)
+            expr("CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.05, 2) AS DECIMAL(38,2))"))
+            .otherwise(col("o_totalprice").cast("decimal(38,2)")).as("price"),
+          lit(1).as("version"))
+        .unionByName(o.filter(col("o_orderkey") % 100 >= 95)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice").cast("decimal(38,2)").as("price"),
+            lit(1).as("version")))
+      val w = Window.partitionBy("o_orderkey").orderBy("version")
+      v0.unionByName(v1)
+        .withColumn("prev", lag("price", 1).over(w))
+        .filter(col("prev").isNull || col("price") =!= col("prev"))
+        .withColumn("eff_to", lead("version", 1).over(w))
+        .select(col("o_orderkey"), col("price").cast("double").as("price"),
+          col("version").as("eff_from"), col("eff_to"),
+          col("eff_to").isNull.as("is_current"))
+        .orderBy("o_orderkey", "eff_from")
+    },
   )
 }

@@ -25,4 +25,23 @@ class SourceQueriesSpec extends SparkSpec {
     assert(scan.contains("l_returnflag"), scan)
     assert(df.count() > 0)
   }
+
+  test("scd2 intervals are contiguous with exactly one current row per key") {
+    val scd = graft.SparkEntry.queries("s19_scd2")(spark, sfDir).cache()
+    // exactly one open interval per key
+    val multiCurrent = scd.filter(col("is_current"))
+      .groupBy("o_orderkey").count().filter(col("count") =!= 1)
+    assert(multiCurrent.count() == 0)
+    // closed intervals chain into the next epoch: eff_to == next eff_from
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderkey").orderBy("eff_from")
+    val broken = scd.withColumn("next_from", lead("eff_from", 1).over(w))
+      .filter(col("eff_to").isNotNull && col("eff_to") =!= col("next_from"))
+    assert(broken.count() == 0)
+    // a repriced key (o_orderkey % 100 < 10) carries two epochs
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    val repriced = orders.filter(col("o_orderkey") % 100 < 10).count()
+    val twoEpoch = scd.groupBy("o_orderkey").count().filter(col("count") === 2).count()
+    assert(twoEpoch == repriced, s"epochs=$twoEpoch repriced=$repriced")
+  }
 }
