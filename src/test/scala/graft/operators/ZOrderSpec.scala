@@ -20,6 +20,16 @@ class ZOrderSpec extends SparkSpec {
     assert(zero == 0L)
   }
 
+  test("interleave is a bijection onto [0, 4^bits) — exhaustive at bits=4") {
+    import spark.implicits._
+    val pairs = for { a <- 0 until 16; b <- 0 until 16 } yield (a, b)
+    val zs = pairs.toDF("a", "b")
+      .select(ZOrder.interleave(col("a"), col("b"), 4).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.distinct.length == 256, "interleave collided")
+    assert(zs.forall(z => z >= 0 && z < 256), "z out of range")
+  }
+
   test("z-clustered layout prunes more files than a random layout for a box predicate") {
     val e = Tables.load(spark, sfDir, "events").select("event_id", "user_id", "value")
     val tmp = System.getProperty("java.io.tmpdir")
