@@ -50,6 +50,19 @@ object TextFunctions {
     (c: Column) => f(c)
   }
 
+  /** Hashed variant for corpus-scale benchmark sets: the set ships as
+    * 8-byte xxhash64 keys (16× smaller broadcast than the strings, for
+    * 3-gram shingles) and the document side hashes its shingles inside
+    * codegen (`transform(s, xxhash64)`). Hash equality stands in for
+    * string equality exactly as in d2/x14 (collision odds ~n²/2⁶⁵).
+    * Takes an `array<long>` column of pre-hashed shingles. */
+  def overlapCounterHashed(spark: org.apache.spark.sql.SparkSession,
+                           evalHashes: Seq[Long]): Column => Column = {
+    val bc = spark.sparkContext.broadcast(evalHashes.toSet)
+    val f = udf((hs: Seq[Long]) => if (hs == null) 0L else hs.count(bc.value.contains).toLong)
+    (c: Column) => f(c)
+  }
+
   /** Distinct word n-gram shingles (space-joined), the dedup unit.
     * Floor of 1, not 0: Spark `sequence(1, 0)` DESCENDS to [1, 0], which
     * would emit a bogus slice-at-0; texts shorter than n yield one

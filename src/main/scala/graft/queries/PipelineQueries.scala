@@ -117,13 +117,16 @@ object PipelineQueries {
     val nd = graft.operators.NearDupPairs.over(sh3.select("doc_id", "s"))
       .select(col("doc_b").as("doc_id")).distinct()
     val s4 = sh3.join(nd, Seq("doc_id"), "left_anti")
-    // benchmark set: collected once at plan build (small by construction —
-    // a held-out eval set, not a corpus slice, in production)
+    // benchmark set: collected once at plan build as 8-byte xxhash64
+    // keys (16× smaller than the strings; hash ⇔ string equality up to
+    // ~n²/2⁶⁵ as in d2/x14). Small by construction in production — a
+    // held-out eval set, not a corpus slice.
     val evalSh = docs.filter(col("doc_id") % 29 === 0)
       .select(explode(shingles(col("text"), 3)).as("g"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val overlap = overlapCounter(s, evalSh) // broadcast set, O(|s|)/row
-    val s5 = s4.filter(overlap(col("s")) < 3)
+      .select(xxhash64(col("g")).as("h"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val overlap = overlapCounterHashed(s, evalSh) // broadcast set, O(|s|)/row
+    val s5 = s4.filter(overlap(transform(col("s"), xxhash64(_))) < 3)
       .select("doc_id", "source", "n_tokens")
     Seq("0_raw" -> feat, "1_lang" -> s1, "2_quality" -> s2,
         "3_exact" -> s3, "4_neardup" -> s4, "5_decon" -> s5)

@@ -480,6 +480,30 @@ object TextQueries {
     // pair frequencies are Zipfian but the hot key is bounded by corpus
     // token count, and partial aggregation collapses it map-side);
     // top-20 runs as TakeOrderedAndProject, never a global sort.
+    // Heavy hitters: every token above 0.5% of total corpus tokens —
+    // the vocabulary-pruning / stopword-mining primitive. The INTEGER
+    // threshold (freq·200 ≥ total) avoids any float boundary. Scale
+    // shape: one count shuffle with map-side partial aggregation, the
+    // 1-row total broadcast back; the sketch path (count-min, never
+    // underestimates — SketchSpec bounds its overestimate) replaces the
+    // exact count when the vocabulary itself no longer fits a shuffle.
+    q("x21_heavy_hitters",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |f AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)
+        |SELECT token, freq FROM f CROSS JOIN tot
+        |WHERE freq * 200 >= n ORDER BY token""".stripMargin) { (s, dir) =>
+      val tok = Tables.load(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      tok.groupBy("token").agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(tot))
+        .filter(col("freq") * 200 >= col("n"))
+        .select("token", "freq")
+        .orderBy("token")
+    },
+
     q("x20_bpe_pairs",
       """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
         |p AS (SELECT unnest([ts[i] || ' ' || ts[i+1]

@@ -34,4 +34,22 @@ class SketchSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(agg(base) == agg(base.repartition(13)))
   }
+
+  test("count-min sketch bounds the exact heavy-hitter counts") {
+    val tok = graft.Tables.load(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .cache()
+    val total = tok.count()
+    val eps = 0.001
+    val cms = tok.stat.countMinSketch("token", eps, 0.99, seed = 42)
+    val exact = graft.SparkEntry.queries("x21_heavy_hitters")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.nonEmpty, "no heavy hitters at this SF")
+    exact.foreach { case (t, freq) =>
+      val est = cms.estimateCount(t)
+      assert(est >= freq, s"CMS underestimated '$t': $est < $freq")
+      assert(est <= freq + (eps * total).toLong,
+        s"CMS overestimate out of bound for '$t': $est vs $freq + ${eps * total}")
+    }
+  }
 }
