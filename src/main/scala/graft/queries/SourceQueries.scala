@@ -479,6 +479,48 @@ object SourceQueries {
         .orderBy("user_id")
     },
 
+    // S20 — schema evolution: a v2 writer adds a column; mergeSchema
+    // reads old and new files as one table, old rows null-filled. The
+    // append-only lake's schema-drift contract: additive columns never
+    // require a rewrite of existing data. (Column pruning still works —
+    // footers are per-file, and files lacking the column skip it.)
+    q("s20_schema_evolution",
+      """SELECT r_regionkey, r_name,
+        |       CASE WHEN r_regionkey < 3 THEN NULL ELSE 'v2' END AS batch_tag
+        |FROM region ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
+      val out = scratch(s, dir, "s20")
+      val r = Tables.load(s, dir, "region")
+      r.filter(col("r_regionkey") < 3).select("r_regionkey", "r_name")
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      r.filter(col("r_regionkey") >= 3)
+        .select(col("r_regionkey"), col("r_name"), lit("v2").as("batch_tag"))
+        .write.mode(SaveMode.Append).parquet(out)
+      s.read.option("mergeSchema", "true").parquet(out)
+        .orderBy("r_regionkey")
+    },
+
+    // S21 — small-file compaction (the OPTIMIZE maintenance pass): a
+    // 64-file fragmented write is compacted to 4 right-sized files;
+    // the oracle proves the rewrite is lossless, the spec counts the
+    // files. At 100 TB compaction is a per-partition repartition job —
+    // no driver bottleneck — and is what keeps scan task counts (and
+    // footer-read overhead) bounded after many incremental appends.
+    q("s21_compaction",
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val frag = scratch(s, dir, "s21frag")
+      val opt = scratch(s, dir, "s21opt")
+      Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .repartition(64) // the incremental-append fragmentation
+        .write.mode(SaveMode.Overwrite).parquet(frag)
+      s.read.parquet(frag)
+        .repartition(4) // the compaction rewrite
+        .write.mode(SaveMode.Overwrite).parquet(opt)
+      s.read.parquet(opt)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // S19 — SCD2 dimension build (slowly-changing dimension, type 2):
     // two snapshot versions of the orders dimension (v1 reprices ~10% of
     // keys and adds a slice of new keys — s13's deterministic change

@@ -26,6 +26,21 @@ class SourceQueriesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("compaction rewrites 64 fragments into 4 files losslessly") {
+    graft.SparkEntry.queries("s21_compaction")(spark, sfDir).collect()
+    val tmp = System.getProperty("java.io.tmpdir")
+    def parts(tag: String): Int = {
+      val d = new java.io.File(
+        s"$tmp/graft_${tag}_${sfDir.hashCode.toHexString}")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(parts("s21frag") == 64)
+    assert(parts("s21opt") == 4)
+    val a = spark.read.parquet(s"$tmp/graft_s21frag_${sfDir.hashCode.toHexString}")
+    val b = spark.read.parquet(s"$tmp/graft_s21opt_${sfDir.hashCode.toHexString}")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("scd2 intervals are contiguous with exactly one current row per key") {
     val scd = graft.SparkEntry.queries("s19_scd2")(spark, sfDir).cache()
     // exactly one open interval per key
