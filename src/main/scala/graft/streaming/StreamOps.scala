@@ -272,4 +272,37 @@ object StreamOps {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Corpus ingest gate: the x18 pipeline's MAP-ONLY stages (language
+    * gate, integer-arithmetic quality gates, hashed-set
+    * decontamination) composed as one stateless projection+filter — the
+    * SAME code runs over a batch frame and a readStream micro-batch
+    * (append mode, zero state, zero shuffle), so documents are cleaned
+    * on arrival and only survivors ever land in the lake. Dedup stages
+    * are deliberately absent: exact/near dedup need corpus-wide state
+    * and run as the batch/incremental passes (d1/d8).
+    * `evalHashes` = xxhash64 of the benchmark's 3-gram shingles. */
+  def ingestGate(docs: DataFrame, evalHashes: Seq[Long]): DataFrame = {
+    import graft.functions.TextFunctions._
+    val ts = tokens(col("text"))
+    val bigrams = transform(sequence(lit(1), greatest(size(ts) - 1, lit(1))),
+      i => array_join(slice(ts, i, lit(2)), " "))
+    val stops = langProfiles.head._2
+    val overlap = overlapCounterHashed(docs.sparkSession, evalHashes)
+    docs
+      .withColumn("n_tokens", size(ts).cast("long"))
+      .withColumn("n_stop",
+        size(filter(ts, t => t.isin(stops.map(lit(_)): _*))).cast("long"))
+      .withColumn("sum_len", aggregate(ts, lit(0L), (acc, t) => acc + length(t)))
+      .withColumn("bg", bigrams)
+      .filter(langId(col("text")) === "en")
+      .filter(col("n_tokens") >= 10 &&
+        col("n_stop") * 50 >= col("n_tokens") &&
+        col("sum_len") >= col("n_tokens") * 3 &&
+        col("sum_len") <= col("n_tokens") * 12 &&
+        (size(col("bg")).cast("long") - size(array_distinct(col("bg"))).cast("long")) * 10
+          <= size(col("bg")).cast("long") * 3)
+      .filter(overlap(transform(shingles(col("text"), 3), xxhash64(_))) < 3)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
 }

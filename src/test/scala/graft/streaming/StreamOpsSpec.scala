@@ -151,4 +151,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(canon(streamed) == canon(batch))
     assert(streamed.count() > 0)
   }
+
+  test("streaming ingest gate equals the batch gate (zero state, append mode)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val evalHashes = docs.filter(col("doc_id") % 29 === 0)
+      .select(explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("g"))
+      .select(xxhash64(col("g")).as("h"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val docStream = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val streamed = runStream(
+      StreamOps.ingestGate(docStream, evalHashes), "ingest_gate", mode = "append")
+    val batch = StreamOps.ingestGate(docs, evalHashes)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+    assert(streamed.count() < docs.count(), "gate must drop something")
+  }
 }
