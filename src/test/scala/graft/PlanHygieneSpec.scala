@@ -34,6 +34,7 @@ class PlanHygieneSpec extends SparkSpec {
     "w17_funnel"            -> "1-row stage-count scalars (conversion-rate join)",
     "a16_global_scalars"    -> "1-row scalar join",
     "s16_snapshot_diff"     -> "1-row snapshot-version scalar",
+    "x21_heavy_hitters"     -> "1-row total-token-count scalar",
   )
 
   /** Global windows fed by a constant-bounded input. */
