@@ -28,15 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  /** Candidate pairs before re-ranking: each query joined to the
-    * vectors of its nProbe probed cells. Exposed so the pruning
-    * property (candidates ≪ Q·N) is testable — the final top-k output
-    * size says nothing about how much was scanned. */
-  def candidates(corpus: DataFrame, queries: DataFrame,
-                 nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+  /** Fit the coarse quantizer and assign every corpus vector to its
+    * cell. Returns (assigned, centroids). */
+  private def fitAssign(corpus: DataFrame, nCells: Int, seed: Long)
+      : (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     graft.plans.GraftExtensions.install(spark)
-
     val featured = corpus.withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
@@ -44,22 +41,67 @@ object IvfAnn {
       .fit(featured)
     val assigned = model.transform(featured)
       .select(col("vec_id"), col("embedding"), col("cell"))
-
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
+    (assigned, centroids)
+  }
 
-    // nProbe closest cells per query, by the same metric as the re-rank
-    val probes = queries.crossJoin(broadcast(centroids))
+  /** nProbe closest cells per query, by the same metric as the re-rank. */
+  private def probeCells(queries: DataFrame, centroids: DataFrame,
+                         nProbe: Int): DataFrame =
+    queries.crossJoin(broadcast(centroids))
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(cosineSim(col("qe"), col("centroid")).desc, col("cell"))))
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("qe"), col("cell"))
 
+  /** Candidate pairs before re-ranking: each query joined to the
+    * vectors of its nProbe probed cells. Exposed so the pruning
+    * property (candidates ≪ Q·N) is testable — the final top-k output
+    * size says nothing about how much was scanned. */
+  def candidates(corpus: DataFrame, queries: DataFrame,
+                 nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+    val (assigned, centroids) = fitAssign(corpus, nCells, seed)
+    assigned.join(probeCells(queries, centroids, nProbe), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+  }
+
+  /** Persist the index: the assignment table laid out PARTITIONED BY
+    * cell (so a probed search touches only nProbe directories) plus the
+    * tiny centroid table. The operational shape at 100 TB: the quantizer
+    * is fit once (on a sample), the corpus is assigned once, and every
+    * subsequent query batch reads the standing index — no retraining,
+    * no full-corpus scan. */
+  def buildIndex(corpus: DataFrame, nCells: Int, path: String,
+                 seed: Long = 42L): Unit = {
+    val (assigned, centroids) = fitAssign(corpus, nCells, seed)
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k search against a persisted index. The probed cells arrive as
+    * an isin filter on the partition column, so the scan prunes to the
+    * probed directories (PartitionFilters — asserted in IvfAnnSpec). */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probes = probeCells(queries, centroids, nProbe)
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .filter(col("cell").isin(cells: _*)) // static partition pruning
     assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(cosineSim(col("qe"), col("embedding")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
   }
 
   /** Top-k cosine neighbors for each query via nProbe-of-nCells IVF.

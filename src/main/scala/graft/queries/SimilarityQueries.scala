@@ -238,6 +238,23 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // The operational form of v4: the IVF index is BUILT ONCE (quantizer
+    // fit + corpus assignment persisted, partitioned by cell) and the
+    // query batch searches the standing index — probed cells prune to
+    // nProbe directories of the partitioned layout, no retraining, no
+    // full-corpus scan. Same seed as v4 ⇒ identical results (spec).
+    qRowsOnly("v8_ann_ivf_persisted") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode.toHexString}"
+      graft.operators.IvfAnn.buildIndex(
+        e.select("vec_id", "embedding"), nCells = 16, path = path)
+      graft.operators.IvfAnn.topKFromIndex(s, path,
+          queries = e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          k = 5, nProbe = 6)
+        .orderBy("query_id", "rnk")
+    },
+
     // SemDeDup-style semantic dedup: assign every vector to its nearest
     // centroid by cosine, then drop any vector that has a smaller-id
     // within-cluster neighbor with cosine >= 0.35, reporting the kept

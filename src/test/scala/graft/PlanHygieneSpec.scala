@@ -31,6 +31,7 @@ class PlanHygieneSpec extends SparkSpec {
     "v7_mmr_topk"           -> "1-row probe vector (greedy rounds are TakeOrdered scans)",
     "v1_cosine_topk"        -> "8-row query-vector table (corpus scanned once map-side)",
     "v4_ann_ivf_topk"       -> "nCells-row trained-centroid table",
+    "v8_ann_ivf_persisted"  -> "nCells-row trained-centroid table (persisted-index probe)",
     "w17_funnel"            -> "1-row stage-count scalars (conversion-rate join)",
     "a16_global_scalars"    -> "1-row scalar join",
     "s16_snapshot_diff"     -> "1-row snapshot-version scalar",
@@ -51,16 +52,33 @@ class PlanHygieneSpec extends SparkSpec {
     (name.head == 'm' && name.length > 1 && name(1).isDigit) ||
     name == "k2_openness" // MC kernel: typed Dataset map, not a relational plan
 
+  /** Pre-adaptive traversal including subquery plans, tolerant of
+    * UNPLANNED dynamic-pruning subqueries: before execution a DPP
+    * filter's PlanExpression still holds a LOGICAL plan, which
+    * `collectWithSubqueries` would try to cast to SparkPlan and crash.
+    * Those logical probe sides duplicate a join input that is already
+    * present (and audited) in the physical tree, so skipping them loses
+    * no coverage. */
+  private def physNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val subPlans = p.expressions
+      .flatMap(_.collect {
+        case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => pe.plan
+      })
+      .collect { case sp: org.apache.spark.sql.execution.SparkPlan => sp }
+    (p +: p.children.flatMap(physNodes)) ++ subPlans.flatMap(physNodes)
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !excluded(name)) {
     test(s"plan hygiene: $name") {
-      val plan = fn(spark, sfDir).queryExecution.sparkPlan
-      val cart = plan.collectWithSubqueries { case c: CartesianProductExec => c }
+      val nodes = physNodes(fn(spark, sfDir).queryExecution.sparkPlan)
+      val cart = nodes.collect { case c: CartesianProductExec => c }
       assert(cart.isEmpty, s"CartesianProduct in $name — unkeyed O(n*m) shuffle join")
-      val bnlj = plan.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+      val bnlj = nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
       if (!bnljAllowed.contains(name))
         assert(bnlj.isEmpty,
           s"BroadcastNestedLoopJoin in $name without a documented tiny build side")
-      val gw = plan.collectWithSubqueries {
+      val gw = nodes.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
       if (!globalWindowAllowed.contains(name))

@@ -51,6 +51,31 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("persisted IVF index returns exactly the in-memory IVF results") {
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .select("query_id", "neighbor_id", "cos", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // same quantizer seed ⇒ same cells ⇒ identical search results
+    assert(rows("v8_ann_ivf_persisted") == rows("v4_ann_ivf_topk"))
+  }
+
+  test("persisted IVF search prunes the index scan to the probed cells") {
+    import graft.Tables
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_spec"
+    graft.operators.IvfAnn.buildIndex(e.select("vec_id", "embedding"), 16, path)
+    val q = graft.operators.IvfAnn.topKFromIndex(spark, path,
+      e.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      k = 5, nProbe = 2)
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("PartitionFilters") && l.contains("cell"))
+    assert(scan.isDefined, "index scan lost its cell partition filter")
+    // 2 queries x 2 probes ≤ 4 of 16 cells read
+    assert(q.count() > 0)
+  }
+
   test("SQ8 quantized top-k achieves >= 80% recall vs brute force at sf0.001") {
     def pairs(name: String) =
       graft.SparkEntry.queries(name)(spark, sfDir)
