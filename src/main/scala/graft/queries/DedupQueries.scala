@@ -304,6 +304,74 @@ object DedupQueries {
         .orderBy("doc_id", "span_start")
     },
 
+    // Substring-level dedup APPLIED (d7's transform step): every token
+    // position covered by a duplicated 8-gram is cut from the document;
+    // the output is the cleaned corpus digest + kept-token count — the
+    // text a trainer actually sees after the exact-substring pass.
+    // Scale shape: identical to d7 up to the hot-shingle semi-join (one
+    // uniform 128-bit-digest shuffle), then the cut-position union is a
+    // per-doc aggregation and the splice is one compiled map per row.
+    q("d9_dedup_apply",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 6, 1))) AS i
+        |  FROM toks),
+        |sh AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         md5(array_to_string(ts[i:i+7], ' ')) AS h
+        |  FROM idx),
+        |hot AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM hot)),
+        |cov AS (
+        |  SELECT doc_id, list_distinct(flatten(list(range(pos, pos + 8)))) AS cut
+        |  FROM m GROUP BY doc_id),
+        |clean AS (
+        |  SELECT t.doc_id,
+        |         CASE WHEN c.cut IS NULL THEN t.ts
+        |              ELSE [t.ts[CAST(i AS INT) + 1]
+        |                    for i in range(0, len(t.ts))
+        |                    if NOT list_contains(c.cut, i)] END AS kept
+        |  FROM toks t LEFT JOIN cov c USING (doc_id))
+        |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept_tokens,
+        |       -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+        |       md5(coalesce(array_to_string(kept, ' '), '')) AS clean_digest
+        |FROM clean ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+      val sh = docs
+        .filter(size(col("ts")) >= 8)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("ts")) - 8),
+          i => md5(array_join(slice(col("ts"), i + 1, lit(8)), " ")
+            .cast("binary")))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+      val hot = sh.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2).select("h")
+      val cut = sh.join(hot, Seq("h"), "left_semi")
+        .withColumn("cover", sequence(col("pos"), col("pos") + 7))
+        .groupBy("doc_id")
+        .agg(array_distinct(flatten(collect_list("cover"))).as("cut"))
+      // compiled splice: one HashSet + one pass per doc (an exists()
+      // lambda per token would be |ts|·|cut| interpreted evals)
+      val splice = udf { (ts: Seq[String], cutPos: Seq[Long]) =>
+        if (cutPos == null) ts
+        else {
+          val dead = cutPos.toSet
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ts.length) { if (!dead.contains(i.toLong)) out += ts(i); i += 1 }
+          out.toSeq
+        }
+      }
+      docs.join(cut, Seq("doc_id"), "left")
+        .withColumn("kept", splice(col("ts"), col("cut")))
+        .select(col("doc_id"),
+          size(col("kept")).cast("long").as("n_kept_tokens"),
+          md5(array_join(col("kept"), " ").cast("binary")).as("clean_digest"))
+        .orderBy("doc_id")
+    },
+
     // Streaming-feed dedup, batch twin: an at-least-once delivery is
     // simulated by replaying the whole feed twice; keyed dedup restores
     // exactly-once, so the oracle is simply the original table. Runs

@@ -480,6 +480,30 @@ object TextQueries {
     // pair frequencies are Zipfian but the hot key is bounded by corpus
     // token count, and partial aggregation collapses it map-side);
     // top-20 runs as TakeOrderedAndProject, never a global sort.
+    // Canonical text normalization — the pass that runs BEFORE dedup
+    // keys are computed, so near-identical docs differing only in case/
+    // whitespace/Unicode form collapse to one digest: trim, lowercase,
+    // whitespace collapse, then Unicode NFC (java.text.Normalizer ↔
+    // DuckDB nfc_normalize — both implement UAX#15). Map-only; the
+    // digest keeps the compared relation narrow.
+    q("x22_normalize",
+      """SELECT doc_id,
+        |       md5(nfc_normalize(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+        |         AS norm_digest,
+        |       length(nfc_normalize(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+        |         AS n_norm_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val nfc = udf { (t: String) =>
+        java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+      }
+      val canon = nfc(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(canon.cast("binary")).as("norm_digest"),
+          length(canon).cast("long").as("n_norm_chars"))
+        .orderBy("doc_id")
+    },
+
     // Heavy hitters: every token above 0.5% of total corpus tokens —
     // the vocabulary-pruning / stopword-mining primitive. The INTEGER
     // threshold (freq·200 ≥ total) avoids any float boundary. Scale

@@ -154,4 +154,27 @@ class DedupSpec extends SparkSpec {
       s"missed: ${fullTouchingDelta -- incremental}; extra: ${incremental -- fullTouchingDelta}")
     assert(incremental.nonEmpty, "delta produced no near-dup pairs to check")
   }
+
+  test("d9 removes exactly the token positions d7's spans cover") {
+    import org.apache.spark.sql.functions._
+    // d7 islands merge on gaps <= 8, so each span [start, end] is a
+    // fully-covered contiguous run: per-doc removed = sum of span sizes
+    val spanCover = graft.SparkEntry.queries("d7_dup_ngram_spans")(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start") + 1).as("covered"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = graft.SparkEntry.queries("d9_dedup_apply")(spark, sfDir)
+      .select("doc_id", "n_kept_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == docs.keySet, "d9 must emit every document")
+    kept.foreach { case (id, nk) =>
+      val removed = docs(id) - nk
+      assert(removed == spanCover.getOrElse(id, 0L),
+        s"doc $id: removed $removed != span cover ${spanCover.getOrElse(id, 0L)}")
+    }
+    assert(spanCover.nonEmpty, "no spans at this SF — invariant vacuous")
+  }
 }
