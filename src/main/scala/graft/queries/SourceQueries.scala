@@ -521,6 +521,27 @@ object SourceQueries {
         .orderBy("o_orderpriority")
     },
 
+    // S22 — corrupt-file tolerance: a landing zone holds good parquet
+    // plus one truncated/garbage file (the torn write every large-scale
+    // ingest eventually sees); `ignoreCorruptFiles` skips it and the
+    // scan returns exactly the good rows — the oracle is the clean
+    // table. Without the conf the same read throws, which is the
+    // correct default (silent skips must be opt-in); at 100 TB this is
+    // per-file error isolation, not a driver-side retry loop.
+    q("s22_corrupt_tolerance",
+      """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+      val out = scratch(s, dir, "s22")
+      Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+        .repartition(2)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      // a torn write: valid magic prefix, garbage tail, .parquet suffix
+      val torn = new java.io.FileOutputStream(s"$out/part-junk.parquet")
+      torn.write("PAR1".getBytes ++ Array.fill[Byte](64)(0x5a))
+      torn.close()
+      s.read.option("ignoreCorruptFiles", "true").parquet(out)
+        .orderBy("n_nationkey")
+    },
+
     // S19 — SCD2 dimension build (slowly-changing dimension, type 2):
     // two snapshot versions of the orders dimension (v1 reprices ~10% of
     // keys and adds a slice of new keys — s13's deterministic change
