@@ -34,7 +34,9 @@ class SqlParitySpec extends SparkSpec {
     "r12_except", "f13_clamp",
     "j9_group_cross", "j10_scalar_lookup",
     "s13_upsert_merge", "s16_snapshot_diff", "s17_incremental_agg",
-    "x10_hash_sample")
+    "x10_hash_sample",
+    "j16_bloom_semi", "s18_zorder_skip", "s19_scd2",
+    "s20_schema_evolution", "s21_compaction", "s22_corrupt_tolerance")
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq.sorted
