@@ -192,4 +192,30 @@ object Pipelines {
                col("prediction").cast("int").as("prediction"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Model-based quality gate: HashingTF(2^14) → IDF → LogisticRegression
+    * trained on a heuristic label (stopword presence x length band — the
+    * cheap signal a human-labeled seed set replaces in production), then
+    * applied to every document. Featurization is the hashing trick, so
+    * no vocabulary is built or broadcast — map-only at any corpus size.
+    * Returns the corpus with `label` (heuristic) and `prediction`
+    * (classifier) columns. */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+    val ts = split(col("text"), " ")
+    val labeled = docs.withColumn("label",
+      when(size(filter(ts, t => t.isin("the", "a", "and", "of", "to", "in", "is"))) * 50
+             >= size(ts) && size(ts) >= 20, 1.0)
+        .otherwise(0.0))
+    val pipe = new Pipeline().setStages(Array(
+      new Tokenizer().setInputCol("text").setOutputCol("toks"),
+      new HashingTF().setInputCol("toks").setOutputCol("tf").setNumFeatures(1 << 14),
+      new IDF().setInputCol("tf").setOutputCol("features"),
+      new LogisticRegression().setMaxIter(20)))
+    val Array(train, test) = labeled.randomSplit(Array(0.8, 0.2), seed = 42)
+    val model = pipe.fit(train)
+    model.transform(labeled)
+      .select(docs.columns.map(col) :+ col("label") :+ col("prediction"): _*)
+  }
 }

@@ -122,6 +122,24 @@ object MLQueries {
         .orderBy("label")
     },
 
+    // Model-based quality filtering (the fastText/classifier-gate stage
+    // modern corpus pipelines run after the heuristic gates): a
+    // HashingTF → IDF → LogisticRegression pipeline trained on a
+    // heuristic high/low-quality label, then applied to the corpus;
+    // per-source kept/dropped counts come back. rows-only (training not
+    // SQL-expressible); MLSpec asserts the classifier recovers the
+    // heuristic on held-out docs. Scale shape: featurization is map-only
+    // (hashing trick — no vocabulary broadcast), LR is the standard
+    // distributed fit, scoring is one map pass.
+    qRowsOnly("m11_quality_classifier") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val scored = Pipelines.qualityClassifier(docs)
+      scored.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("prediction") === 1.0, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    },
+
     // M12 — PCA dimensionality reduction over the embedding corpus:
     // top-8 principal components' explained-variance spectrum. The
     // embedding-compression step before ANN indexing or clustering.

@@ -480,6 +480,30 @@ object TextQueries {
     // pair frequencies are Zipfian but the hot key is bounded by corpus
     // token count, and partial aggregation collapses it map-side);
     // top-20 runs as TakeOrderedAndProject, never a global sort.
+    // Deterministic k-per-source corpus sample: rank docs inside each
+    // source by an LCG hash of doc_id (reproducible across runs,
+    // engines, partitionings — x10's sampler, stratified) and keep the
+    // first 5 — the inspection/eval slice a pipeline pulls per domain.
+    // Runs on operators.GroupTopK (map-side partial heaps), never a
+    // full per-source window sort.
+    q("x24_group_sample",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, rn FROM r WHERE rn <= 5
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.GroupTopK.topK(
+          Tables.load(s, dir, "documents")
+            .withColumn("mix", (col("doc_id") * 1103515245L + 12345L) % 1000000007L)
+            .select("doc_id", "source", "mix"),
+          groupCols = Seq("source"), sortCol = "mix", tieCol = "doc_id",
+          k = 5, descending = false, rankCol = "rn")
+        .select("doc_id", "source", "rn")
+        .orderBy("doc_id")
+    },
+
     // Canonical text normalization — the pass that runs BEFORE dedup
     // keys are computed, so near-identical docs differing only in case/
     // whitespace/Unicode form collapse to one digest: trim, lowercase,

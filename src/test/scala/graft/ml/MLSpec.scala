@@ -120,6 +120,18 @@ class MLSpec extends SparkSpec {
       s"gbt=${gbt("ovr_gbt_accuracy")} lr=${lr("accuracy")}")
   }
 
+  test("TF-IDF quality classifier recovers the heuristic label") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val scored = graft.ml.Pipelines.qualityClassifier(docs).cache()
+    val agree = scored.filter(col("prediction") === col("label")).count()
+    val total = scored.count()
+    assert(total == docs.count(), "classifier must score every document")
+    assert(agree.toDouble / total >= 0.85,
+      s"classifier agreement ${agree.toDouble / total} too low")
+    // both classes must actually occur — a constant predictor is no gate
+    assert(scored.select("prediction").distinct().count() == 2)
+  }
+
   test("PCA explained-variance spectrum is a decreasing sub-distribution") {
     val spectrum = graft.SparkEntry.queries("m10_pca")(spark, sfDir)
       .collect().map(_.getDouble(1))
