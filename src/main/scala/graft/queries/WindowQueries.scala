@@ -348,5 +348,34 @@ object WindowQueries {
         .crossJoin(c.agg(count(lit(1)).as("n_click")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
     },
+
+    // W18 — time-based sliding RANGE window: per-user rolling
+    // 10-minute event count + exact-decimal sum, keyed on EVENT TIME
+    // (a RANGE frame over epoch seconds — peers join by time distance,
+    // not row position; W3's ROWS frame can't express this). The rate/
+    // burst signal behind throttling and anomaly detection. Partitioned
+    // by user — never a global window; at 100 TB the frame bound keeps
+    // per-row state O(events in 10 min), independent of history length.
+    q("w18_time_range_window",
+      """SELECT event_id, user_id,
+        |       count(*) OVER w AS n_10m,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_10m
+        |FROM events
+        |-- floor to whole seconds: DuckDB epoch() keeps the microsecond
+        |-- fraction, Spark's timestamp→long cast floors
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-600, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("n_10m", count(lit(1)).over(w))
+        .withColumn("sum_10m",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .select("event_id", "user_id", "n_10m", "sum_10m")
+        .orderBy("event_id")
+    },
   )
 }
