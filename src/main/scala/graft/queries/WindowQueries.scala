@@ -349,6 +349,57 @@ object WindowQueries {
         .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
     },
 
+    // W19 — distribution-position windows: percent_rank (rank scaled to
+    // [0,1]) and cume_dist (CDF position) per group — the normalization
+    // behind percentile features and calibration curves. Both engines
+    // define them identically; ties share positions, so the unique
+    // tie-broken ordering keeps the result deterministic.
+    q("w19_percent_rank",
+      """SELECT o_orderkey, o_orderpriority,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      Tables.load(s, dir, "orders")
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .select("o_orderkey", "o_orderpriority", "pr", "cd")
+        .orderBy("o_orderkey")
+    },
+
+    // W20 — value-position windows: first/last/nth value over an
+    // explicit full-partition frame (last_value under the DEFAULT frame
+    // is the running current row — the classic silent-wrong-answer;
+    // both engines get the full frame spelled out), plus offset
+    // lead/lag with defaults.
+    q("w20_value_windows",
+      """SELECT event_id, user_id,
+        |       first_value(event_id) OVER w AS first_ev,
+        |       last_value(event_id) OVER w AS last_ev,
+        |       nth_value(event_id, 2) OVER w AS second_ev,
+        |       lag(event_id, 1, -1) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts, event_id) AS prev_ev
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "events")
+        .withColumn("first_ev", first("event_id").over(full))
+        .withColumn("last_ev", last("event_id").over(full))
+        .withColumn("second_ev", nth_value(col("event_id"), 2).over(full))
+        .withColumn("prev_ev", lag(col("event_id"), 1, -1L).over(ordered))
+        .select("event_id", "user_id", "first_ev", "last_ev", "second_ev", "prev_ev")
+        .orderBy("event_id")
+    },
+
     // W18 — time-based sliding RANGE window: per-user rolling
     // 10-minute event count + exact-decimal sum, keyed on EVENT TIME
     // (a RANGE frame over epoch seconds — peers join by time distance,

@@ -36,7 +36,8 @@ class SqlParitySpec extends SparkSpec {
     "s13_upsert_merge", "s16_snapshot_diff", "s17_incremental_agg",
     "x10_hash_sample",
     "j16_bloom_semi", "s18_zorder_skip", "s19_scd2",
-    "s20_schema_evolution", "s21_compaction", "s22_corrupt_tolerance")
+    "s20_schema_evolution", "s21_compaction", "s22_corrupt_tolerance",
+    "w19_percent_rank", "w20_value_windows")
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq.sorted
