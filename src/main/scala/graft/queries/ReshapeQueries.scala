@@ -215,5 +215,27 @@ object ReshapeQueries {
         .distinct()
         .orderBy("o_orderpriority")
     },
+
+    // R13 — unpivot/melt (wide → long, the inverse of R3's pivot):
+    // two part measures become (attr, val) rows via the native
+    // Dataset.unpivot — an Expand node, map-only, no shuffle; the
+    // oracle is DuckDB's UNPIVOT. Columns are cast to one type first
+    // (unpivot requires a common value type on both engines).
+    q("r13_unpivot",
+      """SELECT p_partkey, attr, val FROM (
+        |  UNPIVOT (SELECT p_partkey,
+        |                  CAST(p_retailprice AS DOUBLE) AS retailprice,
+        |                  CAST(p_size AS DOUBLE) AS size
+        |           FROM part)
+        |  ON retailprice, size INTO NAME attr VALUE val)
+        |ORDER BY p_partkey, attr""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("double").as("retailprice"),
+          col("p_size").cast("double").as("size"))
+        .unpivot(Array(col("p_partkey")),
+                 Array(col("retailprice"), col("size")), "attr", "val")
+        .orderBy("p_partkey", "attr")
+    },
   )
 }
