@@ -27,8 +27,17 @@ object Bench {
       try Tables.load(spark, sfDir, n).count()
       catch { case _: Throwable => }
     }
+    // optional comma-separated name filter for local iteration, e.g.
+    // SPARK_GRAFT_ONLY=x18_pretrain_pipeline,s14_profile; driver leaves
+    // it unset and benches everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be distinguishable from a fast success: record
       // its name in "errors" and report value -1, never a small elapsed

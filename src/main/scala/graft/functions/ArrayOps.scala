@@ -50,7 +50,15 @@ object ArrayOps {
     val scale = mx / 127.0
     val out = new Array[Long](n)
     i = 0
-    while (i < n) { out(i) = math.round(arr(i) / scale); i += 1 }
+    // HALF_UP away from zero, matching the Spark `round(x, 0)` of the HOF
+    // formulation this replaced (bare math.round rounds −2.5 → −2, i.e.
+    // half toward +∞, which would flip negative components at exact .5
+    // quantization boundaries)
+    while (i < n) {
+      val v = arr(i) / scale
+      out(i) = if (v >= 0) math.round(v) else -math.round(-v)
+      i += 1
+    }
     out
   }
 
@@ -65,6 +73,10 @@ object ArrayOps {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / math.sqrt(na.toDouble * nb.toDouble)
+    // a zero-norm vector has no direction: score 0 (never a top-k hit),
+    // matching the NULL-divisor behavior of the Divide this replaced —
+    // 0/0 NaN would sort GREATEST under desc and pollute every top-k
+    if (na == 0L || nb == 0L) 0.0
+    else dot / math.sqrt(na.toDouble * nb.toDouble)
   }
 }

@@ -20,7 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object NearDupPairs {
 
-  def over(shingled: DataFrame): DataFrame = {
+  /** Memoized per (session, canonicalized input plan): d2, d5 and the x18
+    * pipeline all ask for pairs over semantically identical shingle
+    * frames — one computation serves them all, and only the SMALL pairs
+    * result stays resident (the wide hashed-shingle cache is released as
+    * soon as the pairs materialize). */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession,
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
+
+  def over(shingled: DataFrame): DataFrame =
+    memo.getOrElseUpdate(
+      (shingled.sparkSession, shingled.queryExecution.analyzed.canonicalized),
+      compute(shingled))
+
+  private def compute(shingled: DataFrame): DataFrame = {
+    // `sh` is read three times (inverted index + both verify-join sides),
+    // so it caches for the duration of the call; the small pairs result is
+    // materialized eagerly (localCheckpoint) so the cache can be released
+    // before returning — otherwise every invocation pinned another copy of
+    // the hashed-shingle frame in storage memory for the session lifetime.
     val sh = shingled
       .select(col("doc_id"), sort_array(transform(col("s"), xxhash64(_))).as("hs"))
       .withColumn("sz", size(col("hs")))
@@ -35,12 +54,15 @@ object NearDupPairs {
         col("b.sz") * lit(10) >= col("a.sz") * 7)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val pairs = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("sz").as("sza")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("sz").as("szb")), "doc_b")
       .withColumn("c", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("jraw", col("c").cast("double") / (col("sza") + col("szb") - col("c")))
       .filter(col("jraw") >= 0.7)
       .select(col("doc_a"), col("doc_b"), col("jraw"))
+      .localCheckpoint(eager = true)
+    sh.unpersist(blocking = false)
+    pairs
   }
 }

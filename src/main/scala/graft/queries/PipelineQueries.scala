@@ -6,6 +6,11 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Per-document featurization result of [[PipelineQueries.docFeatUdf]]:
+  * one compiled pass emits every scalar the x18/x19 gates need. */
+case class DocFeat(nTokens: Long, nStop: Long, sumLen: Long, pred: String,
+                   nBg: Long, nBgDistinct: Long)
+
 /** The end-to-end pretraining-corpus pipeline: every cleaning stage the
   * engine provides, composed in the order a production corpus build runs
   * them (builder prompt; stages are the x-family operators):
@@ -77,26 +82,77 @@ object PipelineQueries {
        |  FROM documents WHERE doc_id % 29 = 0),
        |s5 AS (
        |  SELECT s4.doc_id, s4.source, s4.n_tokens
-       |  FROM s4 CROSS JOIN ev WHERE len(list_intersect(s4.s, es)) < 3)""".stripMargin
+       |  FROM s4 CROSS JOIN ev
+       |  WHERE coalesce(len(list_intersect(s4.s, es)), 0) < 3)""".stripMargin
   }
 
+  /** One compiled pass per document over the whitespace tokens: counts,
+    * stopword hits, char sum, per-profile language scores (argmax,
+    * first-profile tie-break — langId's exact rule), and bigram
+    * duplication stats. Replaces five interpreted HOF lambdas
+    * (filter/aggregate/transform ×2 + langId's per-profile filters) that
+    * boxed every token through Catalyst's lambda evaluator, AND drops the
+    * materialized non-distinct bigram array (≈2× the text, previously
+    * cached) in favor of two scalar counts. Same split semantics as
+    * Spark's `split(text, " ")`: limit −1 keeps trailing empties. */
+  private val docFeatUdf = udf { (text: String) =>
+    val ts = text.split(" ", -1)
+    val n = ts.length
+    var sumLen = 0L
+    var i = 0
+    while (i < n) { sumLen += ts(i).length; i += 1 }
+    val scores = new Array[Int](profileSets.length)
+    i = 0
+    while (i < n) {
+      var p = 0
+      while (p < profileSets.length) {
+        if (profileSets(p)(ts(i))) scores(p) += 1
+        p += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var p = 1
+    while (p < scores.length) { if (scores(p) > scores(best)) best = p; p += 1 }
+    // bigrams as x18's oracle defines them: indices 1..max(n−1,1); a
+    // single-token doc contributes its one token as its one "bigram"
+    val nBg = math.max(n - 1, 1)
+    val seen = new java.util.HashSet[String](nBg * 2)
+    if (n == 1) seen.add(ts(0))
+    else {
+      i = 0
+      while (i < n - 1) { seen.add(ts(i) + " " + ts(i + 1)); i += 1 }
+    }
+    DocFeat(n.toLong, scores(0).toLong, sumLen, profileCodes(best),
+      nBg.toLong, seen.size.toLong)
+  }
+  private val profileSets: Array[Set[String]] =
+    langProfiles.map(_._2.toSet).toArray
+  private val profileCodes: Array[String] = langProfiles.map(_._1).toArray
+
   /** Spark stage frames (raw-features, lang, quality, exact, neardup,
-    * decon), built once and shared by x18/x19. The near-dup drop rule is
+    * decon), built once per (session, data dir) and shared by x18/x19 —
+    * memoized so the second caller reuses the cached frames instead of
+    * pinning a second copy in storage memory (cache lifetime = session
+    * lifetime, two narrow scalar frames). The near-dup drop rule is
     * greedy-by-id: a doc is dropped when ANY lower-id survivor is a
     * J ≥ 0.7 near-dup (same rule on both engines; full transitive
     * clustering is d5's job). */
-  private def stages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+  private val stageCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), Seq[(String, DataFrame)]]
+
+  private def stages(s: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    stageCache.getOrElseUpdate((s, dir), buildStages(s, dir))
+
+  private def buildStages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
     val docs = Tables.load(s, dir, "documents")
-    val ts = tokens(col("text"))
-    val bigrams = transform(sequence(lit(1), greatest(size(ts) - 1, lit(1))),
-      i => array_join(slice(ts, i, lit(2)), " "))
-    val stops = langProfiles.head._2
-    val feat = docs.select(col("doc_id"), col("source"), col("text"),
-      size(ts).cast("long").as("n_tokens"),
-      size(filter(ts, t => t.isin(stops.map(lit(_)): _*))).cast("long").as("n_stop"),
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
-      langId(col("text")).as("pred"),
-      bigrams.as("bg"))
+    val feat = docs
+      .select(col("doc_id"), col("source"), col("text"), docFeatUdf(col("text")).as("ft"))
+      .select(col("doc_id"), col("source"), col("text"),
+        col("ft.nTokens").as("n_tokens"), col("ft.nStop").as("n_stop"),
+        col("ft.sumLen").as("sum_len"), col("ft.pred").as("pred"),
+        col("ft.nBg").as("n_bg"), col("ft.nBgDistinct").as("n_bg_distinct"))
       .cache() // x19 aggregates 3 stages over this frame; x18 re-walks it
     val s1 = feat.filter(col("pred") === "en")
     val s2 = s1.filter(
@@ -104,8 +160,7 @@ object PipelineQueries {
       col("n_stop") * 50 >= col("n_tokens") &&
       col("sum_len") >= col("n_tokens") * 3 &&
       col("sum_len") <= col("n_tokens") * 12 &&
-      (size(col("bg")).cast("long") - size(array_distinct(col("bg"))).cast("long")) * 10
-        <= size(col("bg")).cast("long") * 3)
+      (col("n_bg") - col("n_bg_distinct")) * 10 <= col("n_bg") * 3)
     val keepers = s2
       .groupBy(md5(col("text").cast("binary")).as("digest"))
       .agg(min("doc_id").as("doc_id"))

@@ -512,15 +512,18 @@ object TextQueries {
     // digest keeps the compared relation narrow.
     q("x22_normalize",
       """SELECT doc_id,
-        |       md5(nfc_normalize(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+        |       md5(nfc_normalize(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))))
         |         AS norm_digest,
-        |       length(nfc_normalize(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+        |       length(nfc_normalize(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))))
         |         AS n_norm_chars
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val nfc = udf { (t: String) =>
         java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
       }
-      val canon = nfc(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+      // whitespace class spelled explicitly on BOTH sides: Java's \s is
+      // [ \t\n\x0B\f\r] but DuckDB's (RE2) \s omits \x0B — a vertical tab
+      // in the text would otherwise diverge norm_digest between engines
+      val canon = nfc(lower(regexp_replace(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ")))
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           md5(canon.cast("binary")).as("norm_digest"),

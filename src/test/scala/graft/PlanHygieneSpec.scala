@@ -36,6 +36,7 @@ class PlanHygieneSpec extends SparkSpec {
     "a16_global_scalars"    -> "1-row scalar join",
     "s16_snapshot_diff"     -> "1-row snapshot-version scalar",
     "x21_heavy_hitters"     -> "1-row total-token-count scalar",
+    "s14_profile"           -> "six 1-row per-column distinct-count scalars (assembled cross of single-row aggs)",
   )
 
   /** Global windows fed by a constant-bounded input. */
