@@ -613,5 +613,50 @@ object SourceQueries {
           col("eff_to").isNull.as("is_current"))
         .orderBy("o_orderkey", "eff_from")
     },
+
+    // S23 — the 100 TB scale path of s14's profile: identical output
+    // shape, but every distinct count is an HLL++ sketch
+    // (approx_count_distinct, rsd 1%). The WHOLE profile is now one wide
+    // agg with no distinct expansion: map-side partial sketches, a
+    // single-row exchange, nothing but fixed-size sketch state on the
+    // wire — the plan that survives any scale-up. s14's exact form stays
+    // as the small-scale oracle twin; no DuckDB oracle here because HLL
+    // estimates are implementation-specific (spec asserts each estimate
+    // within 5% of the exact count instead).
+    QueryDef.qRowsOnly("s23_profile_approx") { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val wide = e.agg(
+        count(lit(1)).as("n"),
+        count(col("event_id")).as("c_event_id"),
+        approx_count_distinct(col("event_id"), 0.01).as("d_event_id"),
+        min(col("event_id")).cast("double").as("mn_event_id"),
+        max(col("event_id")).cast("double").as("mx_event_id"),
+        count(col("ts")).as("c_ts"),
+        approx_count_distinct(col("ts"), 0.01).as("d_ts"),
+        unix_micros(min(col("ts"))).cast("double").as("mn_ts"),
+        unix_micros(max(col("ts"))).cast("double").as("mx_ts"),
+        count(col("user_id")).as("c_user_id"),
+        approx_count_distinct(col("user_id"), 0.01).as("d_user_id"),
+        min(col("user_id")).cast("double").as("mn_user_id"),
+        max(col("user_id")).cast("double").as("mx_user_id"),
+        count(col("event_type")).as("c_event_type"),
+        approx_count_distinct(col("event_type"), 0.01).as("d_event_type"),
+        count(col("value")).as("c_value"),
+        approx_count_distinct(col("value"), 0.01).as("d_value"),
+        min(col("value")).as("mn_value"),
+        max(col("value")).as("mx_value"),
+        count(col("props")).as("c_props"),
+        approx_count_distinct(col("props"), 0.01).as("d_props"))
+      wide.selectExpr(
+        """stack(6,
+          |  'event_id',   n, n - c_event_id,   d_event_id,   mn_event_id, mx_event_id,
+          |  'ts',         n, n - c_ts,         d_ts,         mn_ts,       mx_ts,
+          |  'user_id',    n, n - c_user_id,    d_user_id,    mn_user_id,  mx_user_id,
+          |  'event_type', n, n - c_event_type, d_event_type, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          |  'value',      n, n - c_value,      d_value,      mn_value,    mx_value,
+          |  'props',      n, n - c_props,      d_props,      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+          |) AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)""".stripMargin)
+        .orderBy("col_name")
+    },
   )
 }

@@ -18,6 +18,28 @@ class SourceQueriesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("s23 approx profile: one-pass plan, estimates within 5% of exact") {
+    val approx = graft.SparkEntry.queries("s23_profile_approx")(spark, sfDir)
+    // the scale-path property: NO distinct expansion anywhere — one wide
+    // agg whose only exchange moves single-row partial sketch state
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+    assert(!plan.contains("count(distinct"), plan)
+    val exact = graft.SparkEntry.queries("s14_profile")(spark, sfDir)
+      .select("col_name", "n_distinct", "n_rows", "n_nulls")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val rows = approx.collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (dExact, nRows, nNulls) = exact(r.getString(0))
+      val dApprox = r.getLong(3)
+      assert(math.abs(dApprox - dExact) <= math.max(1L, (dExact * 0.05).toLong),
+        s"${r.getString(0)}: approx $dApprox vs exact $dExact")
+      // the non-sketch columns are exact and must agree with s14
+      assert(r.getLong(1) == nRows && r.getLong(2) == nNulls, r.toString)
+    }
+  }
+
   test("partitioned write prunes to one directory on read-back") {
     val df = graft.SparkEntry.queries("s9_partitioned_prune")(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString
