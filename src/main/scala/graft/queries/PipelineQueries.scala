@@ -96,6 +96,9 @@ object PipelineQueries {
     * cached) in favor of two scalar counts. Same split semantics as
     * Spark's `split(text, " ")`: limit −1 keeps trailing empties. */
   private val docFeatUdf = udf { (text: String) =>
+    // null-safe like the HOF form it replaced (split(null) -> null row)
+    if (text == null) null
+    else {
     val ts = text.split(" ", -1)
     val n = ts.length
     var sumLen = 0L
@@ -125,6 +128,7 @@ object PipelineQueries {
     }
     DocFeat(n.toLong, scores(0).toLong, sumLen, profileCodes(best),
       nBg.toLong, seen.size.toLong)
+    }
   }
   private val profileSets: Array[Set[String]] =
     langProfiles.map(_._2.toSet).toArray
