@@ -27,6 +27,39 @@ object ArrayOps {
         element_at(arr, array_min(candidates).getField("j"))
       })
 
+  /** Compiled fast path of [[nearestNonNullFill]] for string arrays:
+    * prev/next non-null index passes then a constant-time choice per
+    * slot — O(k) per row vs the HOF form's O(k²) interpreted lambda
+    * evals (tie to the lower index ⇔ preferring the prev candidate at
+    * equal distance). Null array maps to null like the HOF form. */
+  val nearestNonNullFillStr = udf { (arr: Seq[String]) =>
+    if (arr == null) null
+    else {
+      val n = arr.length
+      val prevIdx = new Array[Int](n)
+      val nextIdx = new Array[Int](n)
+      var last = -1
+      var i = 0
+      while (i < n) { if (arr(i) != null) last = i; prevIdx(i) = last; i += 1 }
+      last = -1
+      i = n - 1
+      while (i >= 0) { if (arr(i) != null) last = i; nextIdx(i) = last; i -= 1 }
+      val out = new Array[String](n)
+      i = 0
+      while (i < n) {
+        val p = prevIdx(i); val q = nextIdx(i)
+        out(i) =
+          if (p < 0 && q < 0) null
+          else if (p < 0) arr(q)
+          else if (q < 0) arr(p)
+          else if (i - p <= q - i) arr(p)
+          else arr(q)
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Index (1-based) of the minimum element; first occurrence on ties
     * (reference: max.col(-diffs) ties.method="first", QBReadStats.R:102). */
   def argMin(arr: Column): Column = array_position(arr, array_min(arr))

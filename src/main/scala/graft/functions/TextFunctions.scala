@@ -3,6 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+/** Result of [[TextFunctions.bigramStats]]: bigram count + distinct
+  * count in one compiled pass (the repetition-gate signals). */
+case class BigramStats(nBigrams: Long, nDistinct: Long)
+
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, token counting, quality scoring, language-ID, and document
   * fingerprinting. All pure column expressions (no UDFs) — they run inside
@@ -143,6 +147,80 @@ object TextFunctions {
         j += 1
       }
       out.distinct.sorted
+    }
+    f(text)
+  }
+
+  /** Consecutive token pairs ("a b"), in order; <2 tokens → empty.
+    * One compiled loop per row — the interpreted
+    * `transform(sequence…, concat_ws(element_at…))` form it replaces
+    * boxes every index through Catalyst's lambda evaluator (the
+    * measured ~20× HOF gap). */
+  def bigramPairs(text: Column): Column = {
+    val f = udf { (t: String) =>
+      val ts = t.split(" ", -1)
+      if (ts.length < 2) Array.empty[String]
+      else {
+        val out = new Array[String](ts.length - 1)
+        var i = 0
+        while (i < ts.length - 1) { out(i) = ts(i) + " " + ts(i + 1); i += 1 }
+        out
+      }
+    }
+    f(text)
+  }
+
+  /** Bigram duplication stats without materializing the bigram array:
+    * count + distinct count in one compiled pass. Bigram rule matches
+    * x17/x18's oracles: indices 1..max(n−1,1) — a single-token doc
+    * contributes its one token as its one "bigram". */
+  def bigramStats(text: Column): Column = {
+    val f = udf { (t: String) =>
+      val ts = t.split(" ", -1)
+      val n = ts.length
+      val nBg = math.max(n - 1, 1)
+      val seen = new java.util.HashSet[String](nBg * 2)
+      if (n == 1) seen.add(ts(0))
+      else {
+        var i = 0
+        while (i < n - 1) { seen.add(ts(i) + " " + ts(i + 1)); i += 1 }
+      }
+      BigramStats(nBg.toLong, seen.size.toLong)
+    }
+    f(text)
+  }
+
+  /** 64-bit hashes of every consecutive `n`-token gram, in position
+    * order — the compiled per-doc pass behind d7's duplicated-span
+    * detection. The gram key is internal to the operator (never output),
+    * so an 8-byte hash replaces the md5 hex string it used to carry:
+    * 4× less shuffle per key and one compiled loop instead of an
+    * interpreted `transform(sequence…, md5(array_join(slice…)))` lambda
+    * per position. Same double-murmur fold and collision standard
+    * (~m²/2⁶⁴ over m grams) as [[winnowing]] / d2's hashed shingles.
+    * Texts shorter than n yield an empty array (caller's posexplode
+    * drops the row, matching the old `size >= n` prefilter). */
+  def ngramHashes(text: Column, n: Int): Column = {
+    val f = udf { (t: String) =>
+      val toks = t.split(" ", -1)
+      if (toks.length < n) Array.empty[Long]
+      else {
+        val out = new Array[Long](toks.length - (n - 1))
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = i
+          while (j < i + n) {
+            sb.append(toks(j)); if (j < i + n - 1) sb.append(' '); j += 1
+          }
+          val g = sb.toString
+          out(i) = (scala.util.hashing.MurmurHash3.stringHash(g, 0x9747b28c).toLong << 32) |
+            (scala.util.hashing.MurmurHash3.stringHash(g, 0x5bd1e995).toLong & 0xFFFFFFFFL)
+          i += 1
+        }
+        out
+      }
     }
     f(text)
   }

@@ -276,13 +276,13 @@ object DedupQueries {
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // gram key = compiled 64-bit hash (ngramHashes): the key is
+      // internal to the operator on both engines, so the 8-byte long
+      // replaces the md5 hex string — 4× less shuffle, no interpreted
+      // HOF lambda per position (collision standard as in d2/x14)
       val sh = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 8)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0), size(col("ts")) - 8),
-          i => md5(array_join(slice(col("ts"), i + 1, lit(8)), " ")
-            .cast("binary")))))
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.ngramHashes(col("text"), 8)))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
       val hot = sh.groupBy("h")
         .agg(countDistinct("doc_id").as("nd"))
@@ -309,7 +309,7 @@ object DedupQueries {
     // the output is the cleaned corpus digest + kept-token count — the
     // text a trainer actually sees after the exact-substring pass.
     // Scale shape: identical to d7 up to the hot-shingle semi-join (one
-    // uniform 128-bit-digest shuffle), then the cut-position union is a
+    // uniform 64-bit gram-hash shuffle), then the cut-position union is a
     // per-doc aggregation and the splice is one compiled map per row.
     q("d9_dedup_apply",
       """WITH toks AS (
@@ -339,12 +339,10 @@ object DedupQueries {
         |FROM clean ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("ts"))
-      val sh = docs
-        .filter(size(col("ts")) >= 8)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0), size(col("ts")) - 8),
-          i => md5(array_join(slice(col("ts"), i + 1, lit(8)), " ")
-            .cast("binary")))))
+      // same compiled 64-bit gram key as d7 (ngramHashes scaladoc)
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.ngramHashes(col("text"), 8)))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
       val hot = sh.groupBy("h")
         .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2).select("h")

@@ -160,7 +160,7 @@ object ReshapeQueries {
                 lit(null).cast("string"),
                 col("o_orderstatus")).as("slots"))
       val filled = slots.withColumn("filled",
-        graft.functions.ArrayOps.nearestNonNullFill(col("slots")))
+        graft.functions.ArrayOps.nearestNonNullFillStr(col("slots")))
       filled.select(col("o_orderkey"),
           element_at(col("filled"), 1).as("f1"),
           element_at(col("filled"), 2).as("f2"),

@@ -459,15 +459,11 @@ object TextQueries {
         |       CAST(len(list_distinct(b)) AS BIGINT) AS n_distinct,
         |       round(1.0 - len(list_distinct(b)) * 1.0 / len(b), 4) AS dup_frac
         |FROM bg ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val ts = tokens(col("text"))
-      val bigrams = transform(
-        sequence(lit(1), greatest(size(ts) - 1, lit(1))),
-        i => array_join(slice(ts, i, lit(2)), " "))
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), bigrams.as("b"))
+        .select(col("doc_id"), bigramStats(col("text")).as("bs"))
         .select(col("doc_id"),
-          size(col("b")).cast("long").as("n_bigrams"),
-          size(array_distinct(col("b"))).cast("long").as("n_distinct"))
+          col("bs.nBigrams").as("n_bigrams"),
+          col("bs.nDistinct").as("n_distinct"))
         .withColumn("dup_frac",
           round(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_bigrams"), 4))
         .orderBy("doc_id")
@@ -561,11 +557,8 @@ object TextQueries {
         |                     for i in range(1, len(ts))]) AS pair FROM t)
         |SELECT pair, count(*) AS freq FROM p GROUP BY pair
         |ORDER BY freq DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
-      val ts = tokens(col("text"))
       Tables.load(s, dir, "documents")
-        .filter(size(ts) >= 2) // Spark sequence(1, 0) would DESCEND
-        .select(explode(transform(sequence(lit(1), size(ts) - 1),
-          i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1)))).as("pair"))
+        .select(explode(bigramPairs(col("text"))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("freq"))
         .orderBy(desc("freq"), col("pair"))
         .limit(20)
