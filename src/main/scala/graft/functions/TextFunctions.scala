@@ -68,14 +68,35 @@ object TextFunctions {
   }
 
   /** Distinct word n-gram shingles (space-joined), the dedup unit.
-    * Floor of 1, not 0: Spark `sequence(1, 0)` DESCENDS to [1, 0], which
-    * would emit a bogus slice-at-0; texts shorter than n yield one
-    * whole-text shingle instead. */
+    * Texts shorter than n yield one whole-text shingle (floor of 1).
+    * One compiled loop per row with first-occurrence dedup order —
+    * byte-identical output to the HOF formulation it replaced
+    * (`array_distinct(transform(sequence…, array_join(slice…)))`),
+    * which interpreted a lambda per position and was the residual
+    * hotspot in every shingle-fed query (x16/d2/x14/the x18 stages). */
   def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(ts) - (n - 1), lit(1))),
-        i => array_join(slice(ts, i, lit(n)), " ")))
+    val f = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val toks = t.split(" ", -1)
+        val m = math.max(toks.length - (n - 1), 1)
+        val seen = new java.util.LinkedHashSet[String](m * 2)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          val end = math.min(i + n, toks.length)
+          var j = i
+          while (j < end) { sb.append(toks(j)); if (j < end - 1) sb.append(' '); j += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+        val out = new Array[String](seen.size)
+        seen.toArray(out)
+        out
+      }
+    }
+    f(text)
   }
 
   /** Small per-language marker-word profiles (public common stopwords). */
