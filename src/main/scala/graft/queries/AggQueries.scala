@@ -124,12 +124,13 @@ object AggQueries {
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy("l_orderkey")
+        // .getField on array<struct> is GetArrayStructFields — native
+        // codegen'd field extraction, vs an interpreted transform lambda
         .agg(array_join(
-          transform(
-            array_sort(collect_list(struct(
-              col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-              col("l_extendedprice"), col("l_returnflag")))),
-            x => x.getField("l_returnflag")),
+          array_sort(collect_list(struct(
+            col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_returnflag"))))
+            .getField("l_returnflag"),
           " ").as("flag_seq"))
         .orderBy("l_orderkey")
     },
