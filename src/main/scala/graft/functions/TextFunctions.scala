@@ -147,13 +147,33 @@ object TextFunctions {
   def winnowing(text: Column, n: Int, w: Int): Column = {
     val f = udf { (t: String) =>
       val toks = t.split(" ")
+      // Engine-portable fingerprint (so the DuckDB oracle can recompute
+      // it bit-for-bit): per-token char polynomial (seed 7, base 131),
+      // then a token-hash polynomial per shingle (seed 0, base 99991),
+      // both mod the prime 1e9+7 — every intermediate stays < 2⁵⁰, so
+      // plain 64-bit integer math on both engines. Window-min selection
+      // only needs hash ORDER to be uniform-ish, which a 30-bit poly
+      // hash still is; the winnowing guarantee itself is hash-agnostic.
+      val P = 1000000007L
+      val th = new Array[Long](toks.length)
+      var ti = 0
+      while (ti < toks.length) {
+        val tok = toks(ti)
+        var acc = 7L
+        var ci = 0
+        while (ci < tok.length) { acc = (acc * 131 + tok.charAt(ci)) % P; ci += 1 }
+        th(ti) = acc
+        ti += 1
+      }
       val m = math.max(toks.length - (n - 1), 1)
       val hs = new Array[Long](m)
       var i = 0
       while (i < m) {
-        val sh = toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
-        hs(i) = (scala.util.hashing.MurmurHash3.stringHash(sh, 0x9747b28c).toLong << 32) |
-          (scala.util.hashing.MurmurHash3.stringHash(sh, 0x5bd1e995).toLong & 0xFFFFFFFFL)
+        var acc = 0L
+        var j = i
+        val end = math.min(i + n, toks.length)
+        while (j < end) { acc = (acc * 99991 + th(j)) % P; j += 1 }
+        hs(i) = acc
         i += 1
       }
       val nw = math.max(m - (w - 1), 1)
@@ -218,7 +238,9 @@ object TextFunctions {
     * 4× less shuffle per key and one compiled loop instead of an
     * interpreted `transform(sequence…, md5(array_join(slice…)))` lambda
     * per position. Same double-murmur fold and collision standard
-    * (~m²/2⁶⁴ over m grams) as [[winnowing]] / d2's hashed shingles.
+    * (~m²/2⁶⁴ over m grams) as d2's hashed shingles. ([[winnowing]]
+    * instead uses an oracle-portable 30-bit polynomial: its prints are
+    * OUTPUT and cross-checked by DuckDB, while these stay internal.)
     * Texts shorter than n yield an empty array (caller's posexplode
     * drops the row, matching the old `size >= n` prefilter). */
   def ngramHashes(text: Column, n: Int): Column = {

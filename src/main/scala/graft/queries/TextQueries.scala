@@ -81,8 +81,37 @@ object TextQueries {
     // higher gates lose short near-dups). Any shared run of >= w+n-1
     // tokens guarantees a shared fingerprint; the spec asserts the
     // guarantee and full recall vs the exact d2 pairs at 1/w the index
-    // size. xxhash64 fingerprints aren't SQL-expressible -> rows-only.
-    qRowsOnly("x5_winnowing_pairs") { (s, dir) =>
+    // size. The fingerprint is an engine-portable polynomial hash mod
+    // 1e9+7 (see TextFunctions.winnowing), so DuckDB replays the whole
+    // scheme — shingle hash, window-min, df cap, pair join — exactly.
+    q("x5_winnowing_pairs",
+      """WITH th AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text,' '),
+        |           tok -> list_reduce(list_prepend(7::BIGINT,
+        |                    list_transform(regexp_extract_all(tok, '.'),
+        |                                   c -> CAST(ascii(c) AS BIGINT))),
+        |                  (a,b) -> (a*131 + b) % 1000000007)) AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, greatest(len(ts)-2,1)+1),
+        |           i -> list_reduce(list_prepend(0::BIGINT, ts[i:least(i+2,len(ts))]),
+        |                            (a,b) -> (a*99991 + b) % 1000000007)) AS gs
+        |  FROM th),
+        |w AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(gs)-3,1)+1),
+        |           j -> list_aggregate(gs[j:least(j+3,len(gs))], 'min'))) AS fps
+        |  FROM g),
+        |f AS (SELECT doc_id, unnest(fps) AS f FROM w),
+        |rare AS (SELECT f FROM f GROUP BY f HAVING count(*) <= 10),
+        |p AS (SELECT f.doc_id, f.f FROM f JOIN rare USING (f))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(count(*) AS BIGINT) AS shared_fp
+        |FROM p a JOIN p b ON a.f = b.f AND a.doc_id < b.doc_id
+        |GROUP BY 1,2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val fp = Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(winnowing(col("text"), 3, 4)).as("f"))
         .cache()
