@@ -130,28 +130,41 @@ object SimilarityQueries {
     },
 
     // ANN scale path: multi-table multi-probe random-hyperplane LSH.
-    // L=4 independent tables of 4 sign bits bucket the corpus; each query
+    // L=8 independent tables of 4 sign bits bucket the corpus; each query
     // probes, per table, its own bucket plus every Hamming-1 neighbor
-    // bucket. Detection prob per table for a 60°-apart neighbor is
-    // ≈ p⁴+4p³(1-p) with p = 1−θ/π ≈ 0.59, so 4 tables give ~97% recall
-    // while corpus-side work per query stays N·L·(bits+1)/2^bits ≈ 1.25·N
-    // here — tune bits up at real scale (bits=16, L=8 ⇒ ~0.2% of corpus
-    // probed). Everything stays equi-joins on (table, bucket): uniform
-    // keys, no skew. Exact re-rank inside the probed buckets. Recall vs
-    // v1 is asserted in the test suite; hyperplane constants aren't
-    // SQL-expressible → rows-only.
+    // bucket. Detection prob per table is q = p⁴+4p³(1−p) with
+    // p = 1−θ/π; on this corpus the true top-5 sits near θ≈80-90°
+    // (p≈0.5, q≈0.31), so tables are THE recall knob that doesn't grow
+    // the per-table probe fraction: L=8 gives 1−(1−q)⁸ ≈ 0.95 where L=4
+    // measured only 0.55 recall at sf0.01. Corpus-side work per query
+    // stays N·(bits+1)/2^bits per table ≈ 2.5·N total here — tune bits
+    // up at real scale (bits=16, L=8 ⇒ ~0.2% of corpus probed).
+    // Everything stays equi-joins on (table, bucket): uniform keys, no
+    // skew. Exact re-rank inside the probed buckets. Recall vs v1 is
+    // asserted in the test suite at sf0.001 AND sf0.01; hyperplane
+    // constants aren't SQL-expressible → rows-only.
     qRowsOnly("v3_ann_lsh_topk") { (s, dir) =>
       graft.plans.GraftExtensions.install(s)
       val e = Tables.load(s, dir, "embeddings")
-      // Deterministic hyperplanes: h[t][b][i] = sin(1 + ((t*bits)+b)*dim + i)
-      // — fixed, engine-independent, splits sign-space evenly.
+      // Deterministic iid-Gaussian hyperplanes (fixed seed, one stream
+      // indexed h[t][b][i] = g[((t*bits)+b)*dim + i]). NOT a closed-form
+      // sinusoid: sin(c+i) = sin(c)·cos(i) + cos(c)·sin(i), so sinusoidal
+      // "hyperplanes" all lie in the 2-D span of (cos i, sin i)_i — every
+      // bit then quantizes one planar angle, tables are perfectly
+      // correlated, and recall plateaus (measured 0.575 at sf0.01 no
+      // matter how many tables). Independent Gaussian directions restore
+      // the p = 1−θ/π per-bit geometry the table-count analysis assumes.
       val dim = 64
       val bits = 4
-      val tables = 4
+      val tables = 8
+      val gauss = {
+        val rnd = new scala.util.Random(42)
+        Array.fill(tables * bits * dim)(rnd.nextGaussian())
+      }
       def bucketOf(emb: Column, t: Int): Column =
         (0 until bits).map { b =>
           val hp = array((0 until dim).map(
-            i => lit(math.sin(1.0 + (t * bits + b) * dim + i))): _*)
+            i => lit(gauss((t * bits + b) * dim + i))): _*)
           when(dotD(emb, hp) >= 0, lit(1L << b)).otherwise(0L)
         }.reduce(_ + _)
       val corpus = e.select(col("vec_id"), col("embedding"),
