@@ -145,6 +145,27 @@ class PipelineSpec extends SparkSpec {
     assert(counts.forall(r => Set(r.getLong(0), r.getLong(1)) == Set(5L, 6L)))
   }
 
+  test("pipeline heads match the committed goldens byte-for-byte") {
+    // bdb_radius_stage / bdb_press_pipeline are rows-only in the driver
+    // gate; these committed goldens turn a kernel regression into a test
+    // diff instead of silent drift. Regenerate ONLY for an intended
+    // kernel change: sbt "Test/runMain graft.bdb.Golden"
+    Golden.queries.foreach { name =>
+      val got = Golden.render(graft.SparkEntry.queries(name)(spark, "unused"))
+      val want = {
+        val in = getClass.getResourceAsStream(Golden.resourcePath(name))
+        assert(in != null, s"missing committed golden for $name")
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      assert(got == want, {
+        val g = got.linesIterator.toSeq; val w = want.linesIterator.toSeq
+        val firstDiff = g.zipAll(w, "<eof>", "<eof>").indexWhere(p => p._1 != p._2)
+        s"$name diverged from golden at line $firstDiff: " +
+          s"got=${g.lift(firstDiff)} want=${w.lift(firstDiff)}"
+      })
+    }
+  }
+
   test("coverage model: RF separates Cover-3 from Cover-1 on the fixture") {
     val (_, _, players, _, _) = BdbMini.load(spark)
     val feats = CoveragePlayModel.features(plays, players, playerPlay, tracking,
