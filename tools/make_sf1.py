@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Synthesize an sf1-shaped dataset from the driver's sf0.1 parquet (dev
+measurement harness only — correctness always runs on the driver's own
+testdata). Ten independent copies of sf0.1, spliced so the step behaves
+like a genuinely 10x-larger corpus rather than pathological duplication:
+
+- fact keys (orderkey/custkey/suppkey/partkey/event_id/user_id/doc_id/
+  vec_id) are offset per copy, preserving FK structure — 10 disjoint
+  key universes, same per-key row counts;
+- dimension tables (region, nation) stay single-copy: dims don't grow
+  with data scale, and replicating them would break key uniqueness;
+- documents.text gets a per-copy token suffix (copy 0 untouched), so
+  shingles never match across copies: near-dup/dedup pair volume grows
+  linearly (10 independent corpora), exactly the behavior of a larger
+  crawl — naive text duplication would instead create 10x10 exact-dup
+  cliques and quadratic candidate growth by construction.
+
+Usage: python3 tools/make_sf1.py [src_dir] [dst_dir]
+"""
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+COPIES = 10
+OFF = 100_000_000  # > every key in sf0.1
+
+import os
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+con.execute(f"SET threads TO {os.cpu_count()}")
+
+
+def gen(table, sql):
+    con.execute(
+        f"COPY ({sql}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{DST}/{table}.parquet')").fetchone()[0]
+    print(f"{table}: {n} rows")
+
+
+def src(table):
+    return f"read_parquet('{SRC}/{table}.parquet')"
+
+
+# dims: single copy
+for t in ("region", "nation"):
+    gen(t, f"SELECT * FROM {src(t)}")
+
+C = f"(SELECT unnest(range({COPIES})) AS c)"
+
+gen("customer", f"""
+  SELECT c_custkey + c*{OFF} AS c_custkey, c_name, c_nationkey,
+         c_acctbal, c_mktsegment
+  FROM {src('customer')} CROSS JOIN {C}""")
+
+gen("supplier", f"""
+  SELECT s_suppkey + c*{OFF} AS s_suppkey, s_name, s_nationkey, s_acctbal
+  FROM {src('supplier')} CROSS JOIN {C}""")
+
+gen("part", f"""
+  SELECT p_partkey + c*{OFF} AS p_partkey, p_name, p_brand, p_type,
+         p_size, p_retailprice
+  FROM {src('part')} CROSS JOIN {C}""")
+
+gen("orders", f"""
+  SELECT o_orderkey + c*{OFF} AS o_orderkey, o_custkey + c*{OFF} AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM {src('orders')} CROSS JOIN {C}""")
+
+gen("lineitem", f"""
+  SELECT l_orderkey + c*{OFF} AS l_orderkey, l_partkey + c*{OFF} AS l_partkey,
+         l_suppkey + c*{OFF} AS l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+         l_shipdate
+  FROM {src('lineitem')} CROSS JOIN {C}""")
+
+# events goes through pyarrow, not DuckDB: the engine reads ts as parquet
+# TIMESTAMP(NANOS) (Tables.loadEvents replays the driver file's type), and
+# DuckDB's COPY downcasts it to micros. pyarrow version='2.6' keeps ns.
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+ev = pq.read_table(f"{SRC}/events.parquet")
+pq.write_table(
+    pa.concat_tables([
+        ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
+                      pc.add(ev["event_id"], c * OFF))
+          .set_column(ev.schema.get_field_index("user_id"), "user_id",
+                      pc.add(ev["user_id"], c * OFF))
+        for c in range(COPIES)]),
+    f"{DST}/events.parquet", version="2.6")
+print(f"events: {ev.num_rows * COPIES} rows (ns ts preserved)")
+
+gen("documents", f"""
+  SELECT doc_id + c*{OFF} AS doc_id,
+         CASE WHEN c = 0 THEN text
+              ELSE array_to_string(list_transform(string_split(text, ' '),
+                                   t -> t || '_' || c), ' ') END AS text,
+         lang, source,
+         length(CASE WHEN c = 0 THEN text
+              ELSE array_to_string(list_transform(string_split(text, ' '),
+                                   t -> t || '_' || c), ' ') END) AS n_chars
+  FROM {src('documents')} CROSS JOIN {C}""")
+
+gen("embeddings", f"""
+  SELECT vec_id + c*{OFF} AS vec_id, embedding, label
+  FROM {src('embeddings')} CROSS JOIN {C}""")
