@@ -139,10 +139,10 @@ object SimilarityQueries {
     // measured only 0.55 recall at sf0.01. Corpus-side work per query
     // stays N·(bits+1)/2^bits per table ≈ 2.5·N total here — tune bits
     // up at real scale (bits=16, L=8 ⇒ ~0.2% of corpus probed).
-    // Everything stays equi-joins on (table, bucket): uniform keys, no
-    // skew. Exact re-rank inside the probed buckets. Recall vs v1 is
-    // asserted in the test suite at sf0.001 AND sf0.01; hyperplane
-    // constants aren't SQL-expressible → rows-only.
+    // Everything stays one equi-join on a packed (table,bucket) long:
+    // uniform keys, no skew. Exact re-rank inside the probed buckets.
+    // Recall vs v1 is asserted in the test suite at sf0.001 AND sf0.01;
+    // hyperplane constants aren't SQL-expressible → rows-only.
     qRowsOnly("v3_ann_lsh_topk") { (s, dir) =>
       graft.plans.GraftExtensions.install(s)
       val e = Tables.load(s, dir, "embeddings")
@@ -161,27 +161,45 @@ object SimilarityQueries {
         val rnd = new scala.util.Random(42)
         Array.fill(tables * bits * dim)(rnd.nextGaussian())
       }
-      def bucketOf(emb: Column, t: Int): Column =
-        (0 until bits).map { b =>
-          val hp = array((0 until dim).map(
-            i => lit(gauss((t * bits + b) * dim + i))): _*)
-          when(dotD(emb, hp) >= 0, lit(1L << b)).otherwise(0L)
-        }.reduce(_ + _)
+      // One compiled pass per row for all tables·bits hyperplane dots
+      // (the column form — 32 interpreted `aggregate` lambdas over
+      // 64-dim lit arrays per row — was the measured hotspot: 2.5 s warm
+      // at sf0.1 vs ~0.6 s for this loop). Join key is (t<<16)|bucket
+      // packed into one long: a single uniform equi-join column.
+      def packedBuckets(emb: Seq[Float], probeExpand: Boolean): Array[Long] = {
+        val out = new Array[Long](if (probeExpand) tables * (bits + 1) else tables)
+        var o = 0
+        var t = 0
+        while (t < tables) {
+          var bucket = 0L
+          var b = 0
+          while (b < bits) {
+            var dot = 0.0
+            val base = (t * bits + b) * dim
+            val n = math.min(dim, emb.length)
+            var i = 0
+            while (i < n) { dot += gauss(base + i) * emb(i); i += 1 }
+            if (dot >= 0) bucket |= 1L << b
+            b += 1
+          }
+          val tag = t.toLong << 16
+          out(o) = tag | bucket; o += 1
+          if (probeExpand) {
+            var pb = 0
+            while (pb < bits) { out(o) = tag | (bucket ^ (1L << pb)); o += 1; pb += 1 }
+          }
+          t += 1
+        }
+        out
+      }
+      val bucketsOf = udf((emb: Seq[Float]) => packedBuckets(emb, probeExpand = false))
+      val probesOf = udf((emb: Seq[Float]) => packedBuckets(emb, probeExpand = true))
       val corpus = e.select(col("vec_id"), col("embedding"),
-          explode(array((0 until tables).map(
-            t => struct(lit(t).as("t"), bucketOf(col("embedding"), t).as("bucket"))): _*))
-            .as("tb"))
-        .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.bucket"))
+        explode(bucketsOf(col("embedding"))).as("tb"))
       val probes = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          explode(flatten(array((0 until tables).map { t =>
-            val bk = bucketOf(col("embedding"), t)
-            array(struct(lit(t).as("t"), bk.as("bucket")) +:
-              (0 until bits).map(b =>
-                struct(lit(t).as("t"), bk.bitwiseXOR(1L << b).as("bucket"))): _*)
-          }: _*))).as("tb"))
-        .select(col("query_id"), col("qe"), col("tb.t"), col("tb.bucket"))
-      corpus.join(broadcast(probes), Seq("t", "bucket"))
+          explode(probesOf(col("embedding"))).as("tb"))
+      corpus.join(broadcast(probes), Seq("tb"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qe"), col("embedding"))
         .dropDuplicates("query_id", "neighbor_id")
