@@ -71,11 +71,11 @@ object Dedup {
         acc + when(bitSum >= 0, shl(lit(1L), b)).otherwise(0L)
       })
 
-  /** Pigeonhole blocking keys for Hamming-distance search: split the 64-bit
-    * simhash into `chunks` pieces; any pair within distance `chunks-1`
-    * shares at least one identical chunk. */
-  def simhashChunks(sim: Column, chunks: Int): Column = {
-    val width = 64 / chunks
+  /** Pigeonhole blocking keys for Hamming-distance search: split the
+    * `sigBits`-bit simhash into `chunks` pieces; any pair within distance
+    * `chunks-1` shares at least one identical chunk. */
+  def simhashChunks(sim: Column, chunks: Int, sigBits: Int = 64): Column = {
+    val width = sigBits / chunks
     val mask = (1L << width) - 1
     transform(sequence(lit(0), lit(chunks - 1)),
       c => struct(c.as("chunk_idx"),
@@ -106,6 +106,54 @@ object Dedup {
     var sig = 0L
     var b = 0
     while (b < 64) {
+      if (counts(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Oracle-portable 60-bit SimHash: the token hash is two character
+    * polynomials (seeds 7/11, bases 131/137, mod the prime 1e9+7 — the
+    * same engine-portable family as `TextFunctions.winnowing`) packed
+    * into 60 bits, then a splitmix-style finalizer (xorshift +
+    * multiply, all arithmetic masked to 60 bits so DuckDB's
+    * HUGEINT-multiply-then-mask reproduces the Long wraparound exactly).
+    * The finalizer matters: without it the polynomial's correlated low
+    * bits inflate the hd≤3 pair count ~20% with no locality benefit.
+    * DuckDB can replay signature, pigeonhole chunks, and Hamming
+    * verification bit-for-bit, so d4 is oracle-checked end to end.
+    * Chunk the result with [[simhashChunks]](sig, 4, sigBits = 60). */
+  val simhashPortableFast = org.apache.spark.sql.functions.udf { (tokens: Seq[String]) =>
+    val P = 1000000007L
+    val Mask60 = (1L << 60) - 1
+    val C1 = 0xBF58476D1CE4E5B9L & Mask60
+    val C2 = 0x94D049BB133111EBL & Mask60
+    val counts = new Array[Int](60)
+    var j = 0
+    while (j < tokens.length) {
+      val s = tokens(j)
+      var h1 = 7L; var h2 = 11L
+      var ci = 0
+      while (ci < s.length) {
+        val c = s.charAt(ci)
+        h1 = (h1 * 131 + c) % P
+        h2 = (h2 * 137 + c) % P
+        ci += 1
+      }
+      var h = h1 * 1073741824L + h2
+      h ^= h >>> 30; h = (h * C1) & Mask60
+      h ^= h >>> 27; h = (h * C2) & Mask60
+      h ^= h >>> 31
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
       if (counts(b) >= 0) sig |= (1L << b)
       b += 1
     }

@@ -217,15 +217,47 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // SimHash near-dup: 64-bit signatures, pigeonhole chunk blocking
-    // (4 chunks ⇒ complete for Hamming ≤ 3), Hamming verification.
-    // xxhash64 signatures aren't SQL-expressible in the oracle → rows-only.
-    qRowsOnly("d4_simhash") { (s, dir) =>
+    // SimHash near-dup: 60-bit portable signatures, pigeonhole chunk
+    // blocking (4 chunks of 15 bits ⇒ complete for Hamming ≤ 3), Hamming
+    // verification. The signature is the oracle-portable poly+splitmix60
+    // family (Dedup.simhashPortableFast), so DuckDB replays signature,
+    // chunking, and verification bit-for-bit — the whole operator is
+    // hash-checked, not rows-only.
+    q("d4_simhash",
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |raw AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(7::BIGINT,
+        |             list_transform(regexp_extract_all(t, '.'), c -> CAST(ascii(c) AS BIGINT))),
+        |             (a,b) -> (a*131 + b) % 1000000007) * 1073741824
+        |         + list_reduce(list_prepend(11::BIGINT,
+        |             list_transform(regexp_extract_all(t, '.'), c -> CAST(ascii(c) AS BIGINT))),
+        |             (a,b) -> (a*137 + b) % 1000000007) AS h0
+        |  FROM tk),
+        |m1 AS (SELECT doc_id, CAST((xor(h0, h0 >> 30)::HUGEINT * 1105712242481227193) & 1152921504606846975 AS BIGINT) AS h1 FROM raw),
+        |m2 AS (SELECT doc_id, CAST((xor(h1, h1 >> 27)::HUGEINT * 346858239137223147) & 1152921504606846975 AS BIGINT) AS h2 FROM m1),
+        |th AS (SELECT doc_id, xor(h2, h2 >> 31) AS h FROM m2),
+        |bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b)
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id),
+        |ch AS (
+        |  SELECT doc_id, sig, c, (sig >> (c*15)) & 32767 AS cv
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hd
+        |FROM ch a JOIN ch b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val sig = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), simhashFast(tokens(col("text"))).as("sig"))
+        .select(col("doc_id"), simhashPortableFast(tokens(col("text"))).as("sig"))
         .cache()
       val chunks = sig.select(col("doc_id"), col("sig"),
-          explode(simhashChunks(col("sig"), 4)).as("c"))
+          explode(simhashChunks(col("sig"), 4, sigBits = 60)).as("c"))
         .select(col("doc_id"), col("sig"), col("c.chunk_idx"), col("c.chunk_val"))
       chunks.as("a")
         .join(chunks.as("b"),
@@ -233,7 +265,7 @@ object DedupQueries {
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                hamming(col("a.sig"), col("b.sig")).as("hd"))
+                hamming(col("a.sig"), col("b.sig")).cast("long").as("hd"))
         .distinct()
         .filter(col("hd") <= 3)
         .orderBy("doc_a", "doc_b")

@@ -67,6 +67,21 @@ class DedupSpec extends SparkSpec {
     assert(hd(sigs(1), sigs(2)) <= 8)
   }
 
+  test("portable simhash keeps SimHash locality (near docs close, far docs far)") {
+    import spark.implicits._
+    val df = Seq(
+      (1, (1 to 60).map("tok" + _)),
+      (2, (1 to 58).map("tok" + _) ++ Seq("x1", "x2")),
+      (3, (1 to 60).map("other" + _))).toDF("id", "toks")
+    val sigs = df.select(col("id"), simhashPortableFast(col("toks")).as("sig"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def hd(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hd(sigs(1), sigs(2)) < hd(sigs(1), sigs(3)))
+    assert(hd(sigs(1), sigs(2)) <= 8)
+    // 60-bit domain: bit 60+ never set
+    assert(sigs.values.forall(s => (s >>> 60) == 0L))
+  }
+
   test("simhashChunks covers all pairs within hamming <= chunks-1 (pigeonhole)") {
     import spark.implicits._
     // two signatures differing in exactly 3 bits MUST share >= 1 of 4 chunks
