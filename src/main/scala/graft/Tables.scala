@@ -19,6 +19,16 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  // Layout note (measured, round 4): the dev parquet files are single
+  // row groups, and a row group is parquet's minimum read unit — so every
+  // scan here lands in ONE task and per-row compute (tokenize/hash/
+  // quantize) runs single-threaded regardless of cores. A conditional
+  // round-robin repartition after the scan was tried and REJECTED: at
+  // sf0.1 the exchange + extra planning pass cost more than the tiny
+  // single-task compute it parallelized (x1 0.37→0.79 s warm). At
+  // cluster scale the problem doesn't exist — real tables are many
+  // files × many row groups and the scan itself yields ≥ cores splits.
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's schema converter
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
     * legacy conf, then truncate to microseconds — exactly what DuckDB does

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.QueryDef.{q, qRowsOnly}
+import graft.QueryDef.q
 import graft.functions.Dedup._
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -121,9 +121,11 @@ object DedupQueries {
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       }
-      // 3 propagation steps per action (covers diameter 2³ per check);
-      // localCheckpoint truncates the lineage so round k does not replan
-      // rounds 1..k−1 — the standard Spark iterative-algorithm shape
+      // 3 propagation steps per action (labels travel 3 hops per check —
+      // near-dup clusters are shallow, so most corpora converge in one
+      // round plus the confirming round); localCheckpoint truncates the
+      // lineage so round k does not replan rounds 1..k−1 — the standard
+      // Spark iterative-algorithm shape
       var labels = und.select(col("u").as("doc_id")).distinct()
         .withColumn("label", col("doc_id"))
         .localCheckpoint()

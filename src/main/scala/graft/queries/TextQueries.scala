@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.QueryDef.{q, qRowsOnly}
+import graft.QueryDef.q
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.functions._
 
