@@ -113,13 +113,14 @@ object DedupQueries {
         .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
         .localCheckpoint() // one materialization of the edge list
       def propagate(l: org.apache.spark.sql.DataFrame) = {
-        val neighborMin = und
-          .join(l.withColumnRenamed("doc_id", "v"), "v")
-          .groupBy(col("u").as("doc_id"))
-          .agg(min("label").as("nmin"))
-        l.join(neighborMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        // one join + one agg per step: own label rides the union into the
+        // same min-aggregate, replacing the join + left-join-back form
+        // (2 joins/step) — same fixpoint, one fewer shuffle per step
+        und.join(l.withColumnRenamed("doc_id", "v"), "v")
+          .select(col("u").as("doc_id"), col("label"))
+          .unionByName(l)
+          .groupBy("doc_id")
+          .agg(min("label").as("label"))
       }
       // 3 propagation steps per action (labels travel 3 hops per check —
       // near-dup clusters are shallow, so most corpora converge in one
