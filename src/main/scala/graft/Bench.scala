@@ -9,6 +9,20 @@ import org.apache.spark.sql.SparkSession
   * scan). Two JSON lines are printed: the full per-query map first, then a
   * COMPACT summary line LAST (total + slowest-10) so a tail-truncating
   * capture still gets a parsable line.
+  *
+  * Noise control: every query is timed TWICE and reported as the MIN of
+  * the two runs (both raw runs are kept in the `"runs"` field). A
+  * single-shot timing is at the mercy of ambient host load — the round-4
+  * driver artifact reported 22.2 s for a query that re-times at 0.30 s
+  * warm — and min-of-two removes exactly that one-sided error.
+  *
+  * Honesty control: `Caches.reset` runs before EVERY timed run, so each
+  * run pays the query's full cost — the second run can never return a
+  * memoized result (NearDupPairs pairs, x18/x19 stage frames) another run
+  * already computed. Side effect vs earlier rounds: x19 no longer
+  * piggybacks on x18's stage memo inside the bench, so its reported time
+  * is its full isolated cost (the production sharing still exists; the
+  * bench now states per-query cost, not marginal cost).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,34 +51,43 @@ object Bench {
       case None        => SparkEntry.queries
     }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = selected.map { case (name, fn) =>
+    // a failed query must be distinguishable from a fast success: record
+    // its name in "errors" and report value -1, never a small elapsed.
+    // strip the terminal oracle-determinism ORDER BY (GraftBenchPlan
+    // scaladoc) so the timing covers the operator, not an output sort
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      Caches.reset(spark)
       val t0 = System.nanoTime()
-      // a failed query must be distinguishable from a fast success: record
-      // its name in "errors" and report value -1, never a small elapsed
-      // strip the terminal oracle-determinism ORDER BY (GraftBenchPlan
-      // scaladoc) so the timing covers the operator, not an output sort
-      val ok =
-        try {
-          org.apache.spark.sql.GraftBenchPlan.withoutTerminalSort(fn(spark, sfDir))
-            .write.format("noop").mode("overwrite").save()
-          true
-        }
-        catch { case e: Throwable =>
-          errors += name
-          System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try {
+        org.apache.spark.sql.GraftBenchPlan.withoutTerminalSort(fn(spark, sfDir))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        errors += name
+        System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+        -1.0
+      }
+    }
+    val runs = selected.map { case (name, fn) =>
+      val r1 = timeOnce(name, fn)
+      val r2 = if (r1 >= 0) timeOnce(name, fn) else -1.0
+      name -> (r1, r2)
+    }
+    val results = runs.map { case (name, (r1, r2)) =>
+      name -> (if (r1 < 0 || r2 < 0) -1.0 else math.min(r1, r2))
     }
     def jmap(kvs: Iterable[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    def jruns(kvs: Iterable[(String, (Double, Double))]): String =
+      kvs.map { case (k, (a, b)) => "\"" + k + "\":[" + f"$a%.3f" + "," + f"$b%.3f" + "]" }
+        .mkString("{", ",", "}")
     def jlist(xs: Iterable[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    val errs = s""""errors":${jlist(errors)}"""
-    println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":${jmap(results)},$errs,"sf":"$sfDir"}""")
+    val errs = s""""errors":${jlist(errors.distinct)}"""
+    println(s"""{"metric":"per_query","value":$total,"unit":"sec","timing":"min_of_2_cache_reset","queries":${jmap(results)},"runs":${jruns(runs)},$errs,"sf":"$sfDir"}""")
     val slowest = results.toSeq.sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(slowest)},$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_cache_reset","queries":${jmap(slowest)},$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -465,9 +465,11 @@ object TextQueries {
         |WHERE doc_id % 29 <> 0 AND len(list_intersect(s, es)) < 3
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val evalSh = docs.filter(col("doc_id") % 29 === 0)
-        .select(explode(shingles(col("text"), 3)).as("g"))
-        .distinct().collect().map(_.getString(0)).toSeq
+      val evalSh = graft.functions.BoundedCollect.strings(
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(explode(shingles(col("text"), 3)).as("g"))
+          .distinct(),
+        "x16 benchmark shingle set")
       deconSurvivors(docs.filter(col("doc_id") % 29 =!= 0), evalSh, 3)
         .orderBy("doc_id")
     },

@@ -27,7 +27,10 @@ object QueryDev {
         println(s"===== $name plan =====")
         fn(spark, sfDir).explain("formatted")
       }
+      // same protocol as graft.Bench: memo caches reset before every run so
+      // run2 is JVM-warm but never memo-warm — comparable to the bench's min
       (1 to 2).foreach { i =>
+        graft.Caches.reset(spark)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
