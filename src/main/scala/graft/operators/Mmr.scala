@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   * k · dim floats). Cost: k scans; k is small (a sample seed set, not a
   * ranking) by use-case. Ties break on id so the result is
   * deterministic under any partitioning.
+  *
+  * Scores are rounded to 6 dp BEFORE each argmax: MMR carries no
+  * meaning below 1e-6, and the rounded trajectory is reproducible
+  * across engines and FP summation orders (sub-round ties fall to the
+  * id tie-break), which is what lets a SQL oracle replay the greedy
+  * loop step for step (v7's recursive-CTE oracle).
   */
 object Mmr {
   def select(corpus: DataFrame, relCol: Column, embCol: Column, idCol: Column,
@@ -34,7 +40,7 @@ object Mmr {
         else base.filter(!col("__id").isin(picked.map(_._1): _*))
       val row = remaining
         .select(col("__id"), col("__rel"), col("__emb"),
-          (col("__rel") - lit(lambda) * penalty).as("__score"))
+          round(col("__rel") - lit(lambda) * penalty, 6).as("__score"))
         .orderBy(desc("__score"), col("__id"))
         .limit(1).head()
       picked = picked :+ ((row.getLong(0), row.getDouble(3), row.getSeq[Float](2)))

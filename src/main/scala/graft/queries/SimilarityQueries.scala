@@ -346,11 +346,41 @@ object SimilarityQueries {
 
     // MMR diverse top-k (operators.Mmr): relevance = cosine to the
     // vec_id-0 probe; each greedy round is one distributed TakeOrdered
-    // with the selected vectors as plan literals. rows-only: the greedy
-    // argmax chain isn't SQL-expressible; SimilaritySpec asserts
-    // determinism, the first-pick identity, and that the MMR set is
-    // strictly more diverse than the plain top-k.
-    qRowsOnly("v7_mmr_topk") { (s, dir) =>
+    // with the selected vectors as plan literals. The greedy argmax
+    // chain IS SQL-expressible — with per-round scores rounded to 6 dp
+    // (see Mmr scaladoc) the trajectory is engine-reproducible, so a
+    // recursive CTE over the precomputed cosine matrix replays the loop
+    // step for step (same trick as d5's recursive-CTE oracle). The n²
+    // pairs CTE exists ONLY in the oracle; the engine ships ≤ k picked
+    // vectors as plan literals per round.
+    q("v7_mmr_topk",
+      s"""WITH RECURSIVE
+         |rel AS (
+         |  SELECT c.vec_id,
+         |         ${sqlDot("c.embedding", "q.embedding")}
+         |           / (${sqlNorm("c.embedding")} * ${sqlNorm("q.embedding")}) AS rel
+         |  FROM embeddings c JOIN embeddings q ON q.vec_id = 0
+         |  WHERE c.vec_id > 0),
+         |pairs AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |         ${sqlDot("a.embedding", "b.embedding")}
+         |           / (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}) AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id > 0 AND b.vec_id > 0 AND a.vec_id <> b.vec_id),
+         |sel AS (
+         |  (SELECT 1 AS rnk, vec_id, round(rel, 6) AS mmr_score, [vec_id] AS picked
+         |   FROM rel ORDER BY round(rel, 6) DESC, vec_id LIMIT 1)
+         |  UNION ALL
+         |  SELECT s.rnk + 1, c.vec_id, c.score, list_append(s.picked, c.vec_id)
+         |  FROM sel s CROSS JOIN LATERAL (
+         |    SELECT r.vec_id,
+         |           round(r.rel - 0.7 * (SELECT max(p.cos) FROM pairs p
+         |             WHERE p.ia = r.vec_id AND list_contains(s.picked, p.ib)), 6) AS score
+         |    FROM rel r WHERE NOT list_contains(s.picked, r.vec_id)
+         |    ORDER BY score DESC, r.vec_id LIMIT 1) c
+         |  WHERE s.rnk < 8)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, mmr_score
+         |FROM sel ORDER BY rnk""".stripMargin) { (s, dir) =>
       graft.plans.GraftExtensions.install(s)
       val e = Tables.load(s, dir, "embeddings")
       val probe = e.filter(col("vec_id") === 0)
