@@ -25,11 +25,15 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
   }
 
-  // Recall bounds are asserted at TWO scales: sf0.001 (fast dev signal)
-  // and sf0.01 (10× the corpus — checks that bucketing quality, not toy
-  // size, is what carries the bound). The query set is the fixed 8
-  // probes at every sf, so `exact` is always 8 × top-5 = 40 pairs.
-  private val recallDirs = Seq(sfDir, "/root/testdata/sf0.01")
+  // Recall bounds are asserted at THREE scales: sf0.001 (fast dev
+  // signal), sf0.01 and sf0.1 (10× and 100× the corpus — checks that
+  // bucketing quality, not toy size, is what carries the bound; the
+  // sf0.01 notch caught the rank-2 hyperplane bug, and bucket-occupancy
+  // statistics keep shifting with corpus size, so each decade is a real
+  // check). The query set is the fixed 8 probes at every sf, so `exact`
+  // is always 8 × top-5 = 40 pairs.
+  private val recallDirs =
+    Seq(sfDir, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
   private def pairsAt(dir: String)(name: String) =
     graft.SparkEntry.queries(name)(spark, dir)
@@ -71,14 +75,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("persisted IVF index returns exactly the in-memory IVF results") {
-    def rows(name: String) =
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .select("query_id", "neighbor_id", "cos", "rnk").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
-    // same quantizer seed ⇒ same cells ⇒ identical search results
-    assert(rows("v8_ann_ivf_persisted") == rows("v4_ann_ivf_topk"))
-  }
+  // v8 ≡ v4 at every recall scale: same quantizer seed ⇒ same cells ⇒
+  // identical search results, so v4's recall bound above carries over to
+  // the persisted-index path verbatim.
+  for (dir <- recallDirs; sf = dir.split("/sf").last)
+    test(s"persisted IVF index returns exactly the in-memory IVF results at sf$sf") {
+      def rows(name: String) =
+        graft.SparkEntry.queries(name)(spark, dir)
+          .select("query_id", "neighbor_id", "cos", "rnk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(rows("v8_ann_ivf_persisted") == rows("v4_ann_ivf_topk"))
+    }
 
   test("persisted IVF search prunes the index scan to the probed cells") {
     import graft.Tables
