@@ -20,38 +20,58 @@ object Golden {
 
   val queries: Seq[String] = Seq("bdb_radius_stage", "bdb_press_pipeline")
 
+  /** Seeded-but-deterministic rows-only DATA queries, goldened at
+    * sf0.001: ML training metrics (m2 LR, m4 RF confusion, m5 MLP), the
+    * m9 stratified split counts, and the k2 MC-openness head. All are
+    * fixed-seed and partition-deterministic under the SparkSpec session
+    * config (local[4], 4 shuffle partitions — the generator below pins
+    * the same config), so a numeric drift on the pinned Spark version is
+    * a test diff, not silence. */
+  val dataQueries: Seq[String] = Seq(
+    "m2_lr_metrics", "m4_rf_confusion", "m5_mlp_metrics",
+    "m9_stratified_split", "k2_openness")
+
+  val dataSfDir = "/root/testdata/sf0.001"
+
   def resourcePath(name: String) = s"/goldens/$name.csv"
 
   def render(df: DataFrame): String = {
     val header = df.schema.fields
       .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    // Locale.ROOT: "%.6f" under a comma-decimal default locale would
+    // render 0,5 and fail the byte comparison spuriously
+    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
     val rows = df.collect().map { r =>
       r.toSeq.map {
         case null      => ""
-        case d: Double => "%.6f".format(d)
-        case f: Float  => "%.6f".format(f.toDouble)
+        case d: Double => fmt(d)
+        case f: Float  => fmt(f.toDouble)
         case v         => v.toString
       }.mkString(",")
     }
     (header +: rows).mkString("", "\n", "\n")
   }
 
-  /** Writes the goldens into the source tree for committing. */
+  /** Writes the goldens into the source tree for committing. The session
+    * config MUST mirror SparkSpec (local[4], shuffle=4, UTC): seeded ML
+    * training is deterministic only per partitioning. */
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").appName("golden-gen")
-      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     try {
       val outDir = java.nio.file.Paths.get("src/test/resources/goldens")
       java.nio.file.Files.createDirectories(outDir)
-      queries.foreach { name =>
-        val df = graft.SparkEntry.queries(name)(spark, "unused")
-        java.nio.file.Files.write(outDir.resolve(s"$name.csv"),
-          render(df).getBytes("UTF-8"))
-        println(s"wrote $name")
-      }
+      (queries.map(_ -> "unused") ++ dataQueries.map(_ -> dataSfDir))
+        .foreach { case (name, dir) =>
+          val df = graft.SparkEntry.queries(name)(spark, dir)
+          java.nio.file.Files.write(outDir.resolve(s"$name.csv"),
+            render(df).getBytes("UTF-8"))
+          println(s"wrote $name")
+        }
     } finally spark.stop()
   }
 }
