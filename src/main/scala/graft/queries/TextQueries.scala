@@ -378,7 +378,14 @@ object TextQueries {
         .select(col("doc_id").as("train_doc"), col("gh"))
       val ev = hashed.filter(col("doc_id") % 29 === 0)
         .select(col("doc_id").as("eval_doc"), col("gh"))
-      tr.join(ev, "gh")
+      // the eval side is small by construction (a held-out benchmark, the
+      // same contract BoundedCollect enforces for x16/x18), so broadcast
+      // it EXPLICITLY: a shuffle join here would key on shingle hash,
+      // and a hot shingle (boilerplate appearing in 30% of the corpus)
+      // would pile its entire train-side row set onto one task. With the
+      // broadcast the join is map-side — skew-immune by plan shape
+      // (measured in SkewStressSpec).
+      tr.join(broadcast(ev), "gh")
         .groupBy("train_doc", "eval_doc")
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
