@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: ANN recall vs the exact brute-force result at a given data
+  * dir — the number SimilaritySpec asserts at sf0.001/0.01/0.1, made
+  * runnable at dirs the test suite doesn't ship to (the synthetic sf1).
+  * Usage: runMain graft.tools.RecallProbe <sfDir>
+  * Prints one JSON line: {"v3":0.95,"v4":...,"v5":...,"sf":"<dir>"}.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def pairs(name: String): Set[(Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("v1_cosine_topk")
+    val recalls = Seq("v3_ann_lsh_topk", "v4_ann_ivf_topk", "v5_ann_sq8_topk")
+      .map { name =>
+        val r = (exact intersect pairs(name)).size.toDouble / exact.size
+        name.split("_")(0) -> r
+      }
+    println(recalls.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+      .mkString("{", ",", s""","n_exact":${exact.size},"sf":"$sfDir"}"""))
+    spark.stop()
+  }
+}
