@@ -146,7 +146,11 @@ object TextFunctions {
     * sf0.1 vs ~1s for this UDF). */
   def winnowing(text: Column, n: Int, w: Int): Column = {
     val f = udf { (t: String) =>
-      val toks = t.split(" ")
+      if (t == null) null
+      else {
+      // limit -1 keeps trailing empty tokens, matching the oracle's
+      // string_split; Java's default limit 0 silently drops them
+      val toks = t.split(" ", -1)
       // Engine-portable fingerprint (so the DuckDB oracle can recompute
       // it bit-for-bit): per-token char polynomial (seed 7, base 131),
       // then a token-hash polynomial per shingle (seed 0, base 99991),
@@ -154,6 +158,11 @@ object TextFunctions {
       // plain 64-bit integer math on both engines. Window-min selection
       // only needs hash ORDER to be uniform-ish, which a 30-bit poly
       // hash still is; the winnowing guarantee itself is hash-agnostic.
+      // Portable-family precondition (also d4's char loop): chars hash
+      // as UTF-16 units via charAt, which equals the codepoint the
+      // oracle's ascii() returns only inside the BMP — supplementary-
+      // plane text would hash as two surrogates here and one codepoint
+      // there. The corpora are BMP-only; revisit if that changes.
       val P = 1000000007L
       val th = new Array[Long](toks.length)
       var ti = 0
@@ -188,6 +197,7 @@ object TextFunctions {
         j += 1
       }
       out.distinct.sorted
+      }
     }
     f(text)
   }
@@ -199,6 +209,8 @@ object TextFunctions {
     * measured ~20× HOF gap). */
   def bigramPairs(text: Column): Column = {
     val f = udf { (t: String) =>
+      if (t == null) null
+      else {
       val ts = t.split(" ", -1)
       if (ts.length < 2) Array.empty[String]
       else {
@@ -206,6 +218,7 @@ object TextFunctions {
         var i = 0
         while (i < ts.length - 1) { out(i) = ts(i) + " " + ts(i + 1); i += 1 }
         out
+      }
       }
     }
     f(text)
@@ -217,16 +230,19 @@ object TextFunctions {
     * contributes its one token as its one "bigram". */
   def bigramStats(text: Column): Column = {
     val f = udf { (t: String) =>
-      val ts = t.split(" ", -1)
-      val n = ts.length
-      val nBg = math.max(n - 1, 1)
-      val seen = new java.util.HashSet[String](nBg * 2)
-      if (n == 1) seen.add(ts(0))
+      if (t == null) null
       else {
-        var i = 0
-        while (i < n - 1) { seen.add(ts(i) + " " + ts(i + 1)); i += 1 }
+        val ts = t.split(" ", -1)
+        val n = ts.length
+        val nBg = math.max(n - 1, 1)
+        val seen = new java.util.HashSet[String](nBg * 2)
+        if (n == 1) seen.add(ts(0))
+        else {
+          var i = 0
+          while (i < n - 1) { seen.add(ts(i) + " " + ts(i + 1)); i += 1 }
+        }
+        BigramStats(nBg.toLong, seen.size.toLong)
       }
-      BigramStats(nBg.toLong, seen.size.toLong)
     }
     f(text)
   }
@@ -245,6 +261,8 @@ object TextFunctions {
     * drops the row, matching the old `size >= n` prefilter). */
   def ngramHashes(text: Column, n: Int): Column = {
     val f = udf { (t: String) =>
+      if (t == null) null
+      else {
       val toks = t.split(" ", -1)
       if (toks.length < n) Array.empty[Long]
       else {
@@ -263,6 +281,7 @@ object TextFunctions {
           i += 1
         }
         out
+      }
       }
     }
     f(text)

@@ -232,10 +232,10 @@ object DedupQueries {
         |raw AS (
         |  SELECT doc_id,
         |         list_reduce(list_prepend(7::BIGINT,
-        |             list_transform(regexp_extract_all(t, '.'), c -> CAST(ascii(c) AS BIGINT))),
+        |             list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(ascii(c) AS BIGINT))),
         |             (a,b) -> (a*131 + b) % 1000000007) * 1073741824
         |         + list_reduce(list_prepend(11::BIGINT,
-        |             list_transform(regexp_extract_all(t, '.'), c -> CAST(ascii(c) AS BIGINT))),
+        |             list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(ascii(c) AS BIGINT))),
         |             (a,b) -> (a*137 + b) % 1000000007) AS h0
         |  FROM tk),
         |m1 AS (SELECT doc_id, CAST((xor(h0, h0 >> 30)::HUGEINT * 1105712242481227193) & 1152921504606846975 AS BIGINT) AS h1 FROM raw),

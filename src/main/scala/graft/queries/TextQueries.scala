@@ -89,7 +89,7 @@ object TextQueries {
         |  SELECT doc_id,
         |         list_transform(string_split(text,' '),
         |           tok -> list_reduce(list_prepend(7::BIGINT,
-        |                    list_transform(regexp_extract_all(tok, '.'),
+        |                    list_transform(regexp_extract_all(tok, '(?s).'),
         |                                   c -> CAST(ascii(c) AS BIGINT))),
         |                  (a,b) -> (a*131 + b) % 1000000007)) AS ts
         |  FROM documents),
