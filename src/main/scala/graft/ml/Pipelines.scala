@@ -141,6 +141,9 @@ object Pipelines {
       .setEstimator(lr)
       .setEvaluator(new MulticlassClassificationEvaluator().setMetricName("logLoss"))
       .setEstimatorParamMaps(grid).setNumFolds(2).setSeed(42)
+      // folds x grid = 4 independent fits; run them concurrently
+      // (per-fit results and avgMetrics are unchanged)
+      .setParallelism(4)
     val model = cv.fit(data)
     val best = model.bestModel.asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
     val spark = embeddings.sparkSession
@@ -164,7 +167,10 @@ object Pipelines {
       .withColumn("label", col(labelCol).cast("double")).cache()
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
     val gbt = new GBTClassifier().setMaxIter(10).setMaxDepth(4).setSeed(42)
-    val model = new OneVsRest().setClassifier(gbt).fit(train)
+    // parallelism: the k binary fits are independent; serial (the
+    // default) leaves the cluster idle between them. Per-model results
+    // are unchanged — each binary GBT sees the same train frame + seed.
+    val model = new OneVsRest().setClassifier(gbt).setParallelism(3).fit(train)
     import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
     val acc = new MulticlassClassificationEvaluator()
       .setMetricName("accuracy").evaluate(model.transform(test))

@@ -99,6 +99,63 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
   }
 
+  test("dedup state survives a checkpoint restart: redelivery dropped, fresh rows pass") {
+    import org.apache.spark.sql.functions._
+    // Run 1 drains file a; between runs the feed redelivers a (b) and
+    // ships one genuinely new file (c: ids offset, ts +2h). The restarted
+    // query reuses the SAME checkpoint, so the restored watermark + dedup
+    // state must drop every redelivered row while passing the fresh ones.
+    // Sink is a file sink (the recovery-capable one — memory sinks
+    // refuse checkpoint restore); reads go through its _spark_metadata
+    // commit log, so a torn write would not count either.
+    val dir = java.nio.file.Files.createTempDirectory("graft_recov_src")
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    java.nio.file.Files.copy(src, dir.resolve("a.parquet"))
+    val ck = java.nio.file.Files.createTempDirectory("graft_recov_ck").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_recov_sink").toString + "/t"
+
+    def runOnce(): DataFrame = {
+      val q = StreamOps.dedupedStream(StreamOps.eventStream(spark, dir.toString))
+        .writeStream.format("parquet").outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .option("path", sink)
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(sink)
+    }
+
+    val n = Tables.load(spark, sfDir, "events").count()
+    assert(runOnce().count() == n)
+
+    java.nio.file.Files.copy(src, dir.resolve("b.parquet"))
+    val idOffset = 100000000L
+    val raw = spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$dir/a.parquet")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_recov_new")
+    // shift the fresh feed to land entirely AFTER the restored watermark
+    // (~ max ts - 1h): every fresh ts = original + span + 2h > max ts
+    val b = raw.agg(min("ts"), max("ts")).head()
+    val span = b.getLong(1) - b.getLong(0)
+    raw.withColumn("event_id", col("event_id") + idOffset)
+      .withColumn("ts", col("ts") + lit(span + 7200L * 1000 * 1000 * 1000))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/c")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$outDir/c"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.copy(part, dir.resolve("c.parquet"))
+
+    val landed = runOnce()
+    assert(landed.count() == 2 * n,
+      "restored state must drop the redelivered file and pass the fresh one")
+    assert(landed.filter(col("event_id") < idOffset).count() == n,
+      "redelivered rows must not land twice")
+    assert(landed.filter(col("event_id") >= idOffset).count() == n,
+      "every fresh row must land")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val events = StreamOps.eventStream(spark, eventsDir)
     val streamed = runStream(
