@@ -601,5 +601,149 @@ object TextQueries {
         .orderBy(desc("freq"), col("pair"))
         .limit(20)
     },
+
+    // CCNet-style n-gram LM perplexity gate: train an add-one-smoothed
+    // bigram LM on the 80% split (doc_id % 5 != 0), score each held-out
+    // doc by total bigram log-probability, keep docs whose AVERAGE
+    // log-prob clears the threshold (avg lp > t ⇔ perplexity < e^-t —
+    // the filter CCNet/Gopher run with a KenLM in place of this LM).
+    // Cross-engine determinism: each token's lp is rounded to 9 dp and
+    // summed as DECIMAL (exact, fold-order-free); the kept test
+    // multiplies out the division (sum > t·n) so no float division ever
+    // happens. Scale shape: two count aggs over the train split (bigram /
+    // unigram keys, uniform by construction), then the score pass joins
+    // the exploded held-out bigrams to the count tables — vocab-sized
+    // build sides (≪ corpus; broadcast when they fit, and the 1-build-row
+    // per key shape means a hot probe key is volume for AQE to split,
+    // never a build-side bucket), then one groupBy on doc_id.
+    q("x25_lm_perplexity",
+      """WITH train AS (
+        |  SELECT string_split(text, ' ') AS ts FROM documents WHERE doc_id % 5 != 0),
+        |uni AS (
+        |  SELECT tok, count(*) AS c1
+        |  FROM (SELECT unnest(ts) AS tok FROM train) GROUP BY tok),
+        |vc AS (SELECT count(*) AS v FROM uni),
+        |bi AS (
+        |  SELECT bg, count(*) AS c2
+        |  FROM (SELECT unnest([ts[i] || ' ' || ts[i+1]
+        |                       for i in range(1, len(ts))]) AS bg FROM train)
+        |  GROUP BY bg),
+        |held AS (
+        |  SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1]
+        |                         for i in range(1, len(ts))]) AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+        |        FROM documents WHERE doc_id % 5 = 0)),
+        |lp AS (
+        |  SELECT h.doc_id,
+        |         CAST(round(ln(CAST(coalesce(b.c2, 0) + 1 AS DOUBLE)
+        |                      / CAST(coalesce(u.c1, 0) + vc.v AS DOUBLE)), 9)
+        |              AS DECIMAL(18,9)) AS lp
+        |  FROM held h
+        |  LEFT JOIN bi b ON h.bg = b.bg
+        |  LEFT JOIN uni u ON string_split(h.bg, ' ')[1] = u.tok
+        |  CROSS JOIN vc)
+        |SELECT doc_id, count(*) AS n_scored,
+        |       CAST(sum(lp) AS DOUBLE) AS sum_logp,
+        |       sum(lp) > CAST('-3.43' AS DECIMAL(18,9)) * count(*) AS kept
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val uni = train
+        .select(explode(split(col("text"), " ", -1)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val bi = train
+        .select(explode(bigramPairs(col("text"))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c2"))
+      val held = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), explode(bigramPairs(col("text"))).as("bg"))
+      held
+        .join(bi, Seq("bg"), "left")
+        .join(uni.withColumnRenamed("tok", "prev"),
+              element_at(split(col("bg"), " ", 2), 1) === col("prev"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          round(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+                    (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 9)
+            .cast("decimal(18,9)").as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_scored"),
+             sum("lp").cast("double").as("sum_logp"),
+             (sum("lp") > lit(BigDecimal("-3.43")).cast("decimal(18,9)") *
+               count(lit(1))).as("kept"))
+        .orderBy("doc_id")
+    },
+
+    // Moore-Lewis contrastive data selection (the classic in-domain
+    // selection scheme; DSIR is its importance-weighted descendant):
+    // score each held-out doc by avg over tokens of
+    // ln p_in(tok) − ln p_gen(tok), where p_in is an add-one unigram LM
+    // trained on in-domain text (lang = 'en' here) and p_gen on the full
+    // train split. Positive score = looks more in-domain than general;
+    // selected docs should skew 'en' (TextQueriesSpec asserts the
+    // separability). Same determinism scheme as x25 (9-dp rounded lp
+    // deltas summed as DECIMAL, multiplied-out threshold) and the same
+    // scale shape: vocab-sized count tables, map-heavy score pass, one
+    // doc_id agg.
+    q("x26_moore_lewis",
+      """WITH train AS (
+        |  SELECT lang, string_split(text, ' ') AS ts
+        |  FROM documents WHERE doc_id % 5 != 0),
+        |gen AS (
+        |  SELECT tok, count(*) AS cg
+        |  FROM (SELECT unnest(ts) AS tok FROM train) GROUP BY tok),
+        |ind AS (
+        |  SELECT tok, count(*) AS ci
+        |  FROM (SELECT unnest(ts) AS tok FROM train WHERE lang = 'en')
+        |  GROUP BY tok),
+        |gs AS (SELECT CAST(sum(cg) AS BIGINT) AS ng, count(*) AS vg FROM gen),
+        |is_ AS (SELECT CAST(coalesce(sum(ci), 0) AS BIGINT) AS ni,
+        |               count(*) AS vi FROM ind),
+        |held AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |lp AS (
+        |  SELECT h.doc_id, h.lang,
+        |         CAST(round(ln(CAST(coalesce(i.ci, 0) + 1 AS DOUBLE)
+        |                      / CAST(is_.ni + is_.vi AS DOUBLE))
+        |                  - ln(CAST(coalesce(g.cg, 0) + 1 AS DOUBLE)
+        |                      / CAST(gs.ng + gs.vg AS DOUBLE)), 9)
+        |              AS DECIMAL(18,9)) AS d
+        |  FROM held h
+        |  LEFT JOIN ind i ON h.tok = i.tok
+        |  LEFT JOIN gen g ON h.tok = g.tok
+        |  CROSS JOIN gs CROSS JOIN is_)
+        |SELECT doc_id, any_value(lang) AS lang, count(*) AS n_tokens,
+        |       CAST(sum(d) AS DOUBLE) AS sum_delta,
+        |       sum(d) > 0 AS selected
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      def counts(df: org.apache.spark.sql.DataFrame, name: String) = df
+        .select(explode(split(col("text"), " ", -1)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(name))
+      val gen = counts(train, "cg")
+      val ind = counts(train.filter(col("lang") === "en"), "ci")
+      val gs = gen.agg(sum("cg").cast("long").as("ng"), count(lit(1)).as("vg"))
+      val is = ind.agg(coalesce(sum("ci"), lit(0L)).cast("long").as("ni"),
+                       count(lit(1)).as("vi"))
+      docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"),
+                explode(split(col("text"), " ", -1)).as("tok"))
+        .join(ind, Seq("tok"), "left")
+        .join(gen, Seq("tok"), "left")
+        .crossJoin(broadcast(gs)).crossJoin(broadcast(is))
+        .select(col("doc_id"), col("lang"),
+          round(log((coalesce(col("ci"), lit(0L)) + 1).cast("double") /
+                    (col("ni") + col("vi")).cast("double")) -
+                log((coalesce(col("cg"), lit(0L)) + 1).cast("double") /
+                    (col("ng") + col("vg")).cast("double")), 9)
+            .cast("decimal(18,9)").as("d"))
+        .groupBy("doc_id")
+        .agg(first("lang").as("lang"), count(lit(1)).as("n_tokens"),
+             sum("d").cast("double").as("sum_delta"),
+             (sum("d") > 0).as("selected"))
+        .orderBy("doc_id")
+    },
   )
 }

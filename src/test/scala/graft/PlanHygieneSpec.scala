@@ -37,6 +37,8 @@ class PlanHygieneSpec extends SparkSpec {
     "s16_snapshot_diff"     -> "1-row snapshot-version scalar",
     "x21_heavy_hitters"     -> "1-row total-token-count scalar",
     "s14_profile"           -> "six 1-row per-column distinct-count scalars (assembled cross of single-row aggs)",
+    "x25_lm_perplexity"     -> "1-row vocabulary-size scalar",
+    "x26_moore_lewis"       -> "two 1-row LM-normalizer scalars",
   )
 
   /** Global windows fed by a constant-bounded input. */

@@ -120,4 +120,46 @@ class TextQueriesSpec extends SparkSpec {
     // n_shared is a property of the doc, not of the threshold
     strict.foreach { case (id, n) => assert(loose(id) == n, s"n_shared drifted for $id") }
   }
+
+  test("x25 perplexity gate: held-out split honored, kept ⇔ avg lp over threshold") {
+    val rows = graft.SparkEntry.queries("x25_lm_perplexity")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, n, sum, kept) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+      assert(id % 5 == 0, s"doc $id is not in the held-out split")
+      assert(n > 0 && sum < 0.0, s"doc $id: n=$n sum=$sum")
+      // kept is the multiplied-out avg-lp threshold; re-derive it (the
+      // engine compares in DECIMAL, so the double replay needs an
+      // epsilon only at the exact boundary — which -3.43 avoids)
+      assert(kept == (sum / n > -3.43), s"doc $id: kept flag disagrees")
+    }
+  }
+
+  test("x26 moore-lewis: in-domain docs score higher than out-of-domain") {
+    // sf0.01, not the suite default: the corpus's lang signal is a
+    // handful of marker words, so the separation is statistical — at
+    // sf0.001 the 36-doc held-out 'en' sample is inside the noise (same
+    // reason the ANN recall specs assert at sf0.01+, SimilaritySpec).
+    val rows = graft.SparkEntry.queries("x26_moore_lewis")(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val (en, rest) = rows.partition(_._1 == "en")
+    assert(en.nonEmpty && rest.nonEmpty, "need both classes to test separability")
+    def meanAvg(xs: Array[(String, Long, Double, Boolean)]) =
+      xs.map(x => x._3 / x._2).sum / xs.length
+    // the selection signal: English held-out docs must average a higher
+    // in-domain-vs-general LM score than non-English ones
+    assert(meanAvg(en) > meanAvg(rest),
+      s"no separation: en=${meanAvg(en)} rest=${meanAvg(rest)}")
+    // and the selected set must skew English vs its base rate
+    val selRate = rows.count(_._4).toDouble / rows.length
+    if (selRate > 0) {
+      val enSelRate = en.count(_._4).toDouble / en.length
+      val restSelRate = rest.count(_._4).toDouble / rest.length
+      assert(enSelRate >= restSelRate,
+        s"selected set anti-skews: en=$enSelRate rest=$restSelRate")
+    }
+  }
 }
