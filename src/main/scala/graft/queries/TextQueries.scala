@@ -745,5 +745,61 @@ object TextQueries {
              (sum("d") > 0).as("selected"))
         .orderBy("doc_id")
     },
+
+    // Per-domain KL divergence from the corpus token distribution —
+    // the drift/contamination monitor a corpus pipeline runs per
+    // ingest batch (a source whose KL jumps changed its content mix).
+    // KL(p_s ‖ q) over the full corpus vocabulary with add-one
+    // smoothing on both sides, so zero-count cells contribute their
+    // smoothed mass and the sum is a true (non-negative) divergence.
+    // Determinism: same scheme as x25/x26 — each grid cell's term
+    // rounds to 9 dp and sums as DECIMAL; only the final per-source
+    // total terminal-casts to DOUBLE. Scale shape: the term grid is
+    // |domains| × |vocab| BY CONSTRUCTION (that is the quantity being
+    // summed, not an accidental blow-up): corpus counts broadcast
+    // against the ~20-row per-source totals, the per-source counts
+    // arrive by an equi-join on (source, tok), and the corpus scan is
+    // one partial-agg'd token count.
+    q("x27_domain_kl",
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |corpus AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |gs AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM corpus),
+        |src AS (SELECT source, tok, count(*) AS cs FROM toks GROUP BY source, tok),
+        |stot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM src GROUP BY source),
+        |grid AS (
+        |  SELECT st.source, st.ns, co.tok, co.c, coalesce(s.cs, 0) AS cs
+        |  FROM stot st CROSS JOIN corpus co
+        |  LEFT JOIN src s ON s.source = st.source AND s.tok = co.tok),
+        |terms AS (
+        |  SELECT source, ns,
+        |         CAST(round((CAST(cs+1 AS DOUBLE)/CAST(ns+gs.v AS DOUBLE))
+        |              * ln( (CAST(cs+1 AS DOUBLE)*CAST(gs.n+gs.v AS DOUBLE))
+        |                   /(CAST(ns+gs.v AS DOUBLE)*CAST(c+1 AS DOUBLE))), 9)
+        |              AS DECIMAL(18,9)) AS t
+        |  FROM grid CROSS JOIN gs)
+        |SELECT source, any_value(ns) AS n_tokens, CAST(sum(t) AS DOUBLE) AS kl
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      val corpus = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val gs = corpus.agg(sum("c").cast("long").as("n"), count(lit(1)).as("v"))
+      val src = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+      val stot = src.groupBy("source").agg(sum("cs").cast("long").as("ns"))
+      stot.crossJoin(broadcast(corpus))
+        .join(src, Seq("source", "tok"), "left")
+        .crossJoin(broadcast(gs))
+        .select(col("source"), col("ns"),
+          round(((coalesce(col("cs"), lit(0L)) + 1).cast("double") /
+                 (col("ns") + col("v")).cast("double")) *
+                log(((coalesce(col("cs"), lit(0L)) + 1).cast("double") *
+                     (col("n") + col("v")).cast("double")) /
+                    ((col("ns") + col("v")).cast("double") *
+                     (col("c") + 1).cast("double"))), 9)
+            .cast("decimal(18,9)").as("t"))
+        .groupBy("source")
+        .agg(first("ns").as("n_tokens"), sum("t").cast("double").as("kl"))
+        .orderBy("source")
+    },
   )
 }

@@ -39,6 +39,7 @@ class PlanHygieneSpec extends SparkSpec {
     "s14_profile"           -> "six 1-row per-column distinct-count scalars (assembled cross of single-row aggs)",
     "x25_lm_perplexity"     -> "1-row vocabulary-size scalar",
     "x26_moore_lewis"       -> "two 1-row LM-normalizer scalars",
+    "x27_domain_kl"         -> "vocab-sized corpus-distribution table + 1-row normalizer (the domains x vocab grid IS the summed quantity)",
   )
 
   /** Global windows fed by a constant-bounded input. */

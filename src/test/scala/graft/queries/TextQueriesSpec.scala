@@ -136,6 +136,22 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("x27 domain KL: true divergences — nonnegative for every source") {
+    // Gibbs' inequality: KL(p_s ‖ q) >= 0, with equality only when the
+    // source's smoothed distribution equals the corpus's. A sign or
+    // smoothing bug (e.g. dropping the zero-count cells' mass) breaks
+    // this before it breaks the oracle hash at a different SF.
+    val rows = graft.SparkEntry.queries("x27_domain_kl")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val nSources = graft.Tables.load(spark, sfDir, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == nSources, "every source must get a divergence")
+    rows.foreach { case (s, n, kl) =>
+      assert(n > 0, s"source $s has no tokens")
+      assert(kl >= 0.0, s"KL($s) = $kl < 0 — not a divergence")
+    }
+  }
+
   test("x26 moore-lewis: in-domain docs score higher than out-of-domain") {
     // sf0.01, not the suite default: the corpus's lang signal is a
     // handful of marker words, so the separation is statistical — at
