@@ -202,6 +202,50 @@ object TextFunctions {
     f(text)
   }
 
+  /** Add-one bigram-LM model frames for [[lmScore]]: (bigram counts,
+    * unigram counts, 1-row vocabulary size) over the train corpus.
+    * Train ONCE, persist, reuse across scoring passes / micro-batches —
+    * the frames are vocab-sized, ≪ corpus. (x25's query trains inline
+    * because the driver contract is a single DataFrame.) */
+  def lmCounts(train: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val uni = train
+      .select(explode(split(col("text"), " ", -1)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = train
+      .select(explode(bigramPairs(col("text"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    (bi, uni, vocab)
+  }
+
+  /** CCNet-style perplexity scoring against a standing bigram LM (see
+    * x25_lm_perplexity for the full scheme + determinism notes): per
+    * doc, the DECIMAL-summed add-one log-probability of its bigrams and
+    * a kept flag for avg lp > threshold. Pure per-doc computation given
+    * the LM, so a partitioned corpus — or a stream micro-batch — scores
+    * identically to one batch pass. */
+  def lmScore(docs: org.apache.spark.sql.DataFrame,
+              bi: org.apache.spark.sql.DataFrame,
+              uni: org.apache.spark.sql.DataFrame,
+              vocab: org.apache.spark.sql.DataFrame,
+              threshold: BigDecimal): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(bigramPairs(col("text"))).as("bg"))
+      .join(bi, Seq("bg"), "left")
+      .join(uni.withColumnRenamed("tok", "prev"),
+            element_at(split(col("bg"), " ", 2), 1) === col("prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+                  (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 9)
+          .cast("decimal(18,9)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+           sum("lp").cast("double").as("sum_logp"),
+           (sum("lp") > lit(threshold).cast("decimal(18,9)") *
+             count(lit(1))).as("kept"))
+
   /** Consecutive token pairs ("a b"), in order; <2 tokens → empty.
     * One compiled loop per row — the interpreted
     * `transform(sequence…, concat_ws(element_at…))` form it replaces

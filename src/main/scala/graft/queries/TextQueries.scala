@@ -648,29 +648,9 @@ object TextQueries {
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 5 =!= 0)
-      val uni = train
-        .select(explode(split(col("text"), " ", -1)).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c1"))
-      val vocab = uni.agg(count(lit(1)).as("v"))
-      val bi = train
-        .select(explode(bigramPairs(col("text"))).as("bg"))
-        .groupBy("bg").agg(count(lit(1)).as("c2"))
-      val held = docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), explode(bigramPairs(col("text"))).as("bg"))
-      held
-        .join(bi, Seq("bg"), "left")
-        .join(uni.withColumnRenamed("tok", "prev"),
-              element_at(split(col("bg"), " ", 2), 1) === col("prev"), "left")
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          round(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
-                    (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 9)
-            .cast("decimal(18,9)").as("lp"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_scored"),
-             sum("lp").cast("double").as("sum_logp"),
-             (sum("lp") > lit(BigDecimal("-3.43")).cast("decimal(18,9)") *
-               count(lit(1))).as("kept"))
+      val (bi, uni, vocab) = lmCounts(train)
+      lmScore(docs.filter(col("doc_id") % 5 === 0), bi, uni, vocab,
+              BigDecimal("-3.43"))
         .orderBy("doc_id")
     },
 

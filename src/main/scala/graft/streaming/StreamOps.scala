@@ -273,6 +273,49 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** x25's streaming twin: model-gated ingest — each arriving
+    * micro-batch is scored against a STANDING bigram LM (trained once
+    * on the static corpus, vocab-sized count frames persisted) and only
+    * kept docs land. Per-doc scoring is batch-local (a doc's bigrams
+    * live in its own row), so per-micro-batch `foreachBatch` scoring
+    * equals the batch x25 result exactly, and the read-only LM means
+    * zero cross-batch state. A batch retry re-scores identical rows, so
+    * exactly-once uses `upsertSink`'s pattern: anti-join the batch's
+    * kept docs against doc_ids already landed before appending. Scale
+    * shape: count frames broadcast; the score pass is map-heavy over
+    * the micro-batch; the sink-side key read prunes to doc_id. */
+  def lmGateSink(docs: DataFrame, train: DataFrame, threshold: BigDecimal,
+                 path: String,
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextFunctions._
+    val (bi, uni, vocab) = lmCounts(train)
+    bi.persist(); uni.persist(); vocab.persist()
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val landed =
+          (try Some(spark.read.parquet(path))
+           catch {
+             case e: org.apache.spark.sql.AnalysisException
+               if e.getErrorClass == "PATH_NOT_FOUND" => None
+           })
+            .map(_.select(col("doc_id").as("landed_id")))
+            .getOrElse(batch.select(col("doc_id").as("landed_id")).limit(0))
+        val kept = lmScore(batch, bi, uni, vocab, threshold)
+          .filter(col("kept"))
+          .join(landed, col("doc_id") <=> col("landed_id"), "left_anti")
+          .persist()
+        kept.count() // materialize before the append lands new files
+        kept.write.mode("append").parquet(path)
+        kept.unpersist()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Corpus ingest gate: the x18 pipeline's MAP-ONLY stages (language
     * gate, integer-arithmetic quality gates, hashed-set
     * decontamination) composed as one stateless projection+filter — the

@@ -209,6 +209,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("streaming LM gate: per-micro-batch scoring equals batch x25, lands once") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val held = docs.filter(col("doc_id") % 5 === 0)
+    // stage the held-out docs as TWO files + one redelivery so the gate
+    // crosses micro-batch boundaries (maxFilesPerTrigger=1) and must
+    // stay idempotent
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmgate_src")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lmgate_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/p")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/p"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(name))
+    }
+    stage(held.filter(col("doc_id") % 2 === 0), "a.parquet")
+    stage(held.filter(col("doc_id") % 2 =!= 0), "b.parquet")
+    stage(held.filter(col("doc_id") % 2 === 0), "c_redelivery.parquet")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val sink = java.nio.file.Files.createTempDirectory("graft_lmgate_sink").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_lmgate_ck").toString
+    val q = StreamOps.lmGateSink(stream, train, BigDecimal("-3.43"), sink, ck)
+    q.awaitTermination()
+    val landed = spark.read.parquet(sink)
+    val batch = graft.SparkEntry.queries("x25_lm_perplexity")(spark, sfDir)
+      .filter(col("kept"))
+    assert(canon(landed) == canon(batch),
+      "streamed gate output must equal the kept rows of batch x25")
+    assert(landed.count() == batch.count(), "redelivered docs must land once")
+  }
+
   test("streaming ingest gate equals the batch gate (zero state, append mode)") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, sfDir, "documents")
