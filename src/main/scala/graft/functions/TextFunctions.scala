@@ -246,6 +246,41 @@ object TextFunctions {
            (sum("lp") > lit(threshold).cast("decimal(18,9)") *
              count(lit(1))).as("kept"))
 
+  /** Corpus token-distribution frames for [[klScore]]: (per-token
+    * corpus counts, 1-row (n, v) scalars). Vocab-sized; persist and
+    * reuse across scoring passes / micro-batches. */
+  def corpusCounts(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val corpus = docs
+      .select(explode(split(col("text"), " ", -1)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val gs = corpus.agg(sum("c").cast("long").as("n"), count(lit(1)).as("v"))
+    (corpus, gs)
+  }
+
+  /** Smoothed KL(p_group ‖ p_corpus) per group over the full corpus
+    * vocabulary grid — x27_domain_kl's scheme (see there for the
+    * determinism and grid-size notes). `grouped` = (key, tok, cs)
+    * token counts; returns (key, n_tokens, kl). */
+  def klScore(grouped: org.apache.spark.sql.DataFrame, key: String,
+              corpus: org.apache.spark.sql.DataFrame,
+              gs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stot = grouped.groupBy(key).agg(sum("cs").cast("long").as("ns"))
+    stot.crossJoin(broadcast(corpus))
+      .join(grouped, Seq(key, "tok"), "left")
+      .crossJoin(broadcast(gs))
+      .select(col(key), col("ns"),
+        round(((coalesce(col("cs"), lit(0L)) + 1).cast("double") /
+               (col("ns") + col("v")).cast("double")) *
+              log(((coalesce(col("cs"), lit(0L)) + 1).cast("double") *
+                   (col("n") + col("v")).cast("double")) /
+                  ((col("ns") + col("v")).cast("double") *
+                   (col("c") + 1).cast("double"))), 9)
+          .cast("decimal(18,9)").as("t"))
+      .groupBy(key)
+      .agg(first("ns").as("n_tokens"), sum("t").cast("double").as("kl"))
+  }
+
   /** Consecutive token pairs ("a b"), in order; <2 tokens → empty.
     * One compiled loop per row — the interpreted
     * `transform(sequence…, concat_ws(element_at…))` form it replaces

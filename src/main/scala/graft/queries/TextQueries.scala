@@ -760,26 +760,12 @@ object TextQueries {
         |  FROM grid CROSS JOIN gs)
         |SELECT source, any_value(ns) AS n_tokens, CAST(sum(t) AS DOUBLE) AS kl
         |FROM terms GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-      val toks = Tables.load(s, dir, "documents")
+      val docs = Tables.load(s, dir, "documents")
+      val (corpus, gs) = corpusCounts(docs)
+      val src = docs
         .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
-      val corpus = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      val gs = corpus.agg(sum("c").cast("long").as("n"), count(lit(1)).as("v"))
-      val src = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
-      val stot = src.groupBy("source").agg(sum("cs").cast("long").as("ns"))
-      stot.crossJoin(broadcast(corpus))
-        .join(src, Seq("source", "tok"), "left")
-        .crossJoin(broadcast(gs))
-        .select(col("source"), col("ns"),
-          round(((coalesce(col("cs"), lit(0L)) + 1).cast("double") /
-                 (col("ns") + col("v")).cast("double")) *
-                log(((coalesce(col("cs"), lit(0L)) + 1).cast("double") *
-                     (col("n") + col("v")).cast("double")) /
-                    ((col("ns") + col("v")).cast("double") *
-                     (col("c") + 1).cast("double"))), 9)
-            .cast("decimal(18,9)").as("t"))
-        .groupBy("source")
-        .agg(first("ns").as("n_tokens"), sum("t").cast("double").as("kl"))
-        .orderBy("source")
+        .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+      klScore(src, "source", corpus, gs).orderBy("source")
     },
   )
 }

@@ -316,6 +316,37 @@ object StreamOps {
       .start()
   }
 
+  /** x27's streaming twin: per-micro-batch distribution drift monitor.
+    * Each arriving batch's smoothed token distribution is KL-compared
+    * to the STANDING corpus distribution (count frame + scalars built
+    * once, persisted) and one (batch_id, n_tokens, kl) row lands per
+    * micro-batch — the ingest alarm that fires when a feed's content
+    * mix shifts away from the corpus it is joining. Read-only reference
+    * frames ⇒ zero cross-batch state; the epoch id keys the output row
+    * so a batch retry overwrites its own row's key space rather than
+    * alarming twice (append of an identical (batch_id, …) row is
+    * idempotent for the reader who keys by batch_id). */
+  def driftMonitorSink(docs: DataFrame, refCorpus: DataFrame, path: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextFunctions._
+    val (corpus, gs) = corpusCounts(refCorpus)
+    corpus.persist(); gs.persist()
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val grouped = batch
+          .select(lit(batchId).as("batch_id"),
+                  explode(split(col("text"), " ", -1)).as("tok"))
+          .groupBy("batch_id", "tok").agg(count(lit(1)).as("cs"))
+        klScore(grouped, "batch_id", corpus, gs)
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Corpus ingest gate: the x18 pipeline's MAP-ONLY stages (language
     * gate, integer-arithmetic quality gates, hashed-set
     * decontamination) composed as one stateless projection+filter — the

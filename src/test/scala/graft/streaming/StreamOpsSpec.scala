@@ -243,6 +243,48 @@ class StreamOpsSpec extends SparkSpec {
     assert(landed.count() == batch.count(), "redelivered docs must land once")
   }
 
+  test("streaming drift monitor: per-batch KL equals the batch computation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    // two micro-batches with deliberately different content mixes
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_src")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_drift_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/p")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/p"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(name))
+    }
+    val feedA = docs.filter(col("lang") === "en")
+    val feedB = docs.filter(col("lang") =!= "en")
+    stage(feedA, "a.parquet")
+    stage(feedB, "b.parquet")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val sink = java.nio.file.Files.createTempDirectory("graft_drift_sink").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_drift_ck").toString
+    val q = StreamOps.driftMonitorSink(stream, docs, sink, ck)
+    q.awaitTermination()
+    val landed = spark.read.parquet(sink)
+      .select("n_tokens", "kl").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(landed.size == 2, "one monitor row per micro-batch")
+    // batch replay: the same KL computed without the streaming machinery
+    val (corpus, gs) = corpusCounts(docs)
+    def batchKl(feed: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val g = feed.select(lit(0L).as("batch_id"),
+          explode(split(col("text"), " ", -1)).as("tok"))
+        .groupBy("batch_id", "tok").agg(count(lit(1)).as("cs"))
+      val r = klScore(g, "batch_id", corpus, gs).head()
+      (r.getLong(1), r.getDouble(2))
+    }
+    assert(landed == Set(batchKl(feedA), batchKl(feedB)))
+    // the monitor's point: both feeds diverge from the blended corpus
+    assert(landed.forall(_._2 > 0.0))
+  }
+
   test("streaming ingest gate equals the batch gate (zero state, append mode)") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, sfDir, "documents")
