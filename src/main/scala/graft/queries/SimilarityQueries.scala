@@ -223,9 +223,50 @@ object SimilarityQueries {
     // Q×4k candidate set back to the corpus by vec_id for the exact
     // re-rank. Candidate selection is GroupTopK (map-side partial heaps,
     // shuffle O(k·queries·partitions), never a full-corpus window sort).
-    // Quantizer constants aren't SQL-expressible → rows-only; recall vs
-    // exact v1 is asserted in SimilaritySpec.
-    qRowsOnly("v5_ann_sq8_topk") { (s, dir) =>
+    // Oracle-checked, unlike the trained-quantizer ANN paths: this
+    // quantizer is per-vector max-abs scaling — pure arithmetic DuckDB
+    // replays exactly (float→double widening is exact, the away-from-
+    // zero HALF_UP round is floor(v+0.5) on both engines, int dot/norm
+    // sums are exact, and IEEE-754 requires correctly-rounded sqrt), so
+    // the candidate sets and the final rounded re-rank hash-match.
+    q("v5_ann_sq8_topk",
+      s"""WITH q8 AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x ->
+         |           CASE WHEN CAST(x AS DOUBLE)/scale >= 0
+         |                THEN CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS BIGINT)
+         |                ELSE -CAST(floor(-CAST(x AS DOUBLE)/scale + 0.5) AS BIGINT) END) AS cq
+         |  FROM (SELECT vec_id, embedding,
+         |          greatest(list_aggregate(list_transform(embedding,
+         |            x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) / 127.0 AS scale
+         |        FROM embeddings)),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |         list_reduce(list_prepend(0::BIGINT, list_transform(list_zip(c.cq, q.cq),
+         |           p -> p[1]*p[2])), (x,y)->x+y) AS dot,
+         |         list_reduce(list_prepend(0::BIGINT, list_transform(c.cq, v -> v*v)), (x,y)->x+y) AS na,
+         |         list_reduce(list_prepend(0::BIGINT, list_transform(q.cq, v -> v*v)), (x,y)->x+y) AS nb
+         |  FROM q8 q JOIN q8 c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |cand AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY
+         |             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |                  ELSE dot / sqrt(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)) END DESC,
+         |             vec_id) AS r
+         |    FROM pairs) WHERE r <= 20),
+         |rerank AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |         round(${sqlDot("qv.embedding", "cv.embedding")}
+         |           / (${sqlNorm("qv.embedding")} * ${sqlNorm("cv.embedding")}), 6) AS cos
+         |  FROM cand
+         |  JOIN embeddings cv ON cv.vec_id = cand.neighbor_id
+         |  JOIN embeddings qv ON qv.vec_id = cand.query_id)
+         |SELECT query_id, neighbor_id, cos, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM rerank)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
       graft.plans.GraftExtensions.install(s)
       val e = Tables.load(s, dir, "embeddings")
       // compiled one-loop-per-row quantize + int cosine (ArrayOps.sq8*):
