@@ -141,9 +141,59 @@ object SimilarityQueries {
     // up at real scale (bits=16, L=8 ⇒ ~0.2% of corpus probed).
     // Everything stays one equi-join on a packed (table,bucket) long:
     // uniform keys, no skew. Exact re-rank inside the probed buckets.
-    // Recall vs v1 is asserted in the test suite at sf0.001 AND sf0.01;
-    // hyperplane constants aren't SQL-expressible → rows-only.
-    qRowsOnly("v3_ann_lsh_topk") { (s, dir) =>
+    // Recall vs v1 is asserted in the test suite at sf0.001, sf0.01 AND
+    // sf0.1. Oracle-checked since the planes went engine-portable: the
+    // DuckDB oracle regenerates the hyperplanes from the same squaring-
+    // hash Irwin-Hall draws, replays sign-bit bucketing, the Hamming-1
+    // probe expansion, the bucket join and the exact re-rank — the
+    // whole ANN path hash-matches, not just its recall.
+    q("v3_ann_lsh_topk",
+      s"""WITH mix AS (
+         |  SELECT t, b, i, j,
+         |         ((t*1000003 + b*10007 + i*101 + j + 1) % 1000000007) AS h0
+         |  FROM range(8) rt(t), range(4) rb(b), range(64) ri(i), range(12) rj(j)),
+         |m1 AS (SELECT t,b,i,j, ((h0*h0 + 12345) % 1000000007) AS h FROM mix),
+         |m2 AS (SELECT t,b,i,j, ((h*h + 999331) % 1000000007) AS h FROM m1),
+         |m3 AS (SELECT t,b,i,j, ((h*h + 42) % 1000000007) AS h FROM m2),
+         |g AS (
+         |  SELECT t, b, i,
+         |         list_reduce(list_prepend(0.0::DOUBLE,
+         |           list_transform(list(h ORDER BY j),
+         |             v -> (CAST(v AS DOUBLE)+0.5)/1000000007.0)),
+         |           (x,y)->x+y) - 6.0 AS gv
+         |  FROM m3 GROUP BY t, b, i),
+         |planes AS (SELECT t, b, list(gv ORDER BY i) AS w FROM g GROUP BY t, b),
+         |dots AS (
+         |  SELECT e.vec_id, p.t, p.b,
+         |         ${sqlDot("p.w", "e.embedding")} AS d
+         |  FROM embeddings e CROSS JOIN planes p),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |         CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY vec_id, t),
+         |corpus_tb AS (SELECT vec_id, t*65536 + bucket AS tb FROM buckets),
+         |probe_tb AS (
+         |  SELECT query_id, unnest(tbs) AS tb FROM (
+         |    SELECT vec_id AS query_id,
+         |           list_prepend(t*65536 + bucket,
+         |             [t*65536 + xor(bucket, 1::BIGINT << pb) for pb in range(0, 4)]) AS tbs
+         |    FROM buckets WHERE vec_id < 8)),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+         |  FROM corpus_tb c JOIN probe_tb p USING (tb)
+         |  WHERE c.vec_id <> p.query_id),
+         |rerank AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |         round(${sqlDot("qv.embedding", "cv.embedding")}
+         |           / (${sqlNorm("qv.embedding")} * ${sqlNorm("cv.embedding")}), 6) AS cos
+         |  FROM cand
+         |  JOIN embeddings cv ON cv.vec_id = cand.neighbor_id
+         |  JOIN embeddings qv ON qv.vec_id = cand.query_id)
+         |SELECT query_id, neighbor_id, cos, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM rerank)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
       graft.plans.GraftExtensions.install(s)
       val e = Tables.load(s, dir, "embeddings")
       // Deterministic iid-Gaussian hyperplanes (fixed seed, one stream
@@ -157,9 +207,36 @@ object SimilarityQueries {
       val dim = 64
       val bits = 4
       val tables = 8
+      // Engine-portable Gaussian-ish planes (so the DuckDB oracle can
+      // regenerate them bit-for-bit): Irwin-Hall(12) — the sum of 12
+      // iid uniforms minus 6 (mean 0, var 1, symmetric, smooth) — with
+      // each uniform drawn from a SQUARING hash mod 1e9+7: h² < P² <
+      // 2⁶³, so both engines do exact signed-64 integer math, and the
+      // squaring is the nonlinearity that a polynomial/LCG chain lacks —
+      // any affine-mod-P scheme stays affine in (i, j), so consecutive
+      // dims draw near-identical uniforms and the planes collapse to
+      // low rank exactly like the r4 sinusoid bug (measured: recall
+      // 0.45 with a base-131 poly chain here; ≥ 0.9 with the squaring
+      // mixer). (h+0.5)/P and the 12-term left-to-right sum are IEEE-
+      // correctly-rounded on both engines ⇒ identical coefficient
+      // doubles ⇒ identical sign bits. Recall re-measured after the
+      // swap at sf0.001/0.01/0.1 (SCALING.md table).
       val gauss = {
-        val rnd = new scala.util.Random(42)
-        Array.fill(tables * bits * dim)(rnd.nextGaussian())
+        val P = 1000000007L
+        Array.tabulate(tables * bits * dim) { idx =>
+          val t = idx / (bits * dim); val b = (idx / dim) % bits; val i = idx % dim
+          var s = 0.0
+          var j = 0
+          while (j < 12) {
+            var h = (t * 1000003L + b * 10007L + i * 101L + j + 1L) % P
+            h = (h * h + 12345L) % P
+            h = (h * h + 999331L) % P
+            h = (h * h + 42L) % P
+            s += (h + 0.5) / P.toDouble
+            j += 1
+          }
+          s - 6.0
+        }
       }
       // One compiled pass per row for all tables·bits hyperplane dots
       // (the column form — 32 interpreted `aggregate` lambdas over
