@@ -29,14 +29,28 @@ object Tables {
   // cluster scale the problem doesn't exist — real tables are many
   // files × many row groups and the scan itself yields ≥ cores splits.
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's schema converter
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
-    * legacy conf, then truncate to microseconds — exactly what DuckDB does
-    * when it reads the same file, so oracle comparisons line up. */
+  /** events.ts normalization — the generator has shipped two physical types
+    * across rounds, and DuckDB (the oracle engine) reads both as naive
+    * microsecond TIMESTAMP, so we normalize the Spark side to match:
+    *
+    *  - TIMESTAMP(NANOS): Spark's schema converter rejects it outright
+    *    ([PARQUET_TYPE_ILLEGAL]); read as raw nanos via the legacy conf,
+    *    then truncate to microseconds (exactly DuckDB's behavior).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+    *    cast to session-local TimestampType (sessions run UTC, so values are
+    *    identical) to keep downstream `unix_micros`/watermark code on the
+    *    same type it has always seen. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Register every table as a temp view named exactly like the parquet

@@ -29,12 +29,20 @@ object StreamOps {
   def eventStream(spark: SparkSession, path: String,
                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // readStream needs an explicit schema; probe the file's physical ts type
+    // once (batch read) so both generator vintages — TIMESTAMP(NANOS) read
+    // as raw longs, and TIMESTAMP(MICROS) read as NTZ — normalize to the
+    // same session-UTC TimestampType the downstream watermarks expect.
+    val tsIsLong = spark.read.parquet(path).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val tsDdl = if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"
     val reader = spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      .schema(s"event_id BIGINT, ts $tsDdl, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = reader.parquet(path)
+    if (tsIsLong) df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** W12's streaming twin: watermarked tumbling-window counts/sums. */

@@ -130,17 +130,26 @@ class StreamOpsSpec extends SparkSpec {
 
     java.nio.file.Files.copy(src, dir.resolve("b.parquet"))
     val idOffset = 100000000L
-    val raw = spark.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$dir/a.parquet")
+    // Read with the file's native ts type (long nanos in the old generator
+    // vintage, TIMESTAMP_NTZ micros in the new) so the shifted copy lands
+    // with the SAME physical type — eventStream probes the directory once
+    // and applies one schema to every file in it.
+    val raw = spark.read.parquet(s"$dir/a.parquet")
     val outDir = java.nio.file.Files.createTempDirectory("graft_recov_new")
     // shift the fresh feed to land entirely AFTER the restored watermark
     // (~ max ts - 1h): every fresh ts = original + span + 2h > max ts
     val b = raw.agg(min("ts"), max("ts")).head()
-    val span = b.getLong(1) - b.getLong(0)
-    raw.withColumn("event_id", col("event_id") + idOffset)
-      .withColumn("ts", col("ts") + lit(span + 7200L * 1000 * 1000 * 1000))
+    val shifted =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+        val span = b.getLong(1) - b.getLong(0)
+        raw.withColumn("ts", col("ts") + lit(span + 7200L * 1000 * 1000 * 1000))
+      } else {
+        val spanUs = java.time.temporal.ChronoUnit.MICROS.between(
+          b.getAs[java.time.LocalDateTime](0), b.getAs[java.time.LocalDateTime](1))
+        raw.withColumn("ts",
+          expr(s"ts + INTERVAL ${spanUs + 7200L * 1000 * 1000} MICROSECOND"))
+      }
+    shifted.withColumn("event_id", col("event_id") + idOffset)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/c")
     val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$outDir/c"))
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
