@@ -767,5 +767,93 @@ object TextQueries {
         .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
       klScore(src, "source", corpus, gs).orderBy("source")
     },
+
+    // Sliding-window chunking with overlap (RAG / embedding-prep): 32-token
+    // windows at stride 24 (8-token overlap), ragged last window. A start
+    // offset is emitted only if it adds tokens beyond the previous window's
+    // end (range stop = max(n - overlap, 1)), so no chunk is fully contained
+    // in its predecessor. Map-only: tokenize once, explode the precomputed
+    // start offsets, slice per start — no shuffle except the oracle-
+    // determinism sort; at 100 TB this is scan-bound and embarrassingly
+    // parallel, and the parquet reader prunes to (doc_id, text).
+    q("x28_chunk_overlap",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |st AS (SELECT doc_id, ts,
+        |              unnest(range(0, greatest(len(ts) - 8, 1), 24)) AS s
+        |       FROM toks)
+        |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+        |       array_to_string(ts[s+1 : s+32], ' ') AS chunk_text,
+        |       CAST(len(ts[s+1 : s+32]) AS BIGINT) AS n_chunk_tokens
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ts"))
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(0),
+            greatest(size(col("ts")) - 9, lit(0)), lit(24))).as("st"))
+        .select(col("doc_id"),
+          (col("st") / 24).cast("long").as("chunk_id"),
+          array_join(slice(col("ts"), col("st") + 1, lit(32)), " ")
+            .as("chunk_text"),
+          size(slice(col("ts"), col("st") + 1, lit(32))).cast("long")
+            .as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Per-doc top-5 TF-IDF terms (keyword extraction / doc profiling).
+    // Determinism: idf = ln((N+1)/(df+1)) + 1 rounds to 9 dp and casts to
+    // DECIMAL(18,9) (the x25/x26/x27 scheme), so score = cnt × idf is
+    // decimal-exact cross-engine; rank orders by (score DESC, term ASC)
+    // with the exact decimal, and only the output column terminal-casts
+    // to DOUBLE. Scale shape: tf is one partial-agg'd shuffle on
+    // (doc_id, term); df one on term; the df join is also on term — a
+    // stopword key is hot on the probe side but the build side is one
+    // row per term, so a shuffled hash join carries it without skew
+    // mitigation; the top-k window partitions by doc_id (uniform).
+    // N arrives as a broadcast 1-row cross join, never a collect.
+    q("x29_tfidf_topk",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM tok GROUP BY term),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         tf.cnt * CAST(round(ln(CAST(nd.n + 1 AS DOUBLE)
+        |                               / CAST(df.dfreq + 1 AS DOUBLE)) + 1.0, 9)
+        |                       AS DECIMAL(18,9)) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN nd)
+        |SELECT doc_id, rnk, term, CAST(score AS DOUBLE) AS tfidf
+        |FROM (SELECT doc_id, term, score,
+        |             row_number() OVER (PARTITION BY doc_id
+        |                                ORDER BY score DESC, term) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ", -1)).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      val dfreq = tok.groupBy("term").agg(countDistinct("doc_id").as("dfreq"))
+      val nd = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("term"),
+          // cnt as DECIMAL(10,0), not long: long promotes to DECIMAL(20,0)
+          // and 20+18+1 > 38 overflows Spark's decimal precision cap, which
+          // silently drops the product to scale 8; 10+18+1 stays exact.
+          (col("cnt").cast("decimal(10,0)") *
+            round(log((col("n") + 1).cast("double") /
+                      (col("dfreq") + 1).cast("double")) + 1.0, 9)
+              .cast("decimal(18,9)")).as("score"))
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("term"))).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("rnk"), col("term"),
+          col("score").cast("double").as("tfidf"))
+        .orderBy("doc_id", "rnk")
+    },
   )
 }

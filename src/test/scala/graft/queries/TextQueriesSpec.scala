@@ -178,4 +178,58 @@ class TextQueriesSpec extends SparkSpec {
         s"selected set anti-skews: en=$enSelRate rest=$restSelRate")
     }
   }
+
+  test("x28 chunking: full windows, exact coverage, 8-token overlap") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
+    val chunks = graft.SparkEntry.queries("x28_chunk_overlap")(spark, sfDir)
+    val joined = chunks.groupBy("doc_id")
+      .agg(max("chunk_id").as("last_id"),
+           max(col("chunk_id") * 24 + col("n_chunk_tokens")).as("covered"),
+           min(when(col("n_chunk_tokens") =!= 32, col("chunk_id")))
+             .as("first_short"),
+           count(lit(1)).as("n_chunks"))
+      .join(docs, "doc_id")
+    // chunk ids are contiguous 0..last
+    assert(joined.filter(col("n_chunks") =!= col("last_id") + 1).count() == 0)
+    // every non-last chunk is a full 32-token window
+    assert(joined.filter(col("first_short").isNotNull &&
+      col("first_short") < col("last_id")).count() == 0)
+    // the last chunk ends exactly at the doc's token count — no gap, no
+    // chunk emitted past the end
+    assert(joined.filter(col("covered") =!= col("n")).count() == 0)
+    // overlap: chunk i's tokens are exactly doc tokens [24i+1 .. 24i+32],
+    // so consecutive full chunks share 8 tokens; verify the slices match
+    // the chunk text for every chunk of every doc
+    val mismatch = chunks.join(docs, "doc_id")
+      .filter(array_join(slice(col("ts"),
+        (col("chunk_id") * 24 + 1).cast("int"), lit(32)), " ")
+        =!= col("chunk_text"))
+      .count()
+    assert(mismatch == 0L)
+  }
+
+  test("x29 tfidf: dense ranks, positive scores, terms occur in their doc") {
+    val rows = graft.SparkEntry.queries("x29_tfidf_topk")(spark, sfDir)
+    // per doc: rnk is 1..k (k ≤ 5) and scores are non-increasing in rank
+    val byDoc = rows.collect().groupBy(_.getLong(0))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1 to sorted.length).map(_.toLong),
+        "ranks not dense from 1")
+      assert(sorted.length <= 5)
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.forall(_ > 0.0))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "scores increase with rank")
+    }
+    // every reported term actually occurs in its document's token list
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ts"))
+    val ghost = rows.join(docs, "doc_id")
+      .filter(!array_contains(col("ts"), col("term")))
+      .count()
+    assert(ghost == 0L)
+  }
 }
