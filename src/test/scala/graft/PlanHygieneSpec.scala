@@ -40,6 +40,7 @@ class PlanHygieneSpec extends SparkSpec {
     "x25_lm_perplexity"     -> "1-row vocabulary-size scalar",
     "x26_moore_lewis"       -> "two 1-row LM-normalizer scalars",
     "x27_domain_kl"         -> "vocab-sized corpus-distribution table + 1-row normalizer (the domains x vocab grid IS the summed quantity)",
+    "x29_tfidf_topk"        -> "1-row corpus-count scalar",
   )
 
   /** Global windows fed by a constant-bounded input. */
