@@ -41,6 +41,30 @@ object TextFunctions {
       .select(col("doc_id"), col("n_shared"))
   }
 
+  /** x28's chunker as a reusable stateless transform: fixed
+    * `window`-token slices at `stride` (overlap = window - stride),
+    * ragged last window, and no start that would yield a chunk fully
+    * contained in its predecessor (starts stop at max(n - overlap, 1)).
+    * Pure tokenize → explode-of-starts → slice: zero state, zero
+    * shuffle, so the SAME code path chunks a batch corpus and a
+    * readStream micro-batch (append mode) — documents become
+    * embedding-ready chunks on arrival. */
+  def chunkWindows(docs: org.apache.spark.sql.DataFrame,
+                   window: Int = 32, stride: Int = 24): org.apache.spark.sql.DataFrame = {
+    val overlap = window - stride
+    docs
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0),
+          greatest(size(col("ts")) - overlap - 1, lit(0)), lit(stride))).as("st"))
+      .select(col("doc_id"),
+        (col("st") / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("ts"), col("st") + 1, lit(window)), " ")
+          .as("chunk_text"),
+        size(slice(col("ts"), col("st") + 1, lit(window))).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Distinct-overlap count against a broadcast benchmark shingle set:
     * one shared hash set per executor, O(|doc shingles|) per row. The
     * previous plan-literal `array_intersect(s, typedLit(es))` rebuilt a

@@ -786,17 +786,7 @@ object TextQueries {
         |       array_to_string(ts[s+1 : s+32], ' ') AS chunk_text,
         |       CAST(len(ts[s+1 : s+32]) AS BIGINT) AS n_chunk_tokens
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ", -1).as("ts"))
-        .select(col("doc_id"), col("ts"),
-          explode(sequence(lit(0),
-            greatest(size(col("ts")) - 9, lit(0)), lit(24))).as("st"))
-        .select(col("doc_id"),
-          (col("st") / 24).cast("long").as("chunk_id"),
-          array_join(slice(col("ts"), col("st") + 1, lit(32)), " ")
-            .as("chunk_text"),
-          size(slice(col("ts"), col("st") + 1, lit(32))).cast("long")
-            .as("n_chunk_tokens"))
+      chunkWindows(Tables.load(s, dir, "documents"))
         .orderBy("doc_id", "chunk_id")
     },
 

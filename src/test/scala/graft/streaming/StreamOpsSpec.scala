@@ -313,4 +313,20 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(streamed.count() < docs.count(), "gate must drop something")
   }
+
+  test("streaming chunker equals the batch x28 result (stateless, append)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val docStream = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val streamed = runStream(
+      graft.functions.TextFunctions.chunkWindows(docStream),
+      "chunk_stream", mode = "append")
+    val batch = graft.SparkEntry.queries("x28_chunk_overlap")(spark, sfDir)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > docs.count(), "multi-chunk docs must expand")
+  }
 }
