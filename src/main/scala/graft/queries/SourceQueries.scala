@@ -68,6 +68,43 @@ object SourceQueries {
         .orderBy("n_nationkey")
     },
 
+    // JSONL sink + scan with explicit schema — the interchange format of
+    // LLM training corpora (one JSON doc per line). The roundtrip carries
+    // the free-text column through JSON string escaping and back, so the
+    // oracle hash proves escape fidelity, not just row counts. Explicit
+    // schema on read for the same reason as s1: inference samples and is
+    // nondeterministic at scale. Scale shape: line-splittable format,
+    // writes partition-parallel, reads split per file like CSV.
+    q("s24_jsonl_roundtrip",
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val out = scratch(s, dir, "s24")
+      Tables.load(s, dir, "documents")
+        .write.mode(SaveMode.Overwrite).json(out)
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(out)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // ORC sink + scan — the second columnar format a lake ingests from.
+    // Same roundtrip-against-the-parquet-oracle trick as s1/s24: the
+    // oracle never sees the ORC file; it recomputes from the source
+    // table, so a value mangled by the format conversion hash-fails.
+    q("s25_orc_roundtrip",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate""".stripMargin) { (s, dir) =>
+      val out = scratch(s, dir, "s25")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+        .write.mode(SaveMode.Overwrite).orc(out)
+      s.read.orc(out)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+    },
+
     // S2 — glob scan of a file family (tracking_week_*.csv —
     // DatabaseCreation.R:32-36): write two disjoint halves as separate
     // file families, read them back with one glob, no manual union
