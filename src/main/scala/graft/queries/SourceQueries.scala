@@ -588,6 +588,51 @@ object SourceQueries {
         .orderBy("n_nationkey")
     },
 
+    // Malformed-record tolerance for the text formats — s22's sibling for
+    // JSONL ingest. Raw crawl/vendor feeds always carry some broken lines;
+    // PERMISSIVE mode with a corrupt-record column quarantines them
+    // per-ROW (vs s22's per-FILE parquet isolation) while every valid
+    // row survives. The oracle recomputes the good-row count from the
+    // source table and pins the quarantined count to the three injected
+    // structurally-broken lines — so a parser that silently drops or
+    // mis-admits rows hash-fails. (Measured boundary, worth knowing:
+    // quarantine catches STRUCTURAL malformation only; a type-mismatched
+    // field, e.g. a string where BIGINT is declared, is nulled and the
+    // row admitted as valid.) Scale shape: line-splittable scan, the
+    // corrupt column is per-row projection, no extra pass.
+    q("s26_jsonl_malformed",
+      """SELECT lang,
+        |       count(*) AS n_good,
+        |       CAST(0 AS BIGINT) AS n_bad
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT '_corrupt' AS lang, CAST(0 AS BIGINT) AS n_good,
+        |       CAST(3 AS BIGINT) AS n_bad
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val out = scratch(s, dir, "s26")
+      Tables.load(s, dir, "documents")
+        .write.mode(SaveMode.Overwrite).json(out)
+      val bad = new java.io.FileOutputStream(s"$out/part-garbage.json")
+      bad.write(("{\"doc_id\": 1, \"text\": \"truncated\n" +
+        "this is not json at all\n" +
+        "{\"doc_id\": 3, \"text\": }\n")
+        .getBytes("UTF-8"))
+      bad.close()
+      val read = s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+          "n_chars BIGINT, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(out)
+      read
+        .withColumn("lang", when(col("_bad").isNotNull, lit("_corrupt"))
+          .otherwise(col("lang")))
+        .groupBy("lang")
+        .agg(count(when(col("_bad").isNull, 1)).as("n_good"),
+             count(col("_bad")).as("n_bad"))
+        .orderBy("lang")
+    },
+
     // S19 — SCD2 dimension build (slowly-changing dimension, type 2):
     // two snapshot versions of the orders dimension (v1 reprices ~10% of
     // keys and adds a slice of new keys — s13's deterministic change
