@@ -790,6 +790,60 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // Zipf rank-frequency slope — the standard corpus-health check (a
+    // healthy natural-language corpus has log-freq ~ -1 × log-rank; a
+    // slope collapsing toward 0 means template/boilerplate flooding).
+    // Closed-form OLS of ln(freq) on ln(rank) over the top-1000 terms.
+    // Determinism: the x25 scheme — each ln rounds to 9 dp DECIMAL(18,9),
+    // products/sums stay exact decimal in both engines, and only the
+    // final already-aggregated scalars terminal-cast to DOUBLE. Scale
+    // shape: one partial-agg'd term count, TakeOrdered top-1000 (the
+    // global window runs on the 1000-row limit result, never the vocab),
+    // then a 1000-row single-pass OLS aggregate.
+    q("x30_zipf_slope",
+      """WITH tf AS (
+        |  SELECT term, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term),
+        |top AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+        |  FROM tf ORDER BY c DESC, term LIMIT 1000),
+        |pts AS (
+        |  SELECT CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+        |         CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        |  FROM top),
+        |s AS (SELECT count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM pts)
+        |SELECT n_terms,
+        |       CAST(sx AS DOUBLE) AS sum_lnr, CAST(sy AS DOUBLE) AS sum_lnf,
+        |       round((n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            /(n_terms * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |         AS zipf_slope
+        |FROM s""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      val top = tf.orderBy(col("c").desc, col("term")).limit(1000)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("c").desc, col("term"))))
+      val pts = top.select(
+        round(log(col("r").cast("double")), 9).cast("decimal(18,9)").as("x"),
+        round(log(col("c").cast("double")), 9).cast("decimal(18,9)").as("y"))
+      pts.agg(count(lit(1)).as("n_terms"),
+              sum("x").as("sx"), sum("y").as("sy"),
+              sum(col("x") * col("y")).as("sxy"),
+              sum(col("x") * col("x")).as("sxx"))
+        .select(col("n_terms"),
+          col("sx").cast("double").as("sum_lnr"),
+          col("sy").cast("double").as("sum_lnf"),
+          round((col("n_terms") * col("sxy").cast("double") -
+                 col("sx").cast("double") * col("sy").cast("double")) /
+                (col("n_terms") * col("sxx").cast("double") -
+                 col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("zipf_slope"))
+    },
+
     // Per-doc top-5 TF-IDF terms (keyword extraction / doc profiling).
     // Determinism: idf = ln((N+1)/(df+1)) + 1 rounds to 9 dp and casts to
     // DECIMAL(18,9) (the x25/x26/x27 scheme), so score = cnt × idf is

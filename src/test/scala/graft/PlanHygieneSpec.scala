@@ -50,6 +50,7 @@ class PlanHygieneSpec extends SparkSpec {
     "a10_share_of_total" -> "window input is the grouped aggregate (bounded by enum-key cardinality)",
     "a11_entropy"        -> "window input is the grouped aggregate (bounded by enum-key cardinality)",
     "a14_freq_pct"       -> "window input is the grouped aggregate (bounded by enum-key cardinality)",
+    "x30_zipf_slope"     -> "window input is limit(1000) via TakeOrderedAndProject",
   )
 
   private def excluded(name: String): Boolean =

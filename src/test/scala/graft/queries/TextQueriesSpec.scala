@@ -210,6 +210,18 @@ class TextQueriesSpec extends SparkSpec {
     assert(mismatch == 0L)
   }
 
+  test("x30 zipf: slope is negative and OLS inputs are coherent") {
+    val r = graft.SparkEntry.queries("x30_zipf_slope")(spark, sfDir).head()
+    val n = r.getLong(0)
+    assert(n >= 2, "need at least two rank points for a slope")
+    // frequencies are nonincreasing in rank, so the fit must tilt down
+    assert(r.getDouble(3) < 0.0, s"zipf slope not negative: ${r.getDouble(3)}")
+    // sum of ln(rank) for ranks 1..n is ln(n!) — cross-check the x side
+    val lnFact = (1L to n).map(i => math.log(i.toDouble)).sum
+    assert(math.abs(r.getDouble(1) - lnFact) < 1e-5,
+      s"sum_lnr ${r.getDouble(1)} != ln($n!) $lnFact")
+  }
+
   test("x29 tfidf: dense ranks, positive scores, terms occur in their doc") {
     val rows = graft.SparkEntry.queries("x29_tfidf_topk")(spark, sfDir)
     // per doc: rnk is 1..k (k ≤ 5) and scores are non-increasing in rank
