@@ -844,6 +844,40 @@ object TextQueries {
             .as("zipf_slope"))
     },
 
+    // Heaps'-law vocabulary growth — x30's companion corpus-health curve:
+    // new distinct terms per corpus decile and the cumulative vocabulary.
+    // Natural text keeps adding vocabulary sub-linearly forever; a curve
+    // that flatlines early means a closed template vocabulary (exactly
+    // what the synthetic corpus shows). One pass: each term maps to the
+    // FIRST decile it appears in (min over an exploded scan — partial-
+    // agg'd on the term key, no per-decile rescans), then a 10-row
+    // cumulative sum. The decile boundary uses integer arithmetic on
+    // doc_id against a 1-row max scalar, identical in both engines.
+    q("x31_heaps_growth",
+      """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |tok AS (
+        |  SELECT (doc_id * 10) // m AS d, unnest(string_split(text, ' ')) AS term
+        |  FROM documents CROSS JOIN mx),
+        |ft AS (SELECT term, min(d) AS f FROM tok GROUP BY term),
+        |nt AS (SELECT f AS decile, count(*) AS new_terms FROM ft GROUP BY f)
+        |SELECT decile, new_terms,
+        |       CAST(sum(new_terms) OVER (ORDER BY decile) AS BIGINT) AS vocab_cum
+        |FROM nt ORDER BY decile""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val mx = docs.agg((max("doc_id") + 1).as("m"))
+      val ft = docs.crossJoin(broadcast(mx))
+        .select(expr("(doc_id * 10) div m").as("d"),
+                explode(split(col("text"), " ", -1)).as("term"))
+        .groupBy("term").agg(min("d").as("f"))
+      ft.groupBy(col("f").as("decile"))
+        .agg(count(lit(1)).as("new_terms"))
+        .withColumn("vocab_cum",
+          sum("new_terms").over(
+            Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("decile")
+    },
+
     // Per-doc top-5 TF-IDF terms (keyword extraction / doc profiling).
     // Determinism: idf = ln((N+1)/(df+1)) + 1 rounds to 9 dp and casts to
     // DECIMAL(18,9) (the x25/x26/x27 scheme), so score = cnt × idf is

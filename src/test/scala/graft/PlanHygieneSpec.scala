@@ -41,6 +41,7 @@ class PlanHygieneSpec extends SparkSpec {
     "x26_moore_lewis"       -> "two 1-row LM-normalizer scalars",
     "x27_domain_kl"         -> "vocab-sized corpus-distribution table + 1-row normalizer (the domains x vocab grid IS the summed quantity)",
     "x29_tfidf_topk"        -> "1-row corpus-count scalar",
+    "x31_heaps_growth"      -> "1-row max-doc-id scalar",
   )
 
   /** Global windows fed by a constant-bounded input. */
@@ -51,6 +52,7 @@ class PlanHygieneSpec extends SparkSpec {
     "a11_entropy"        -> "window input is the grouped aggregate (bounded by enum-key cardinality)",
     "a14_freq_pct"       -> "window input is the grouped aggregate (bounded by enum-key cardinality)",
     "x30_zipf_slope"     -> "window input is limit(1000) via TakeOrderedAndProject",
+    "x31_heaps_growth"   -> "window input is the decile aggregate (10 rows)",
   )
 
   private def excluded(name: String): Boolean =

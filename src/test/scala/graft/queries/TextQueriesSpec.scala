@@ -222,6 +222,21 @@ class TextQueriesSpec extends SparkSpec {
       s"sum_lnr ${r.getDouble(1)} != ln($n!) $lnFact")
   }
 
+  test("x31 heaps: cumulative vocab is increasing and ends at the true vocab") {
+    val rows = graft.SparkEntry.queries("x31_heaps_growth")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) > 0), "a listed decile must add terms")
+    val cums = rows.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b },
+      "cumulative vocabulary must strictly increase across listed deciles")
+    // the curve must end at the corpus's true distinct-term count
+    val vocab = graft.Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ", -1)).as("t"))
+      .agg(countDistinct("t")).head().getLong(0)
+    assert(cums.last == vocab, s"curve ends at ${cums.last}, vocab is $vocab")
+  }
+
   test("x29 tfidf: dense ranks, positive scores, terms occur in their doc") {
     val rows = graft.SparkEntry.queries("x29_tfidf_topk")(spark, sfDir)
     // per doc: rnk is 1..k (k ≤ 5) and scores are non-increasing in rank
