@@ -1,9 +1,7 @@
 package graft.operators
 
 import graft.queries.SimilarityQueries.cosineSim
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,43 +10,137 @@ import org.apache.spark.sql.functions._
   * random-hyperplane LSH in v3 with the data-adaptive coarse-quantizer
   * family used by FAISS-like systems).
   *
-  * Build: a KMeans coarse quantizer partitions the corpus into nCells
-  * Voronoi cells (one distributed fit + one map-only assignment).
-  * Search: each query scores the tiny centroid table (driver-collected,
-  * nCells × dim — broadcast-sized by construction), probes its nProbe
-  * closest cells, and exact-cosine re-ranks only the vectors in those
-  * cells.
+  * Build: a Lloyd (k-means) coarse quantizer partitions the corpus into
+  * nCells Voronoi cells. Search: each query scores the tiny centroid
+  * table (nCells × dim — broadcast-sized by construction), probes its
+  * nProbe closest cells, and exact-cosine re-ranks only the vectors in
+  * those cells.
+  *
+  * The quantizer is DETERMINISTIC AND ENGINE-PORTABLE — the same trick
+  * that made v5's SQ8 quantizer and v3's hyperplanes oracle-replayable:
+  *  - vectors are quantized to exact integer micro-units
+  *    r_i = round_half_away(x_i · 1e6) (float→double widening is exact,
+  *    the ×1e6 and the away-from-zero round are correctly-rounded
+  *    single ops on both engines);
+  *  - init picks the nCells lowest rows under the integer hash
+  *    (vec_id·1103515245 + 12345) mod 2^31 (tie: vec_id) — a
+  *    deterministic pseudo-random sample both engines can rank;
+  *  - each Lloyd step assigns by squared-L2 between v_i = r_i/1e6 and
+  *    the centroid (a left-to-right double fold — identical on both
+  *    engines), then updates centroids from EXACT integer per-dimension
+  *    sums: Σr_i is order-independent BIGINT math (|Σr| < 2^53), so the
+  *    new centroid double S/(n·1e6) is one correctly-rounded division;
+  *  - a fixed iteration count (no convergence test on floats), empty
+  *    cells carry their previous centroid.
+  * DuckDB regenerates the centroids from the same arithmetic and
+  * replays assign→probe→re-rank bit-for-bit (v4/v8 oracle SQL in
+  * SimilarityQueries).
   *
   * Scale shape: candidate selection is an equi-join on `cell` — the
-  * shuffle key cardinality is nCells and KMeans balances occupancy, so
+  * shuffle key cardinality is nCells and Lloyd balances occupancy, so
   * there is no skew pile-up; per-query work drops from O(N) to
-  * O(N · nProbe / nCells). At 100 TB you fit the quantizer on a sample
-  * (KMeans converges on samples), keep nCells ~ √N so cells stay
-  * executor-sized, and the assignment/search stay map-side + one join.
+  * O(N · nProbe / nCells). Each Lloyd pass is one map-only assignment
+  * plus a partial-aggregated (cell, dim) sum — the shuffle moves
+  * nCells·dim rows per partition, not N rows. At 100 TB you fit the
+  * quantizer on a sample (Lloyd converges on samples), keep nCells ~ √N
+  * so cells stay executor-sized, and the assignment/search stay
+  * map-side + one join.
   */
 object IvfAnn {
 
+  /** Fixed Lloyd iteration count — part of the algorithm's identity (the
+    * oracle unrolls exactly this many steps). */
+  val LloydIters = 5
+
+  private val QScale = 1000000.0
+
+  /** Exact integer micro-units, half-away-from-zero — the v5 rounding
+    * scheme, reproduced by DuckDB's floor(v+0.5) mirror. Stays in
+    * whole-stage codegen (builtin transform, no UDF). */
+  private def quantCol(c: Column): Column =
+    transform(c, x =>
+      when(x.cast("double") >= 0, floor(x.cast("double") * QScale + 0.5))
+        .otherwise(-floor(-x.cast("double") * QScale + 0.5)).cast("long"))
+
+  /** Argmin cell by squared-L2 over v_i = r_i/1e6, left-to-right fold,
+    * ties to the lowest cell id — the exact comparison DuckDB replays. */
+  private def assignUdf(cents: Array[Array[Double]]) =
+    udf { (rq: Seq[Long]) =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var cIdx = 0
+      while (cIdx < cents.length) {
+        val c = cents(cIdx)
+        var d = 0.0
+        val n = math.min(c.length, rq.length)
+        var i = 0
+        while (i < n) {
+          val v = rq(i).toDouble / 1000000.0 - c(i)
+          d += v * v
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = cIdx }
+        cIdx += 1
+      }
+      best
+    }
+
+  /** Deterministic Lloyd fit: returns the final centroids (dense
+    * nCells × dim doubles). One Spark job per iteration; the per-cell
+    * per-dimension sums partial-aggregate map-side so each pass shuffles
+    * O(partitions · nCells · dim) rows regardless of corpus size. */
+  def fitCentroids(corpus: DataFrame, nCells: Int,
+                   iters: Int = LloydIters): Array[Array[Double]] = {
+    val rq = corpus.select(col("vec_id"), quantCol(col("embedding")).as("rq"))
+    var cents: Array[Array[Double]] = rq
+      .withColumn("h", (col("vec_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(nCells)
+      .select("rq").collect()
+      .map(_.getSeq[Long](0).toArray.map(_.toDouble / QScale))
+    var it = 0
+    while (it < iters) {
+      val sums = rq
+        .withColumn("cell", assignUdf(cents)(col("rq")))
+        .select(col("cell"), posexplode(col("rq")).as(Seq("pos", "r")))
+        .groupBy("cell", "pos")
+        .agg(sum("r").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { row =>
+        val cell = row.getInt(0)
+        val pos = row.getInt(1)
+        val s = row.getLong(2)
+        val n = row.getLong(3)
+        next(cell)(pos) = s.toDouble / (n.toDouble * QScale)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   /** Fit the coarse quantizer and assign every corpus vector to its
     * cell. Returns (assigned, centroids). */
-  private def fitAssign(corpus: DataFrame, nCells: Int, seed: Long)
+  private def fitAssign(corpus: DataFrame, nCells: Int)
       : (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     graft.plans.GraftExtensions.install(spark)
-    val featured = corpus.withColumn("features",
-      array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(featured)
-    val assigned = model.transform(featured)
+    val cents = fitCentroids(corpus, nCells)
+    val assigned = corpus
+      .withColumn("rq", quantCol(col("embedding")))
+      .withColumn("cell", assignUdf(cents)(col("rq")))
       .select(col("vec_id"), col("embedding"), col("cell"))
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
     (assigned, centroids)
   }
 
-  /** nProbe closest cells per query, by the same metric as the re-rank. */
+  /** nProbe closest cells per query, by the same metric as the re-rank
+    * (cosine to the centroid — FAISS-style IP/cosine probing over an
+    * L2-trained coarse quantizer). */
   private def probeCells(queries: DataFrame, centroids: DataFrame,
                          nProbe: Int): DataFrame =
     queries.crossJoin(broadcast(centroids))
@@ -63,8 +155,8 @@ object IvfAnn {
     * property (candidates ≪ Q·N) is testable — the final top-k output
     * size says nothing about how much was scanned. */
   def candidates(corpus: DataFrame, queries: DataFrame,
-                 nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
-    val (assigned, centroids) = fitAssign(corpus, nCells, seed)
+                 nCells: Int, nProbe: Int): DataFrame = {
+    val (assigned, centroids) = fitAssign(corpus, nCells)
     assigned.join(probeCells(queries, centroids, nProbe), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
   }
@@ -75,9 +167,8 @@ object IvfAnn {
     * is fit once (on a sample), the corpus is assigned once, and every
     * subsequent query batch reads the standing index — no retraining,
     * no full-corpus scan. */
-  def buildIndex(corpus: DataFrame, nCells: Int, path: String,
-                 seed: Long = 42L): Unit = {
-    val (assigned, centroids) = fitAssign(corpus, nCells, seed)
+  def buildIndex(corpus: DataFrame, nCells: Int, path: String): Unit = {
+    val (assigned, centroids) = fitAssign(corpus, nCells)
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
@@ -107,8 +198,8 @@ object IvfAnn {
   /** Top-k cosine neighbors for each query via nProbe-of-nCells IVF.
     * corpus: (vec_id, embedding); queries: (query_id, qe). */
   def topK(corpus: DataFrame, queries: DataFrame,
-           k: Int, nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame =
-    candidates(corpus, queries, nCells, nProbe, seed)
+           k: Int, nCells: Int, nProbe: Int): DataFrame =
+    candidates(corpus, queries, nCells, nProbe)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               round(cosineSim(col("qe"), col("embedding")), 6).as("cos"))
       .withColumn("rnk", row_number().over(

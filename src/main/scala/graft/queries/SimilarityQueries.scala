@@ -41,6 +41,85 @@ object SimilarityQueries {
     * boundary. Callers must `GraftExtensions.install(s)` first. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
+  /** DuckDB mirror of the deterministic IVF quantizer + search
+    * (operators.IvfAnn): regenerates the Lloyd centroids from the same
+    * exact arithmetic — integer micro-unit quantization, hash-ranked
+    * init, `LloydIters` unrolled assign/update steps with exact BIGINT
+    * dimension sums — then replays assign→probe→re-rank. Every float
+    * step is a correctly-rounded scalar op or a left-to-right double
+    * fold, so centroids, cells, probes and the final rounded cosines
+    * hash-match bit-for-bit. */
+  private def ivfSql(nCells: Int, nProbe: Int, iters: Int, k: Int,
+                     dim: Int = 64): String = {
+    // squared-L2 between quantized micro-units and a centroid double list,
+    // left-to-right fold — the exact comparison IvfAnn.assignUdf makes
+    def dist(rq: String, c: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($rq, $c),
+         |  p -> (CAST(p[1] AS DOUBLE)/1000000.0 - CAST(p[2] AS DOUBLE))
+         |     * (CAST(p[1] AS DOUBLE)/1000000.0 - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)""".stripMargin
+    val iterCtes = (1 to iters).map { it =>
+      s"""a$it AS (
+         |  SELECT vec_id, rq, cell FROM (
+         |    SELECT r.vec_id, r.rq, c.cell,
+         |           row_number() OVER (PARTITION BY r.vec_id
+         |             ORDER BY ${dist("r.rq", "c.c")}, c.cell) AS rn
+         |    FROM rq r CROSS JOIN c${it - 1} c) WHERE rn = 1),
+         |s$it AS (
+         |  SELECT cell, i, sum(rq[i + 1]) AS s, count(*) AS n
+         |  FROM a$it CROSS JOIN range($dim) t(i) GROUP BY cell, i),
+         |n$it AS (
+         |  SELECT cell, list(CAST(s AS DOUBLE)/(CAST(n AS DOUBLE)*1000000.0) ORDER BY i) AS c
+         |  FROM s$it GROUP BY cell),
+         |c$it AS (
+         |  SELECT p.cell, coalesce(nn.c, p.c) AS c
+         |  FROM c${it - 1} p LEFT JOIN n$it nn USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH rq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CASE WHEN CAST(x AS DOUBLE) >= 0
+       |           THEN CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)
+       |           ELSE -CAST(floor(-CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) END) AS rq
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(rn - 1 AS INT) AS cell,
+       |         list_transform(rq, r -> CAST(r AS DOUBLE)/1000000.0) AS c
+       |  FROM (SELECT rq, row_number() OVER (
+       |          ORDER BY (vec_id*1103515245 + 12345) % 2147483648, vec_id) AS rn
+       |        FROM rq)
+       |  WHERE rn <= $nCells),
+       |$iterCtes,
+       |af AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT r.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY r.vec_id
+       |             ORDER BY ${dist("r.rq", "c.c")}, c.cell) AS rn
+       |    FROM rq r CROSS JOIN c$iters c) WHERE rn = 1),
+       |probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             ${sqlDot("q.embedding", "c.c")}
+       |               / (${sqlNorm("q.embedding")} * ${sqlNorm("c.c")}) DESC, c.cell) AS rn
+       |    FROM embeddings q CROSS JOIN c$iters c WHERE q.vec_id < 8)
+       |  WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM af a JOIN probe p USING (cell)
+       |  WHERE a.vec_id <> p.query_id),
+       |rerank AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         round(${sqlDot("qv.embedding", "cv.embedding")}
+       |           / (${sqlNorm("qv.embedding")} * ${sqlNorm("cv.embedding")}), 6) AS cos
+       |  FROM cand
+       |  JOIN embeddings cv ON cv.vec_id = cand.neighbor_id
+       |  JOIN embeddings qv ON qv.vec_id = cand.query_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM rerank)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** DuckDB-side mirror of dotD/normD (double fold, same order). */
   private def sqlDot(a: String, b: String) =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
@@ -373,11 +452,17 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     },
 
-    // ANN scale path #2: IVF (data-adaptive KMeans coarse quantizer +
+    // ANN scale path #2: IVF (data-adaptive Lloyd coarse quantizer +
     // nProbe cell probing + exact re-rank) — see operators.IvfAnn for
-    // the 100 TB shape. rows-only: the trained quantizer isn't
-    // SQL-expressible; recall vs exact v1 is asserted in SimilaritySpec.
-    qRowsOnly("v4_ann_ivf_topk") { (s, dir) =>
+    // the 100 TB shape AND the exact-arithmetic portability argument.
+    // Oracle-checked since the quantizer went deterministic: the DuckDB
+    // oracle regenerates the centroids (hash-ranked init + LloydIters
+    // unrolled steps with exact integer dimension sums) and replays
+    // assign→probe→re-rank bit-for-bit. Recall vs exact v1 is asserted
+    // in SimilaritySpec at three scales.
+    q("v4_ann_ivf_topk",
+      ivfSql(nCells = 16, nProbe = 6,
+             iters = graft.operators.IvfAnn.LloydIters, k = 5)) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       graft.operators.IvfAnn.topK(
           corpus = e.select("vec_id", "embedding"),
@@ -391,8 +476,11 @@ object SimilarityQueries {
     // fit + corpus assignment persisted, partitioned by cell) and the
     // query batch searches the standing index — probed cells prune to
     // nProbe directories of the partitioned layout, no retraining, no
-    // full-corpus scan. Same seed as v4 ⇒ identical results (spec).
-    qRowsOnly("v8_ann_ivf_persisted") { (s, dir) =>
+    // full-corpus scan. Deterministic quantizer ⇒ identical results to
+    // v4 (spec), and the SAME oracle SQL replays it.
+    q("v8_ann_ivf_persisted",
+      ivfSql(nCells = 16, nProbe = 6,
+             iters = graft.operators.IvfAnn.LloydIters, k = 5)) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode.toHexString}"
       graft.operators.IvfAnn.buildIndex(
