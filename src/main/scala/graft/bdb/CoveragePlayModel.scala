@@ -149,6 +149,27 @@ object CoveragePlayModel {
     out
   }
 
+  /** Per-play prediction probabilities over the full frame — the
+    * engine's form of the reference's `coverage_predictions.csv`
+    * (the file `cover_threshold.R:6` reads: play ids, actual and
+    * predicted coverage, one probability per trained class). The
+    * per-class columns become one map keyed by coverage name — schema
+    * stays stable however many classes the label indexer finds. */
+  def predictions(features0: DataFrame): DataFrame = {
+    val (_, _, indexerModel, data) = prepared(features0)
+    val model = newRf().fit(data)
+    val labels = indexerModel.labelsArray(0)
+    val toName = udf((i: Double) => labels(i.toInt))
+    import org.apache.spark.ml.functions.vector_to_array
+    model.transform(data)
+      .select(col("gameId"), col("playId"), col("defensiveTeam"),
+        col("pff_passCoverage").as("actual_coverage"),
+        toName(col("prediction")).as("predicted_coverage"),
+        map_from_arrays(
+          typedlit(labels.toSeq),
+          vector_to_array(col("probability"))).as("probs"))
+  }
+
   /** Confusion matrix over the full frame (`DefCoverage.ipynb:191-206`),
     * by coverage name for readability. (The returned frame derives from
     * the cached matrix, so the cache stays owned by the session here.) */

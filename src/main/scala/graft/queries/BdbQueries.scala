@@ -67,5 +67,18 @@ object BdbQueries {
             positions = Seq("CB", "S")).repartition(4))
         .orderBy("metric")
     },
+
+    // cover_threshold.R:8-39 — disguise detection over the coverage
+    // model's per-play probabilities: canon names, probability-of-actual
+    // lookup, dig flag at the 0.8 threshold, per-play disguised column.
+    // (repartition(4): same fixture-sized tree-training barrier as
+    // bdb_coverage_model.)
+    qRowsOnly("bdb_disguise") { (s, _) =>
+      val (_, plays, players, playerPlay, tracking) = BdbMini.load(s)
+      DisguiseDetection(CoveragePlayModel.predictions(
+          CoveragePlayModel.features(plays, players, playerPlay, tracking,
+            positions = Seq("CB", "S")).repartition(4)))
+        .orderBy("gameId", "playId", "defensiveTeam")
+    },
   )
 }

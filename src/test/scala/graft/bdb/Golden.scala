@@ -18,7 +18,8 @@ import org.apache.spark.sql.DataFrame
   */
 object Golden {
 
-  val queries: Seq[String] = Seq("bdb_radius_stage", "bdb_press_pipeline")
+  val queries: Seq[String] =
+    Seq("bdb_radius_stage", "bdb_press_pipeline", "bdb_disguise")
 
   /** Seeded-but-deterministic rows-only DATA queries, goldened at
     * sf0.001: ML training metrics (m2 LR, m4 RF confusion, m5 MLP), the

@@ -181,4 +181,53 @@ class PipelineSpec extends SparkSpec {
     // perfect fit ⇒ diagonal-only confusion
     assert(conf.filter(col("actual") =!= col("predicted")).count() == 0)
   }
+
+  test("disguise detection replays cover_threshold.R over the predictions") {
+    val (_, _, players, _, _) = BdbMini.load(spark)
+    val preds = CoveragePlayModel.predictions(
+      CoveragePlayModel.features(plays, players, playerPlay, tracking,
+        positions = Seq("CB", "S")).repartition(4))
+    val flagged = DisguiseDetection(preds).cache()
+    val rows = flagged.collect()
+    assert(rows.length == 10) // one row per labeled fixture play
+    // RF class probabilities sum to 1 — rowSums (cover_threshold.R:12)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("row_sum") - 1.0) < 1e-9))
+    // canonicalization really fired: no space/hyphen survives in names
+    assert(rows.forall(r => !r.getAs[String]("actual_coverage").exists(" -".contains(_))))
+    // the dig rule, re-derived per row (cover_threshold.R:27-35)
+    rows.foreach { r =>
+      val expect =
+        if (r.getAs[Double]("prob_actual") > 0.8 ||
+            r.getAs[String]("actual_coverage") == r.getAs[String]("predicted_coverage")) 0
+        else 1
+      assert(r.getAs[Int]("disguised") == expect, s"dig mismatch on $r")
+    }
+    // sum(dig) (cover_threshold.R:39) consistent with the per-play flags
+    assert(DisguiseDetection.disguisedCount(flagged) ==
+      rows.map(_.getAs[Int]("disguised").toLong).sum)
+    flagged.unpersist()
+  }
+
+  test("disguise detection on hand rows: dig branches and name canon") {
+    // the fixture RF fits perfectly (dig = 0 everywhere), so the
+    // disguised=1 branch and the hyphen/space rewrites need hand rows:
+    //   a) mispredicted + low prob on actual     -> dig 1
+    //   b) mispredicted but prob_actual > .8     -> dig 0 (threshold arm)
+    //   c) correct prediction, low prob          -> dig 0 (equality arm)
+    //   d) actual class missing from the map     -> prob 0, dig 1
+    import spark.implicits._
+    val preds = Seq(
+      (1L, 1, "A", "2-Man", "Cover 6", Map("2-Man" -> 0.3, "Cover 6" -> 0.7)),
+      (1L, 2, "A", "Cover 6", "2-Man", Map("2.Man" -> 0.09, "Cover.6" -> 0.91)),
+      (1L, 3, "A", "Cover-3", "Cover 3", Map("Cover.3" -> 0.2, "2.Man" -> 0.8)),
+      (1L, 4, "A", "Quarters", "Cover 0", Map("Cover.0" -> 1.0)))
+      .toDF("gameId", "playId", "defensiveTeam",
+            "actual_coverage", "predicted_coverage", "probs")
+    val out = DisguiseDetection(preds).orderBy("playId").collect()
+    assert(out.map(_.getAs[Int]("disguised")).toSeq == Seq(1, 0, 0, 1))
+    assert(out.map(_.getAs[String]("actual_coverage")).toSeq ==
+      Seq("2.Man", "Cover.6", "Cover.3", "Quarters"))
+    assert(out(3).getAs[Double]("prob_actual") == 0.0) // missing-class fallback
+    assert(DisguiseDetection.disguisedCount(DisguiseDetection(preds)) == 2L)
+  }
 }
