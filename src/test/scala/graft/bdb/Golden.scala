@@ -19,7 +19,8 @@ import org.apache.spark.sql.DataFrame
 object Golden {
 
   val queries: Seq[String] =
-    Seq("bdb_radius_stage", "bdb_press_pipeline", "bdb_disguise")
+    Seq("bdb_radius_stage", "bdb_press_pipeline", "bdb_disguise",
+        "bdb_mirror_matchups", "bdb_coverage_features", "bdb_coverage_model")
 
   /** Seeded-but-deterministic rows-only DATA queries, goldened at
     * sf0.001: ML training metrics (m2 LR, m4 RF confusion, m5 MLP), the
@@ -30,7 +31,12 @@ object Golden {
     * a test diff, not silence. */
   val dataQueries: Seq[String] = Seq(
     "m2_lr_metrics", "m4_rf_confusion", "m5_mlp_metrics",
-    "m9_stratified_split", "k2_openness")
+    "m9_stratified_split", "k2_openness",
+    // round-6 additions: every remaining seeded-deterministic rows-only
+    // query (CV search, OvR-GBT, PCA spectrum, quality gate, HLL profile
+    // — sketch merges are register-max, order-independent)
+    "m6_cv_search", "m7_ovr_gbt_metrics", "m10_pca",
+    "m11_quality_classifier", "s23_profile_approx")
 
   val dataSfDir = "/root/testdata/sf0.001"
 
