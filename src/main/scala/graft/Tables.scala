@@ -49,7 +49,15 @@ object Tables {
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        // Fail fast on an unknown generator vintage rather than letting a
+        // surprise physical type surface later as unix_micros/watermark or
+        // oracle-hash drift far from the scan.
+        throw new IllegalStateException(
+          s"events.ts has unexpected type $other; known vintages are " +
+            "TIMESTAMP(NANOS) (read as Long via nanosAsLong), " +
+            "TIMESTAMP_NTZ(MICROS), and session-local TIMESTAMP")
     }
   }
 

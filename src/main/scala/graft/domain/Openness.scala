@@ -20,6 +20,18 @@ package graft.domain
   * runs, partitionings, and cluster sizes — the property SURVEY.md §5.5
   * requires. Parity with the reference is therefore distributional, not
   * bitwise (SURVEY.md §7.4.2).
+  *
+  * Engine portability (what makes the kernel ORACLE-REPLAYABLE): every
+  * operation below is an exactly-specified IEEE-754 op a second engine
+  * reproduces bit-for-bit —
+  *  - SplitMix64's draw i is a PURE FUNCTION of (seed, i): state after i
+  *    draws is seed + (i+1)·GOLDEN mod 2^64, so SQL replays draws with
+  *    `generate_series`, no recursion;
+  *  - distances use sqrt(dx²+dy²) (IEEE-exact ops), NOT `math.hypot`,
+  *    whose extra-precision algorithm is JVM-specific in the last ulp;
+  *  - the score accumulates in INTEGER FIFTHS (+5 open, +1 heading
+  *    bonus, −k pile-up) and divides by 5.0 once at the end — summing
+  *    inexact 0.2 doubles would make the total depend on visit order.
   */
 object Openness {
 
@@ -38,6 +50,18 @@ object Openness {
     }
     /** uniform in [0, 1) */
     def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
+  }
+
+  /** SplitMix64's output function as a standalone 64-bit scrambler — the
+    * portable per-row seed (replaces xxhash64, whose constants-and-lanes
+    * pipeline is painful for a SQL oracle to reproduce; this is three
+    * wrap-multiplies and three xors, which DuckDB replays in HUGEINT
+    * arithmetic mod 2^64). */
+  def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
   }
 
   /** Openness score for one receiver-frame.
@@ -66,26 +90,29 @@ object Openness {
     val n = math.ceil(area * 100.0).toInt
     if (n <= 0) return 0.0
 
+    def dist(ax: Double, ay: Double, bx: Double, by: Double): Double =
+      math.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+
     val rng = new SplitMix64(seed)
-    var score = 0.0
+    var score5 = 0L // integer fifths — exact, order-independent
     var i = 0
     while (i < n) {
       val sx = x0 + rng.nextDouble() * (x1 - x0)
       val sy = y0 + rng.nextDouble() * (y1 - y0)
       // ball flight time to the sampled point (radius_model.R:134)
-      val tBall = math.hypot(sx - fx, sy - fy) / vb
+      val tBall = dist(sx, sy, fx, fy) / vb
       // receiver reach (radius_model.R:149-166)
-      val tRecv = math.hypot(sx - px, sy - py) / math.max(vs, 1e-9)
+      val tRecv = dist(sx, sy, px, py) / math.max(vs, 1e-9)
       if (tRecv <= tBall) {
         // defenders contesting: reach the point by ball arrival
         // (radius_model.R:138-146)
         var k = 0
         defenders.foreach { d =>
-          val tDef = math.hypot(sx - d.x, sy - d.y) / math.max(d.s, 1e-9)
+          val tDef = dist(sx, sy, d.x, d.y) / math.max(d.s, 1e-9)
           if (tDef <= tBall) k += 1
         }
         if (k == 0) {
-          score += 1.0
+          score5 += 5
           // heading bonus (radius_model.R:168-182)
           val ang = math.atan2(sy - py, sx - px)
           val diff = {
@@ -93,13 +120,13 @@ object Openness {
             val d0 = math.abs(((ang % tau) + tau) % tau - ((dir % tau) + tau) % tau)
             math.min(d0, tau - d0)
           }
-          if (diff <= math.Pi / 8) score += 0.2
+          if (diff <= math.Pi / 8) score5 += 1
         } else if (k > 1) {
-          score -= 0.2 * k // contested pile-up penalty (radius_model.R:186-195)
+          score5 -= k // contested pile-up penalty (radius_model.R:186-195)
         }
       }
       i += 1
     }
-    score
+    score5 / 5.0
   }
 }

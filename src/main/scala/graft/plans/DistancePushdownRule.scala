@@ -67,6 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => DistancePushdownRule)
     ext.injectFunction(GraftExtensions.withinDistDescriptor)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.mix64Descriptor)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }
@@ -97,6 +98,14 @@ object GraftExtensions {
       CosineSim(args(0), args(1))
     })
 
+  val mix64Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mix64"),
+    new ExpressionInfo(classOf[Mix64].getName, "mix64"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "mix64(x) takes 1 argument")
+      Mix64(args.head)
+    })
+
   /** Register on an already-built session (Verify/Bench sessions are
     * constructed without extensions). Idempotent. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -107,6 +116,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       args => cosineSimDescriptor._3(args),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mix64",
+      args => mix64Descriptor._3(args),
       "built-in")
     if (!spark.experimental.extraOptimizations.contains(DistancePushdownRule)) {
       spark.experimental.extraOptimizations =

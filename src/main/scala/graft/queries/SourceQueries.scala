@@ -29,6 +29,15 @@ object SourceQueries {
     base
   }
 
+  /** s26's injected structurally-broken JSONL lines. The single source of
+    * truth for BOTH the fixture write and the oracle's quarantined count
+    * (`${s26BadLines.size}` is interpolated into the SQL), so the two can
+    * never drift apart. */
+  private val s26BadLines: Seq[String] = Seq(
+    "{\"doc_id\": 1, \"text\": \"truncated",
+    "this is not json at all",
+    "{\"doc_id\": 3, \"text\": }")
+
   val defs: Seq[QueryDef] = Seq(
 
     // S18 — Z-order clustered layout (operators.ZOrder): events written
@@ -601,23 +610,20 @@ object SourceQueries {
     // row admitted as valid.) Scale shape: line-splittable scan, the
     // corrupt column is per-row projection, no extra pass.
     q("s26_jsonl_malformed",
-      """SELECT lang,
-        |       count(*) AS n_good,
-        |       CAST(0 AS BIGINT) AS n_bad
-        |FROM documents GROUP BY lang
-        |UNION ALL
-        |SELECT '_corrupt' AS lang, CAST(0 AS BIGINT) AS n_good,
-        |       CAST(3 AS BIGINT) AS n_bad
-        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      s"""SELECT lang,
+         |       count(*) AS n_good,
+         |       CAST(0 AS BIGINT) AS n_bad
+         |FROM documents GROUP BY lang
+         |UNION ALL
+         |SELECT '_corrupt' AS lang, CAST(0 AS BIGINT) AS n_good,
+         |       CAST(${s26BadLines.size} AS BIGINT) AS n_bad
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
       val out = scratch(s, dir, "s26")
       Tables.load(s, dir, "documents")
         .write.mode(SaveMode.Overwrite).json(out)
-      val bad = new java.io.FileOutputStream(s"$out/part-garbage.json")
-      bad.write(("{\"doc_id\": 1, \"text\": \"truncated\n" +
-        "this is not json at all\n" +
-        "{\"doc_id\": 3, \"text\": }\n")
-        .getBytes("UTF-8"))
-      bad.close()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/part-garbage.json"),
+        s26BadLines.mkString("", "\n", "\n").getBytes("UTF-8"))
       val read = s.read
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
           "n_chars BIGINT, _bad STRING")

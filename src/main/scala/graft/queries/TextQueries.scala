@@ -916,10 +916,11 @@ object TextQueries {
       val scored = tf.join(dfreq, Seq("term"))
         .crossJoin(broadcast(nd))
         .select(col("doc_id"), col("term"),
-          // cnt as DECIMAL(10,0), not long: long promotes to DECIMAL(20,0)
+          // cnt as DECIMAL(19,0), not long: long promotes to DECIMAL(20,0)
           // and 20+18+1 > 38 overflows Spark's decimal precision cap, which
-          // silently drops the product to scale 8; 10+18+1 stays exact.
-          (col("cnt").cast("decimal(10,0)") *
+          // silently drops the product to scale 8; 19+18+1 = 38 stays exact
+          // AND covers the full long range (no 1e10 per-doc term-count bound).
+          (col("cnt").cast("decimal(19,0)") *
             round(log((col("n") + 1).cast("double") /
                       (col("dfreq") + 1).cast("double")) + 1.0, 9)
               .cast("decimal(18,9)")).as("score"))

@@ -33,8 +33,16 @@ object StreamOps {
     // once (batch read) so both generator vintages — TIMESTAMP(NANOS) read
     // as raw longs, and TIMESTAMP(MICROS) read as NTZ — normalize to the
     // same session-UTC TimestampType the downstream watermarks expect.
-    val tsIsLong = spark.read.parquet(path).schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
+    // One probed schema is applied to every file the stream ever picks up,
+    // so a source directory must hold a single generator vintage (mixing
+    // vintages in one directory is a misconfiguration; the probe would
+    // misread one of them). If the directory is empty at start — the normal
+    // "stream first, producers later" file-source pattern — default to the
+    // current generator's TIMESTAMP(NANOS) layout instead of failing.
+    val tsIsLong = scala.util.Try(
+        spark.read.parquet(path).schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+      .getOrElse(true)
     val tsDdl = if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"
     val reader = spark.readStream
       .schema(s"event_id BIGINT, ts $tsDdl, user_id BIGINT, " +
@@ -260,26 +268,36 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val existingKeys =
-          (try Some(spark.read.parquet(path))
-           catch {
-             // first batch: sink directory does not exist yet
-             case e: org.apache.spark.sql.AnalysisException
-               if e.getErrorClass == "PATH_NOT_FOUND" => None
-           })
-            .map(_.select(col("event_id").as("landed_id")))
-            .getOrElse(batch.select(col("event_id").as("landed_id")).limit(0))
-        val fresh = batch.dropDuplicates("event_id")
-          .join(existingKeys, col("event_id") <=> col("landed_id"), "left_anti")
-          .persist()
-        fresh.count()
-        fresh.write.mode("append").parquet(path)
-        fresh.unpersist()
-        ()
+        upsertBatch(batch, path)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** The per-micro-batch body of [[upsertSink]], exposed so failure-
+    * injection tests can wrap it (fail AFTER the append = effects landed
+    * but the offset commit lost — the redelivery case the anti-join must
+    * absorb). Exactly-once EFFECT holds as long as this body is
+    * idempotent per input batch, which it is: re-running it with the same
+    * rows finds every key already in the sink and appends nothing. */
+  def upsertBatch(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val existingKeys =
+      (try Some(spark.read.parquet(path))
+       catch {
+         // first batch: sink directory does not exist yet
+         case e: org.apache.spark.sql.AnalysisException
+           if e.getErrorClass == "PATH_NOT_FOUND" => None
+       })
+        .map(_.select(col("event_id").as("landed_id")))
+        .getOrElse(batch.select(col("event_id").as("landed_id")).limit(0))
+    val fresh = batch.dropDuplicates("event_id")
+      .join(existingKeys, col("event_id") <=> col("landed_id"), "left_anti")
+      .persist()
+    fresh.count()
+    fresh.write.mode("append").parquet(path)
+    fresh.unpersist()
+    ()
+  }
 
   /** x25's streaming twin: model-gated ingest — each arriving
     * micro-batch is scored against a STANDING bigram LM (trained once
