@@ -59,31 +59,14 @@ object KernelQueries {
     * trees — the staged form below replays 1000 rows x ~5k samples in
     * ~6 s where a naive macro expansion took 175 s. */
   private val k2OracleSql: String = {
-    val m32 = "4294967295"; val m64 = "18446744073709551615"
-    val G = "11400714819323198485"   // 0x9E3779B97F4A7C15
-    val C1 = "13787848793156543929"  // 0xBF58476D1CE4E5B9
-    val C2 = "10723151780598845931"  // 0x94D049BB133111EB
-    // (a*b) mod 2^64 over UBIGINT columns; 32-bit split keeps every
-    // partial product in range, one HUGEINT roundtrip for the final add
-    def umul(a: String, b: String) =
-      s"CAST((CAST((($a) & $m32) * (($b) & $m32) AS HUGEINT)" +
-        s" + CAST((((((($a) & $m32) * (($b) >> 32)) & $m32)" +
-        s" + (((($a) >> 32) * (($b) & $m32)) & $m32)) & $m32) << 32 AS HUGEINT))" +
-        s" & $m64 AS UBIGINT)"
-    def uadd(a: String, b: String) =
-      s"CAST((CAST(($a) AS HUGEINT) + CAST(($b) AS HUGEINT)) & $m64 AS UBIGINT)"
+    import OracleU64.{umul, uadd, G, C1, C2}
     s"""WITH k AS (
        |  SELECT event_id, 2.0 + (value % 3) AS vs, (value % 6.28) AS dir0,
        |         (value % 100) + 10 AS px, CAST(user_id % 40 AS DOUBLE) + 5 AS py,
        |         15.0 + (value % 10) AS vb, 60.0 AS fx, 26.65 AS fy,
        |         CAST(event_id AS UBIGINT) AS e
        |  FROM events WHERE event_id < 1000),
-       |sa0 AS (SELECT *, ${uadd("e", G)} AS z0 FROM k),
-       |sa1 AS (SELECT *, xor(z0, z0 >> 30) AS w0 FROM sa0),
-       |sa2 AS (SELECT *, ${umul("w0", C1)} AS z1 FROM sa1),
-       |sa3 AS (SELECT *, xor(z1, z1 >> 27) AS w1 FROM sa2),
-       |sa4 AS (SELECT *, ${umul("w1", C2)} AS z2 FROM sa3),
-       |sd  AS (SELECT *, xor(z2, z2 >> 31) AS seed FROM sa4),
+       |${OracleU64.mix64Ctes("k", "e", "sd", "seed", "sa")},
        |box AS (
        |  SELECT event_id, vs, dir0, px, py, vb, fx, fy, seed,
        |         greatest(0.0, px - vs) AS x0, least(120.0, px + vs) AS x1,

@@ -934,5 +934,46 @@ object TextQueries {
           col("score").cast("double").as("tfidf"))
         .orderBy("doc_id", "rnk")
     },
+
+    // Deterministic epoch shuffle — the training-order permutation every
+    // multi-epoch run needs: each (doc, epoch) pair gets the sort key
+    // mix64(doc_id*3 + epoch) (the native codegen scrambler), so every
+    // epoch is an independent, reproducible global permutation — same
+    // order on any cluster size, any partitioning, any restart, with NO
+    // stored shuffle manifest. Scale shape: the sort is Spark's
+    // range-partitioned exchange (the TeraSort shape — sample, range-
+    // split, sort within partitions) and positions come from GlobalRank's
+    // zipWithIndex pass, NOT a row_number() over a partitionless window
+    // (which would move 100 TB into one task). The oracle regenerates the
+    // keys via the staged mod-2^64 replay and re-ranks; ordering
+    // reinterprets the u64 key as the SIGNED long Spark sorts.
+    q("x32_epoch_shuffle",
+      s"""WITH e0 AS (
+         |  SELECT doc_id, unnest(range(0, 3)) AS epoch FROM documents),
+         |e AS (
+         |  SELECT doc_id, epoch, CAST(doc_id * 3 + epoch AS UBIGINT) AS mkin
+         |  FROM e0),
+         |${OracleU64.mix64Ctes("e", "mkin", "mk", "mkout", "mx")},
+         |keyed AS (
+         |  SELECT doc_id, epoch, ${OracleU64.toSigned("mkout")} AS skey FROM mk)
+         |SELECT epoch,
+         |       row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id) AS pos,
+         |       doc_id
+         |FROM keyed ORDER BY epoch, pos""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s)
+      val d = Tables.load(s, dir, "documents").select("doc_id")
+      val nDocs = broadcast(d.agg(count(lit(1)).as("n_docs")))
+      val keyed = d
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("epoch"))
+        .withColumn("skey", expr("mix64(doc_id * 3 + epoch)"))
+      graft.operators.GlobalRank
+        .withGlobalRank(keyed, "gpos", col("epoch"), col("skey"), col("doc_id"))
+        .crossJoin(nDocs)
+        // each epoch holds exactly n_docs rows, so the global rank over
+        // (epoch, key) folds into a per-epoch 1-based position exactly
+        .select(col("epoch"), (col("gpos") - col("epoch") * col("n_docs")).as("pos"),
+                col("doc_id"))
+        .orderBy("epoch", "pos")
+    },
   )
 }
