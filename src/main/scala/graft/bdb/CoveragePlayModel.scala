@@ -43,13 +43,39 @@ object CoveragePlayModel {
 
   /** Stage 2 (`DefCoverage.ipynb:62-80`): mean/std of x,y,s,a + distinct
     * defender count per (play, team, position). pandas `std` is the
-    * sample std → stddev_samp. */
+    * sample std.
+    *
+    * Moments are summed in EXACT DECIMAL, not double: double partial
+    * aggregation combines in whatever order the ambient partitioning
+    * delivers, so `avg`/`stddev_samp` drift by ulps across layouts — and
+    * a downstream RandomForest amplifies an ulp-different feature into a
+    * visibly different tree (this was a real flake: the bdb goldens
+    * diverged only under the full parallel test suite). Decimal sums are
+    * order-independent; the per-group variance arithmetic afterwards is
+    * fixed-order scalar math. Inputs truncate at scale 6 (tracking
+    * values are yards/velocities ~1e2 — far above any physical
+    * precision); (16,6)x(16,6) -> (33,12) stays inside DECIMAL's
+    * 38-digit cap, so the squares are exact too — no rounding anywhere
+    * until the final double cast. */
   def positionStats(defTrack: DataFrame): DataFrame = {
     val aggs = statCols.flatMap { c =>
-      Seq(avg(col(c)).as(s"${c}_mean"), stddev_samp(col(c)).as(s"${c}_std"))
+      val xd = col(c).cast("decimal(16,6)")
+      Seq(sum(xd).as(s"${c}_s1"), sum(xd * xd).as(s"${c}_s2"),
+          count(col(c)).as(s"${c}_n"))
     } :+ countDistinct(col("nflId")).as("count_defenders")
-    defTrack.groupBy("gameId", "playId", "defensiveTeam", "position")
+    val grouped = defTrack.groupBy("gameId", "playId", "defensiveTeam", "position")
       .agg(aggs.head, aggs.tail: _*)
+    val stats = statCols.flatMap { c =>
+      val (s1, s2, n) = (col(s"${c}_s1").cast("double"),
+                         col(s"${c}_s2").cast("double"),
+                         col(s"${c}_n").cast("double"))
+      Seq((s1 / n).as(s"${c}_mean"),
+          when(n > 1, sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0))))
+            .as(s"${c}_std"))
+    }
+    grouped.select(
+      Seq(col("gameId"), col("playId"), col("defensiveTeam"), col("position")) ++
+        stats :+ col("count_defenders"): _*)
   }
 
   val pivotStats: Seq[String] =
@@ -125,8 +151,18 @@ object CoveragePlayModel {
       .setInputCol("pff_passCoverage").setOutputCol("label")
       .setStringOrderType("alphabetAsc")
       .fit(features)
+    // PIN the matrix layout before any model fit: MLlib's RandomForest
+    // bootstraps with per-partition RNG streams and sampleBy samples
+    // per-partition too, so identical rows in a different partition
+    // layout train a (slightly) different model. An explicit partition
+    // count (immune to AQE/conf) + hash-by-key + unique-key local sort
+    // makes layout a pure function of the data — the property the
+    // committed goldens assert.
     val data = indexerModel.transform(
-      Pipelines.assembleZeroFilled(features, fc)).cache()
+      Pipelines.assembleZeroFilled(features, fc))
+      .repartition(4, col("gameId"), col("playId"))
+      .sortWithinPartitions("gameId", "playId", "defensiveTeam")
+      .cache()
     (features, fc, indexerModel, data)
   }
 

@@ -5,7 +5,7 @@ package graft
   * results against DuckDB, so any partial-aggregation-order drift,
   * unpinned tie-break, or partitioning-sensitive RNG fails the gate.
   * This spec shakes those out before the driver does. */
-class DeterminismSpec extends SparkSpec {
+class DeterminismSpec extends IsolatedSparkSpec {
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir)

@@ -42,6 +42,7 @@ class PlanHygieneSpec extends SparkSpec {
     "x27_domain_kl"         -> "vocab-sized corpus-distribution table + 1-row normalizer (the domains x vocab grid IS the summed quantity)",
     "x29_tfidf_topk"        -> "1-row corpus-count scalar",
     "x31_heaps_growth"      -> "1-row max-doc-id scalar",
+    "x32_epoch_shuffle"     -> "1-row corpus-count scalar (epoch offset fold)",
   )
 
   /** Global windows fed by a constant-bounded input. */

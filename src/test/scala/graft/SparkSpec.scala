@@ -24,3 +24,25 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     super.afterAll()
   }
 }
+
+/** SparkSpec whose session has an ISOLATED SQLConf. sbt runs suites in
+  * parallel threads inside the one forked JVM, and `getOrCreate` hands
+  * every suite the SAME session — so a suite that mutates session conf
+  * (shuffle.partitions, AQE thresholds, codegen flags) while another
+  * suite is planning a query changes THAT suite's plans mid-flight.
+  * That race is exactly how the bdb model goldens flaked: a concurrent
+  * conf flip changed the RandomForest input's partition layout, which
+  * changes MLlib's per-partition bootstrap streams. Every conf-mutating
+  * suite must extend this trait: `newSession()` shares the
+  * SparkContext (warm JVM preserved) but owns its SQLConf, so the
+  * builder-level defaults still apply and nothing leaks across suites.
+  */
+trait IsolatedSparkSpec extends SparkSpec {
+  override lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+    .newSession()
+}

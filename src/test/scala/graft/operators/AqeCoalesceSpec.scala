@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.IsolatedSparkSpec
 import org.apache.spark.sql.functions._
 
 /** The bench pins `spark.sql.shuffle.partitions = cpus`, which is the
@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * (map-output-size stats → contiguous-partition merge → fewer reduce
   * tasks) is byte-threshold-scaled, not size-specific.
   */
-class AqeCoalesceSpec extends SparkSpec {
+class AqeCoalesceSpec extends IsolatedSparkSpec {
 
   test("AQE coalesces a deliberately over-partitioned aggregation") {
     val confs = Seq(

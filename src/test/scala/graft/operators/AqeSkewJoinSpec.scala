@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.IsolatedSparkSpec
 import org.apache.spark.sql.functions._
 
 /** j15 proves the MANUAL salt for skewed joins; this spec demonstrates the
@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * mechanism (partition-size stats → skewed-partition split → replicated
   * reads on the other side) is byte-threshold-scaled, not size-specific.
   */
-class AqeSkewJoinSpec extends SparkSpec {
+class AqeSkewJoinSpec extends IsolatedSparkSpec {
 
   test("AQE splits the hot partition of the unsalted skewed join") {
     val confs = Seq(

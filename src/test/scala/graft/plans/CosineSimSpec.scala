@@ -1,10 +1,10 @@
 package graft.plans
 
-import graft.{SparkSpec, Tables}
+import graft.{IsolatedSparkSpec, Tables}
 import graft.queries.SimilarityQueries
 import org.apache.spark.sql.functions._
 
-class CosineSimSpec extends SparkSpec {
+class CosineSimSpec extends IsolatedSparkSpec {
 
   private lazy val emb = {
     GraftExtensions.install(spark)

@@ -1,9 +1,9 @@
 package graft.plans
 
-import graft.{SparkSpec, Tables}
+import graft.{IsolatedSparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
-class WithinDistSpec extends SparkSpec {
+class WithinDistSpec extends IsolatedSparkSpec {
 
   override def beforeAll(): Unit = {
     super.beforeAll()

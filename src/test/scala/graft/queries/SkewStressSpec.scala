@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.SparkSpec
+import graft.IsolatedSparkSpec
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * within every heavyweight stage, max/median task duration < 4× and
   * max/median shuffle-read records < 4×.
   */
-class SkewStressSpec extends SparkSpec {
+class SkewStressSpec extends IsolatedSparkSpec {
 
   private val fixtureDir = {
     val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
