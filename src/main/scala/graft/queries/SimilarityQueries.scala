@@ -41,6 +41,97 @@ object SimilarityQueries {
     * boundary. Callers must `GraftExtensions.install(s)` first. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
+  /** DuckDB mirror of the product-quantization ANN (operators.PqAnn):
+    * regenerates the per-subspace codebooks (hash-ranked seeds, PqIters
+    * unrolled Lloyd rounds) and replays encode → ADC → re-rank. One step
+    * MORE portable than ivfSql: centroids re-quantize to integer
+    * micro-units at every use site, so assignment and ADC scoring are
+    * pure BIGINT arithmetic — the only float op anywhere is the
+    * per-round s/(n·1e6) centroid mean, a correctly-rounded scalar both
+    * engines compute identically. */
+  private def pqSql(m: Int, kCents: Int, iters: Int, k: Int, cand: Int,
+                    dim: Int = 64): String = {
+    val dsub = dim / m
+    // exact integer squared-L2 between micro-unit BIGINT lists
+    def idist(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip($a, $b),
+         |  p -> (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT))
+         |     * (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)))), (x, y) -> x + y)""".stripMargin
+    // PqAnn.microOf: half-away-from-zero micro-unit rounding
+    def micro(v: String) =
+      s"""CASE WHEN ($v) >= 0 THEN CAST(floor(($v)*1000000.0 + 0.5) AS BIGINT)
+         |     ELSE -CAST(floor(-($v)*1000000.0 + 0.5) AS BIGINT) END""".stripMargin
+    val iterCtes = (1 to iters).map { it =>
+      s"""a$it AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT r.vec_id, r.sub, c.cell,
+         |           row_number() OVER (PARTITION BY r.vec_id, r.sub
+         |             ORDER BY ${idist("r.rqm", "c.cm")}, c.cell) AS rn
+         |    FROM rqs r JOIN c${it - 1} c ON r.sub = c.sub) WHERE rn = 1),
+         |s$it AS (
+         |  SELECT a.sub, a.cell, i, sum(r.rqm[i + 1]) AS s, count(*) AS n
+         |  FROM a$it a JOIN rqs r USING (vec_id, sub) CROSS JOIN range($dsub) t(i)
+         |  GROUP BY a.sub, a.cell, i),
+         |n$it AS (
+         |  SELECT sub, cell,
+         |         list(${micro("CAST(s AS DOUBLE)/(CAST(n AS DOUBLE)*1000000.0)")} ORDER BY i) AS cm
+         |  FROM s$it GROUP BY sub, cell),
+         |c$it AS (
+         |  SELECT p.sub, p.cell, coalesce(nn.cm, p.cm) AS cm
+         |  FROM c${it - 1} p LEFT JOIN n$it nn USING (sub, cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH rq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CASE WHEN CAST(x AS DOUBLE) >= 0
+       |           THEN CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)
+       |           ELSE -CAST(floor(-CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) END) AS rq
+       |  FROM embeddings),
+       |rqs AS (
+       |  SELECT vec_id, CAST(t.m AS INT) AS sub,
+       |         rq[t.m*$dsub + 1 : t.m*$dsub + $dsub] AS rqm
+       |  FROM rq CROSS JOIN range($m) t(m)),
+       |c0 AS (
+       |  SELECT CAST(t.m AS INT) AS sub, CAST(rn - 1 AS INT) AS cell,
+       |         rq[t.m*$dsub + 1 : t.m*$dsub + $dsub] AS cm
+       |  FROM (SELECT rq, row_number() OVER (
+       |          ORDER BY (vec_id*1103515245 + 12345) % 2147483648, vec_id) AS rn
+       |        FROM rq)
+       |  CROSS JOIN range($m) t(m)
+       |  WHERE rn <= $kCents),
+       |$iterCtes,
+       |af AS (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT r.vec_id, r.sub, c.cell,
+       |           row_number() OVER (PARTITION BY r.vec_id, r.sub
+       |             ORDER BY ${idist("r.rqm", "c.cm")}, c.cell) AS rn
+       |    FROM rqs r JOIN c$iters c ON r.sub = c.sub) WHERE rn = 1),
+       |dt AS (
+       |  SELECT q.vec_id AS query_id, c.sub, c.cell, ${idist("q.rqm", "c.cm")} AS d
+       |  FROM rqs q JOIN c$iters c ON q.sub = c.sub WHERE q.vec_id < 8),
+       |adc AS (
+       |  SELECT dt.query_id, af.vec_id AS neighbor_id, sum(dt.d) AS adc
+       |  FROM af JOIN dt ON af.sub = dt.sub AND af.cell = dt.cell
+       |                 AND af.vec_id <> dt.query_id
+       |  GROUP BY dt.query_id, af.vec_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |              ORDER BY adc, neighbor_id) AS crn
+       |    FROM adc) WHERE crn <= $cand),
+       |rerank AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         round(${sqlDot("qv.embedding", "cv.embedding")}
+       |           / (${sqlNorm("qv.embedding")} * ${sqlNorm("cv.embedding")}), 6) AS cos
+       |  FROM cand
+       |  JOIN embeddings cv ON cv.vec_id = cand.neighbor_id
+       |  JOIN embeddings qv ON qv.vec_id = cand.query_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM rerank)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** DuckDB mirror of the deterministic IVF quantizer + search
     * (operators.IvfAnn): regenerates the Lloyd centroids from the same
     * exact arithmetic — integer micro-unit quantization, hash-ranked
@@ -489,6 +580,27 @@ object SimilarityQueries {
           queries = e.filter(col("vec_id") < 8)
             .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
           k = 5, nProbe = 6)
+        .orderBy("query_id", "rnk")
+    },
+
+    // Product-quantization ANN — the fourth family member (LSH / IVF /
+    // SQ8 / PQ): 8 subspaces x 16 centroids compress each vector to a
+    // 64-BIT CODE, and queries score candidates via 8 integer table
+    // lookups (ADC) instead of any float math against corpus vectors —
+    // the memory collapse (256 bytes -> 8) that fits a 100 TB corpus's
+    // index in RAM. Codebooks from the same deterministic Lloyd scheme
+    // as v4; assignment and ADC are EXACT BIGINT arithmetic on
+    // micro-quantized centroids, so the oracle replays the entire
+    // algorithm with zero float folds. Recall vs exact v1 asserted in
+    // SimilaritySpec.
+    q("v9_ann_pq_topk",
+      pqSql(m = graft.operators.PqAnn.M, kCents = graft.operators.PqAnn.K,
+            iters = graft.operators.PqAnn.PqIters, k = 5, cand = 100)) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      graft.operators.PqAnn.topK(
+          corpus = e.select("vec_id", "embedding"),
+          queries = e.filter(col("vec_id") < 8).select("vec_id", "embedding"),
+          k = 5, cand = 100)
         .orderBy("query_id", "rnk")
     },
 

@@ -23,7 +23,8 @@ object RecallProbe {
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs("v1_cosine_topk")
-    val recalls = Seq("v3_ann_lsh_topk", "v4_ann_ivf_topk", "v5_ann_sq8_topk")
+    val recalls = Seq("v3_ann_lsh_topk", "v4_ann_ivf_topk", "v5_ann_sq8_topk",
+                      "v9_ann_pq_topk")
       .map { name =>
         val r = (exact intersect pairs(name)).size.toDouble / exact.size
         name.split("_")(0) -> r
