@@ -169,10 +169,12 @@ object PqAnn {
           lit(0L),
           (acc, m) => acc +
             element_at(col("qtable"), m * K + element_at(col("codes"), m + 1) + 1)))
-    val candidates = adc
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))))
-      .filter(col("crn") <= cand)
+    // candidate cut via the mergeable per-partition top-k operator, not a
+    // window: a window on query_id would shuffle ALL N x Q scored rows;
+    // GroupTopK's partial pass caps the exchange at cand x partitions
+    // rows per query (the same reason v5 uses it)
+    val candidates = GroupTopK
+      .topK(adc, Seq("query_id"), "adc", "vec_id", k = cand, descending = false)
     candidates
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(graft.queries.SimilarityQueries.cosineSim(col("qe"), col("embedding")), 6)
