@@ -89,25 +89,40 @@ object DedupQueries {
     // to fixpoint (O(component diameter) rounds, each one shuffle —
     // the standard Spark shape for iterative graph algorithms); the
     // oracle replays it as a recursive transitive-closure CTE.
-    q("d5_dedup_clusters",
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id,
-        |         list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
-        |           for i in range(1, greatest(len(string_split(text,' ')) - 1, 2))]) AS s
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s)) * 1.0
-        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
-        |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT u, v FROM und
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u)
-        |SELECT u AS doc_id, least(u, min(v)) AS canonical_id
-        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    q("d5_dedup_clusters", {
+      // Min-label propagation unrolled to EXACTLY 21 one-hop rounds — the
+      // same 7-outer x 3-hop bound as the Spark loop below, so converged
+      // or not both engines hold the identical label state (min-label
+      // after k hops is a pure function of k). This replaced a recursive
+      // transitive-closure CTE that was correct but effectively hung in
+      // DuckDB past ~5000 docs (the closure materializes |cluster|^2
+      // reach pairs per step); the unrolled rounds join only the
+      // near-dup EDGE list — after the all-pairs `pairs` CTE (the
+      // d2-class cost that dominates), propagation is ~free, which is
+      // what made d5 sf0.1-gateable.
+      val rounds = (1 to 21).map { r =>
+        s"""l$r AS MATERIALIZED (
+           |  SELECT doc_id, min(label) AS label FROM (
+           |    SELECT e.u AS doc_id, l.label FROM und e JOIN l${r - 1} l ON l.doc_id = e.v
+           |    UNION ALL SELECT doc_id, label FROM l${r - 1}) GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sh AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+         |           for i in range(1, greatest(len(string_split(text,' ')) - 1, 2))]) AS s
+         |  FROM documents),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+         |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+         |und AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS doc_id, u AS label FROM und),
+         |$rounds
+         |SELECT doc_id, label AS canonical_id
+         |FROM l21 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
       val edges = jaccardPairs(s, dir).select("doc_a", "doc_b")
       val und = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
