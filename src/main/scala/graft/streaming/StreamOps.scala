@@ -320,26 +320,37 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val landed =
-          (try Some(spark.read.parquet(path))
-           catch {
-             case e: org.apache.spark.sql.AnalysisException
-               if e.getErrorClass == "PATH_NOT_FOUND" => None
-           })
-            .map(_.select(col("doc_id").as("landed_id")))
-            .getOrElse(batch.select(col("doc_id").as("landed_id")).limit(0))
-        val kept = lmScore(batch, bi, uni, vocab, threshold)
-          .filter(col("kept"))
-          .join(landed, col("doc_id") <=> col("landed_id"), "left_anti")
-          .persist()
-        kept.count() // materialize before the append lands new files
-        kept.write.mode("append").parquet(path)
-        kept.unpersist()
-        ()
+        lmGateBatch(batch, bi, uni, vocab, threshold, path)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
+
+  /** The per-micro-batch body of [[lmGateSink]], exposed (like
+    * [[upsertBatch]]) so failure-injection tests can wrap it: scoring is
+    * read-only and idempotent per input batch, so a redelivered batch
+    * whose append already landed finds every kept doc_id in the sink and
+    * appends nothing. */
+  def lmGateBatch(batch: DataFrame, bi: DataFrame, uni: DataFrame,
+                  vocab: DataFrame, threshold: BigDecimal, path: String): Unit = {
+    import graft.functions.TextFunctions._
+    val spark = batch.sparkSession
+    val landed =
+      (try Some(spark.read.parquet(path))
+       catch {
+         case e: org.apache.spark.sql.AnalysisException
+           if e.getErrorClass == "PATH_NOT_FOUND" => None
+       })
+        .map(_.select(col("doc_id").as("landed_id")))
+        .getOrElse(batch.select(col("doc_id").as("landed_id")).limit(0))
+    val kept = lmScore(batch, bi, uni, vocab, threshold)
+      .filter(col("kept"))
+      .join(landed, col("doc_id") <=> col("landed_id"), "left_anti")
+      .persist()
+    kept.count() // materialize before the append lands new files
+    kept.write.mode("append").parquet(path)
+    kept.unpersist()
+    ()
   }
 
   /** x27's streaming twin: per-micro-batch distribution drift monitor.

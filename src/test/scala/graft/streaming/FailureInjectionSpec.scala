@@ -81,4 +81,66 @@ class FailureInjectionSpec extends SparkSpec {
            events.selectExpr(cols: _*).collect().map(_.toString).toSet,
       "the landed table must equal the batch table exactly")
   }
+
+  test("LM gate sink: post-append crash + redelivery still lands batch-x25's kept set once") {
+    import graft.functions.TextFunctions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val held = docs.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmfail_src")
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lmfail_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/p")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/p"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(name))
+    }
+    stage(held.filter(col("doc_id") % 2 === 0), "a_evens.parquet")
+    stage(held.filter(col("doc_id") % 2 =!= 0), "b_odds.parquet")
+
+    val sink = java.nio.file.Files.createTempDirectory("graft_lmfail_sink").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_lmfail_ck").toString
+    val (bi, uni, vocab) = lmCounts(train)
+    bi.persist(); uni.persist(); vocab.persist()
+    val threshold = BigDecimal("-3.43")
+
+    def runOnce(failAfterFirstAppend: Boolean): Unit = {
+      @volatile var failed = false
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          StreamOps.lmGateBatch(batch, bi, uni, vocab, threshold, sink)
+          if (failAfterFirstAppend && !failed) {
+            failed = true
+            throw new RuntimeException("injected post-append failure")
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if e.getMessage.contains("injected post-append failure") => ()
+      }
+    }
+
+    runOnce(failAfterFirstAppend = true)
+    assert(spark.read.parquet(sink).count() > 0, "pre-crash append must be durable")
+    runOnce(failAfterFirstAppend = false)
+
+    // the sink must equal batch x25's kept rows restricted to the held
+    // split — scored per micro-batch, crashed, redelivered, exactly once
+    val landed = spark.read.parquet(sink)
+    val batchKept = graft.SparkEntry.queries("x25_lm_perplexity")(spark, sfDir)
+      .filter(col("kept") && col("doc_id") % 5 === 0)
+    assert(landed.count() == batchKept.count(),
+      "crash + redelivery must not duplicate or drop kept docs")
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).toSet ==
+           batchKept.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "landed doc set must equal the batch gate's kept set")
+  }
 }
