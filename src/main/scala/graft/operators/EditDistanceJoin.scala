@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity self-join (string near-dup detection), the
+  * q-gram prefix-filter algorithm (the published Ed-Join technique — Xiao,
+  * Wang & Lin, VLDB 2008): a lossless candidate generator plus an exact
+  * verify, never the O(n²) cross join.
+  *
+  * Candidate generation, per string `s` with positional q-grams G(s):
+  *   1. multiset → set: the i-th occurrence of gram g becomes token (g, i),
+  *      so multiset overlap equals set overlap exactly;
+  *   2. k edits destroy ≤ q·k tokens, so ed(s,t) ≤ k ⇒ |G(s) ∩ G(t)| ≥
+  *      |G(s)| − q·k — the classic count filter;
+  *   3. prefix filter: order every token set by one global canonical order
+  *      (ascending document frequency — rarest grams first — then gram,
+  *      then occurrence) and keep the first q·k + 1 tokens; any pair within
+  *      distance k must collide on at least one prefix token.
+  *   4. The prefix theorem needs the LARGER string of a pair to own at
+  *      least q·k + 1 grams (overlap bound α = max(|G_A|,|G_B|) − q·k ≥ 1);
+  *      a pair where both strings have len ≤ q·(k+1) − 1 can evade it. So
+  *      the two candidate paths OVERLAP rather than partition: every string
+  *      with at least one gram (len ≥ q) runs the prefix filter (a string
+  *      with |G| < q·k + 1 simply indexes all its grams — still sound when
+  *      its partner is longer), and the bucket {len ≤ q·(k+1) − 1} is
+  *      additionally all-pairs'd within the ±k length band — bounded by
+  *      |Σ|^(q·(k+1)−1) distinct values, a constant. Strings shorter than q
+  *      (no grams at all) can only pair inside that bucket: their shortest
+  *      prefix-path partner has len ≥ q·(k+1) − k = q·k + q − k > (q−1) + k,
+  *      outside the length band.
+  *
+  * Verify: `levenshtein(a, b, k)` — Spark's thresholded Levenshtein bails
+  * out of the DP early once the band exceeds k, so verification is
+  * O(k·min(|a|,|b|)) per candidate, not O(|a|·|b|).
+  *
+  * 100 TB shape: grams/tokens are map-side higher-order functions inside
+  * whole-stage codegen (no UDFs); the only shuffles are the token-frequency
+  * count, the per-string prefix top-(qk+1), and the equi-join on prefix
+  * tokens. Rarest-first prefix ordering keeps candidate buckets small by
+  * construction — the hot-gram flood that breaks naive gram joins lands in
+  * the frequent grams, which the prefix skips. Self-join output is halved
+  * by the a_id < b_id guard before the verify.
+  */
+object EditDistanceJoin {
+
+  /** All pairs (a_id < b_id) with levenshtein(a_str, b_str) ≤ k.
+    * Output columns: a_id, b_id, dist (long).
+    */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String,
+               k: Int, q: Int = 2): DataFrame = {
+    require(k >= 1 && q >= 1, s"need k>=1, q>=1; got k=$k q=$q")
+    val prefixLen = q * k + 1
+    // a pair where BOTH strings have |G| <= q*k can evade the prefix
+    // filter; bucket those lengths for the all-pairs fallback (see above)
+    val shortLen = q * (k + 1) - 1
+
+    val base = df.select(col(idCol).as("sid"), col(strCol).as("str"))
+    val grammed = base.filter(length(col("str")) >= q)
+    val shorts  = base.filter(length(col("str")) <= shortLen)
+
+    // positional q-grams via codegen'd higher-order functions
+    val grams = grammed.select(col("sid"), col("str"),
+      explode(expr(
+        s"transform(sequence(1, length(str) - $q + 1), i -> substring(str, i, $q))"
+      )).as("g"))
+    // (g, occurrence#) tokens; any order within (sid, g) yields the same set
+    val tokens = grams.withColumn("occ",
+      row_number().over(Window.partitionBy("sid", "g").orderBy("g")))
+    // global canonical order: ascending token document-frequency
+    val withFreq = tokens.withColumn("freq",
+      count(lit(1)).over(Window.partitionBy("g", "occ")))
+    val prefix = withFreq
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("sid").orderBy(col("freq"), col("g"), col("occ"))))
+      .filter(col("rk") <= prefixLen)
+      .select("sid", "str", "g", "occ")
+
+    val candLong = prefix.select(col("sid").as("a_id"), col("str").as("a_str"),
+        col("g"), col("occ"))
+      .join(prefix.select(col("sid").as("b_id"), col("str").as("b_str"),
+        col("g"), col("occ")), Seq("g", "occ"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "a_str", "b_id", "b_str")
+
+    val candShort = shorts.select(col("sid").as("a_id"), col("str").as("a_str"))
+      .crossJoin(shorts.select(col("sid").as("b_id"), col("str").as("b_str")))
+      .filter(col("a_id") < col("b_id"))
+
+    candLong.unionByName(candShort)
+      .filter(abs(length(col("a_str")) - length(col("b_str"))) <= k)
+      .distinct()
+      .withColumn("dist", levenshtein(col("a_str"), col("b_str"), k).cast("long"))
+      .filter(col("dist") >= 0)
+      .select("a_id", "b_id", "dist")
+  }
+}

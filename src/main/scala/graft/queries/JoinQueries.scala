@@ -358,5 +358,25 @@ object JoinQueries {
           expectedItems = 100000L)
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     },
+
+    // J17 — edit-distance similarity self-join (string near-dup): all
+    // customer-name pairs within levenshtein <= 1, via the lossless Ed-Join
+    // prefix filter (operators/EditDistanceJoin.scala). The oracle is the
+    // brute-force quadratic join — the same oracle-of-record pattern as
+    // d2/v2: at scale you run the prefix-filtered join, never the cross
+    // join. Dist is exact on both sides, so the hash check proves the
+    // candidate generator lost nothing.
+    q("j17_editdist_join",
+      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND abs(len(a.c_name) - len(b.c_name)) <= 1
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+      graft.operators.EditDistanceJoin.selfJoin(c, "c_custkey", "c_name", k = 1)
+        .orderBy("a_id", "b_id")
+    },
   )
 }

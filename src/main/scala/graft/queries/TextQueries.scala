@@ -975,5 +975,61 @@ object TextQueries {
                 col("doc_id"))
         .orderBy("epoch", "pos")
     },
+
+    // x33 — token-budget-constrained domain mixture selection: the sampling
+    // step that turns per-domain mixture weights into an actual document
+    // list. Per source, docs are ranked by quality (mean chars per token,
+    // best first) and taken greedily while the cumulative token count stays
+    // within the domain's budget (here 30% of its total tokens — a fixed
+    // uniform mixture; non-uniform weights are one literal map away).
+    //
+    // Shape: one shuffle by source for the budget agg (broadcast back — a
+    // #domains-row dim) and one window per source for the rank + running
+    // sum. Token counts and cumulative sums are exact integers, so the
+    // budget cut is engine-portable. At 100 TB the per-domain window is the
+    // textbook low-cardinality skew (20 domains = 20 sequential chains);
+    // the scale path is the two-pass partial-rank offset pattern
+    // `GlobalRank` implements — per-partition partial token sums, then a
+    // broadcast prefix-offset join — which keeps every core busy. The
+    // greedy-cut semantics and the oracle are unchanged under that swap.
+    q("x33_token_budget_mix",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         CAST(n_chars AS DOUBLE) /
+        |           CAST(len(string_split(text, ' ')) AS DOUBLE) AS quality
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, 3 * CAST(sum(n_tokens) AS DOUBLE) / 10.0 AS budget
+        |  FROM d GROUP BY source),
+        |r AS (
+        |  SELECT d.source, d.doc_id, d.quality, b.budget,
+        |         row_number() OVER w AS rk,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY d.source
+        |           ORDER BY quality DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_tokens
+        |  FROM d JOIN b USING (source)
+        |  WINDOW w AS (PARTITION BY d.source ORDER BY quality DESC, doc_id))
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk, cum_tokens
+        |FROM r WHERE cum_tokens <= budget
+        |ORDER BY source, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), nTok.as("n_tokens"),
+          (col("n_chars").cast("double") / nTok.cast("double")).as("quality"))
+      val budgets = broadcast(d.groupBy("source")
+        .agg((lit(3) * sum("n_tokens").cast("double") / lit(10.0)).as("budget")))
+      val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      d.join(budgets, "source")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum_tokens",
+          sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)))
+        .filter(col("cum_tokens") <= col("budget"))
+        .select("source", "doc_id", "rk", "cum_tokens")
+        .orderBy("source", "rk")
+    },
   )
 }

@@ -428,5 +428,86 @@ object WindowQueries {
         .select("event_id", "user_id", "n_10m", "sum_10m")
         .orderBy("event_id")
     },
+
+    // W21 — time-series resampling + linear interpolation (gap fill): each
+    // user's irregular event stream resampled onto an hourly grid spanning
+    // [floor_hour(first event), last event], value lerped between the
+    // surrounding observations. The classic align-sensors-to-a-grid op.
+    //
+    // Shape: grid points and observations are UNIONED and sorted once per
+    // user; two frames over that one sort (last-non-null before / first-
+    // non-null after) recover the bracketing observations — one shuffle,
+    // one sort, no self-join, no per-gridpoint probe. At 100 TB this is the
+    // standard gap-fill plan: partition by series key, frames carry O(1)
+    // state per row. Epochs are exact micros (unix_micros/epoch_us) and the
+    // lerp is one fixed IEEE expression tree, identical on both engines.
+    // A grid point landing exactly on an observation sorts after it
+    // (is_grid tie-break), so prev_t = t and the lerp factor is exactly 0.
+    q("w21_resample_lerp",
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS t, value, event_id, 0 AS is_grid
+        |  FROM events),
+        |span AS (
+        |  SELECT user_id, (min(t) // 3600000000) * 3600000000 AS g0, max(t) AS g1
+        |  FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(g0, g1, 3600000000)) AS t,
+        |         CAST(NULL AS DOUBLE) AS value, CAST(-1 AS BIGINT) AS event_id,
+        |         1 AS is_grid
+        |  FROM span),
+        |u AS (SELECT * FROM ev UNION ALL SELECT * FROM grid),
+        |f AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER wp AS prev_v,
+        |    last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wp AS prev_t,
+        |    first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER wn AS next_v,
+        |    first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wn AS next_t
+        |  FROM u
+        |  WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY t, is_grid, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY user_id ORDER BY t, is_grid, event_id
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, t AS grid_us,
+        |  CASE WHEN prev_t IS NULL THEN next_v
+        |       WHEN next_t IS NULL THEN prev_v
+        |       WHEN next_t = prev_t THEN prev_v
+        |       ELSE prev_v + (next_v - prev_v) *
+        |            (CAST(t - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+        |  END AS v_interp
+        |FROM f WHERE is_grid = 1
+        |ORDER BY user_id, grid_us""".stripMargin) { (s, dir) =>
+      val hourUs = 3600L * 1000000L
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+                col("value"), col("event_id"), lit(0).as("is_grid"))
+      val grid = ev.groupBy("user_id")
+        .agg(min("t").as("g0"), max("t").as("g1"))
+        .select(col("user_id"),
+          explode(sequence(expr(s"g0 div $hourUs * $hourUs"), col("g1"),
+                           lit(hourUs))).as("t"),
+          lit(null).cast("double").as("value"), lit(-1L).as("event_id"),
+          lit(1).as("is_grid"))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("is_grid"), col("event_id"))
+      val wp = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsOnly = (c: String) => when(col("is_grid") === 0, col(c))
+      ev.unionByName(grid)
+        .withColumn("prev_v", last(obsOnly("value"), ignoreNulls = true).over(wp))
+        .withColumn("prev_t", last(obsOnly("t"), ignoreNulls = true).over(wp))
+        .withColumn("next_v", first(obsOnly("value"), ignoreNulls = true).over(wn))
+        .withColumn("next_t", first(obsOnly("t"), ignoreNulls = true).over(wn))
+        .filter(col("is_grid") === 1)
+        .withColumn("v_interp",
+          when(col("prev_t").isNull, col("next_v"))
+            .when(col("next_t").isNull, col("prev_v"))
+            .when(col("next_t") === col("prev_t"), col("prev_v"))
+            .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+              ((col("t") - col("prev_t")).cast("double") /
+               (col("next_t") - col("prev_t")).cast("double"))))
+        .select(col("user_id"), col("t").as("grid_us"), col("v_interp"))
+        .orderBy("user_id", "grid_us")
+    },
   )
 }
