@@ -27,17 +27,38 @@ class EditDistanceJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
 
-  test("prefix filter is lossless vs brute force on adversarial strings (k=1 and k=2)") {
+  private def runDel(strs: Seq[(Long, String)], k: Int): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    EditDistanceJoin.deletionSelfJoin(strs.toDF("id", "s"), "id", "s", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private val adversarial = {
     // small alphabet, lengths 0..8, repeated grams, shared prefixes —
     // the cases that break naive gram blocking
     val rnd = new scala.util.Random(7)
-    val strs = (0L until 120L).map { i =>
+    (0L until 120L).map { i =>
       val len = rnd.nextInt(9)
       i -> (0 until len).map(_ => "ab!c"(rnd.nextInt(4))).mkString
     } ++ Seq(200L -> "aaaaaaaa", 201L -> "aaaaaaa", 202L -> "aaaaaaab",
              203L -> "", 204L -> "a", 205L -> "b", 206L -> "ab")
+  }
+
+  test("prefix filter is lossless vs brute force on adversarial strings (k=1 and k=2)") {
     for (k <- Seq(1, 2))
-      assert(run(strs, k) == brute(strs, k), s"mismatch at k=$k")
+      assert(run(adversarial, k) == brute(adversarial, k), s"mismatch at k=$k")
+  }
+
+  test("deletion-neighbourhood path is lossless on the same adversarial strings (k=1 and k=2)") {
+    for (k <- Seq(1, 2))
+      assert(runDel(adversarial, k) == brute(adversarial, k), s"mismatch at k=$k")
+  }
+
+  test("both algorithms agree on structured ids (the j17 shape)") {
+    val strs = (0L until 80L).map(i => i -> f"Customer#$i%09d")
+    val expect = brute(strs, 1)
+    assert(run(strs, 1) == expect)
+    assert(runDel(strs, 1) == expect)
   }
 
   test("finds exactly the substitution neighbours on structured ids") {

@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** x34_bpe_train invariants beyond the DuckDB round-replay: BPE's
+  * structural properties on the learned merge table. */
+class BpeTrainSpec extends SparkSpec {
+
+  private lazy val merges: Seq[(Long, String, String, Long)] =
+    graft.SparkEntry.queries("x34_bpe_train")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                           r.getLong(3))).toSeq
+
+  test("learns the full budget of rounds, numbered 1..R") {
+    assert(merges.map(_._1) == (1L to merges.length).toSeq)
+    assert(merges.length == 8)
+  }
+
+  test("merge frequencies are non-increasing across rounds") {
+    // merging the argmax pair can only create pairs at most as frequent
+    // (a new (X, AB) occurs at most as often as (A, B) did) and only
+    // shrink existing counts — so the greedy maximum never rises
+    val freqs = merges.map(_._4)
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, freqs)
+  }
+
+  test("every merged symbol derives from single chars or earlier merges") {
+    val known = scala.collection.mutable.Set[String]()
+    merges.foreach { case (r, l, rt, _) =>
+      for (s <- Seq(l, rt))
+        assert(s.length == 1 || known.contains(s),
+          s"round $r uses symbol '$s' that is neither a char nor a prior merge")
+      known += (l + rt)
+    }
+  }
+
+  test("deterministic: a second run reproduces the merge table exactly") {
+    val again = graft.SparkEntry.queries("x34_bpe_train")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                           r.getLong(3))).toSeq
+    assert(again == merges)
+  }
+}
