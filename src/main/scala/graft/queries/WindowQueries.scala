@@ -509,5 +509,49 @@ object WindowQueries {
         .select(col("user_id"), col("t").as("grid_us"), col("v_interp"))
         .orderBy("user_id", "grid_us")
     },
+
+    // W22 — sequence pattern matching over ordered event streams
+    // (MATCH_RECOGNIZE-lite): each user's events collapse to one ordered
+    // initial-letter string (c/e/p/s/v — distinct by construction), and a
+    // regex counts non-overlapping view→clicks→purchase funnels plus the
+    // position of the first one. Both engines run the same pattern with the
+    // same leftmost non-overlapping scan and the same non-greedy prefix
+    // trick for the position (regexp_instr exists only on one side).
+    //
+    // Shape: ONE shuffle (groupBy user) with map-side partial collect;
+    // per-key sequences are bounded by per-user event counts — at 100 TB
+    // you'd bound them structurally by sessionizing first (w13/w14) and
+    // matching within sessions, which is this same query with session_id
+    // in the key. collect_list order is pinned by array_sort over
+    // (t, event_id, ch) — never relies on arrival order.
+    q("w22_seq_pattern",
+      """WITH s AS (
+        |  SELECT user_id,
+        |         string_agg(substring(event_type, 1, 1), ''
+        |                    ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(length(seq) AS BIGINT) AS seq_len,
+        |       CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels,
+        |       CAST(CASE WHEN len(regexp_extract_all(seq, 'vc*p')) > 0
+        |                 THEN length(regexp_extract(seq, '^(.*?)vc*p', 1)) + 1
+        |                 ELSE 0 END AS BIGINT) AS first_pos
+        |FROM s ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("t"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      val seqs = ev.groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("t"), col("event_id"),
+                                                   col("ch")))),
+                    x => x.getField("ch")), "").as("seq"))
+      seqs.select(col("user_id"),
+          length(col("seq")).cast("long").as("seq_len"),
+          regexp_count(col("seq"), lit("vc*p")).cast("long").as("n_funnels"),
+          when(regexp_count(col("seq"), lit("vc*p")) > 0,
+               length(regexp_extract(col("seq"), "^(.*?)vc*p", 1)) + 1)
+            .otherwise(0).cast("long").as("first_pos"))
+        .orderBy("user_id")
+    },
   )
 }
