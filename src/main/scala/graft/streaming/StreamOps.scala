@@ -416,4 +416,64 @@ object StreamOps {
       .filter(overlap(transform(shingles(col("text"), 3), xxhash64(_))) < 3)
       .select(col("doc_id"), col("source"), col("n_tokens"))
   }
+
+  case class PatEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                      ch: String)
+  /** DFA state for the 'vc*p' pattern: dfa 0 = no live candidate, 1 = saw a
+    * 'v' and only 'c's since; cand = 1-based position of that 'v'; pos =
+    * events consumed so far for this user; n = matches emitted. */
+  case class PatState(dfa: Int, cand: Long, pos: Long, n: Long)
+  case class FunnelMatch(user_id: Long, match_start: Long, match_end: Long,
+                         match_no: Long)
+
+  /** Online sequence-pattern matching — the streaming twin of
+    * `w22_seq_pattern`. The batch query materializes each user's whole
+    * event-initial string and runs a regex; a stream can't hold history,
+    * but the pattern ('vc*p': view, any clicks, purchase) is a 2-state
+    * DFA, so per-user state is FOUR scalars regardless of stream length —
+    * the state store is bounded by live users, not history. Each completed
+    * funnel emits one Append-mode row as it happens (the batch query only
+    * reports count + first position after the fact).
+    *
+    * Leftmost-match parity with the regex: a fresh 'v' always restarts the
+    * candidate (for "v v p" the regex's leftmost successful start is the
+    * SECOND v — attempts from the first fail on the intervening non-c), so
+    * `cand` tracks the latest 'v'; 'c' keeps a live candidate alive; 'p'
+    * completes it; anything else kills it. StreamOpsSpec proves streamed
+    * matches across time-split micro-batches equal the batch run and
+    * aggregate exactly to w22's (n_funnels, first_pos).
+    *
+    * Same micro-batch ordering contract as [[gapSessions]]: events are
+    * sorted within each batch slice; cross-batch order comes from
+    * event-time-ordered file arrival (watermark-bounded disorder would be
+    * handled by buffering inside the watermark — not needed for the
+    * file-replay sources this engine drives). */
+  def funnelMatches(events: DataFrame): Dataset[FunnelMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      .as[PatEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatState, FunnelMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[PatEvent], state: GroupState[PatState]) =>
+          var st = state.getOption.getOrElse(PatState(0, 0L, 0L, 0L))
+          val out = Vector.newBuilder[FunnelMatch]
+          it.toVector.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
+            val pos = st.pos + 1
+            e.ch match {
+              case "v" => st = PatState(1, pos, pos, st.n)
+              case "c" => st = st.copy(pos = pos)
+              case "p" if st.dfa == 1 =>
+                val n = st.n + 1
+                out += FunnelMatch(uid, st.cand, pos, n)
+                st = PatState(0, 0L, pos, n)
+              case _ => st = PatState(0, 0L, pos, st.n)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

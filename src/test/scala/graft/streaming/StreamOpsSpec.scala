@@ -329,4 +329,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(canon(streamed) == canon(batch))
     assert(streamed.count() > docs.count(), "multi-chunk docs must expand")
   }
+
+  test("online funnel DFA across micro-batches equals batch run and w22's aggregate") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sfDir, "events")
+    // three disjoint event-time slices written as separate files with
+    // increasing mtimes → the file source replays them as three ordered
+    // micro-batches, forcing DFA state to carry across batch boundaries
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_ev")
+    val slices = Seq(
+      ev.filter(dayofmonth(col("ts")) <= 10),
+      ev.filter(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20),
+      ev.filter(dayofmonth(col("ts")) > 20))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_funnel_tmp$i")
+      s.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next()
+      val dst = dir.resolve(f"slice_$i%02d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val streamed = runStream(StreamOps.funnelMatches(src).toDF(),
+      "funnel_matches", mode = "append")
+    val batch = StreamOps.funnelMatches(ev).toDF()
+    assert(canon(streamed) == canon(batch), "stream/batch DFA divergence")
+    // aggregate parity with the registered w22 query
+    val agg = canon(batch.groupBy("user_id")
+      .agg(max("match_no").as("n_funnels"), min("match_start").as("first_pos")))
+    val w22 = canon(graft.SparkEntry.queries("w22_seq_pattern")(spark, sfDir)
+      .filter(col("n_funnels") > 0)
+      .select("user_id", "n_funnels", "first_pos"))
+    assert(agg == w22, "DFA aggregate != w22 regex result")
+    assert(streamed.count() > 0)
+  }
 }
