@@ -358,5 +358,56 @@ object AggQueries {
                 round((col("value") - col("mu")) / col("sd"), 4).as("z"))
         .orderBy("event_id")
     },
+
+    // A23 — exact DISCRETE quantiles + IQR outlier fences per group
+    // (robust statistics without interpolation): q1/med/q3 are the column
+    // VALUES at ranks ceil(k·n/4), selected via row_number — so unlike
+    // interpolating median/percentile (a2 must round to 4 dp to cross
+    // engines) these are bit-exact on both sides, and the 1.5×IQR fences
+    // and outlier counts are one fixed IEEE expression tree over them.
+    // Shape: one window sort per group + a broadcast of the 3-row-per-
+    // group quantile frame back over the facts; at 100 TB the rank-select
+    // runs as the w7 GlobalRank pattern per group, or approx_percentile
+    // (a20) when 1-ulp exactness isn't required.
+    q("a23_quantile_disc",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY l_extendedprice) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |qs AS (
+        |  SELECT l_returnflag,
+        |         max(CASE WHEN rn = (n+3)//4 THEN v END) AS q1,
+        |         max(CASE WHEN rn = (2*n+3)//4 THEN v END) AS med,
+        |         max(CASE WHEN rn = (3*n+3)//4 THEN v END) AS q3
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT r.l_returnflag, qs.q1, qs.med, qs.q3,
+        |       CAST(sum(CASE WHEN r.v < qs.q1 - 1.5*(qs.q3 - qs.q1)
+        |                       OR r.v > qs.q3 + 1.5*(qs.q3 - qs.q1)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM r JOIN qs USING (l_returnflag)
+        |GROUP BY r.l_returnflag, qs.q1, qs.med, qs.q3
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val w = Window.partitionBy("l_returnflag")
+      val ranked = li
+        .withColumn("rn", row_number().over(w.orderBy("v")))
+        .withColumn("n", count(lit(1)).over(w))
+      val qs = ranked.groupBy("l_returnflag")
+        .agg(max(when(col("rn") === expr("(n+3) div 4"), col("v"))).as("q1"),
+             max(when(col("rn") === expr("(2*n+3) div 4"), col("v"))).as("med"),
+             max(when(col("rn") === expr("(3*n+3) div 4"), col("v"))).as("q3"))
+      val iqr15 = lit(1.5) * (col("q3") - col("q1"))
+      li.join(broadcast(qs), "l_returnflag")
+        .groupBy("l_returnflag", "q1", "med", "q3")
+        .agg(sum(when(col("v") < col("q1") - iqr15 ||
+                      col("v") > col("q3") + iqr15, 1).otherwise(0))
+          .cast("long").as("n_outliers"))
+        .select("l_returnflag", "q1", "med", "q3", "n_outliers")
+        .orderBy("l_returnflag")
+    },
   )
 }
