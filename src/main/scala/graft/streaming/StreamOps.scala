@@ -448,6 +448,72 @@ object StreamOps {
     * event-time-ordered file arrival (watermark-bounded disorder would be
     * handled by buffering inside the watermark — not needed for the
     * file-replay sources this engine drives). */
+  case class ObsEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                      value: Double)
+  /** lastT/lastV: the latest observation (ties on t resolved by the later
+    * event_id, matching w21's (t, is_grid, event_id) sort); nextGrid: the
+    * next hour-aligned grid timestamp not yet emitted. */
+  case class LerpState(lastT: Long, lastV: Double, nextGrid: Long)
+  case class GridPoint(user_id: Long, grid_us: Long, v_interp: Double)
+
+  /** Online time-series resampling + linear interpolation — the streaming
+    * twin of `w21_resample_lerp`. Batch unions the grid with all history
+    * and sorts once; the stream needs only the LAST observation per user
+    * (three scalars), emitting each hourly grid point the moment its
+    * bracketing observation arrives — state is O(1) per user regardless
+    * of stream length, the same bounded-state story as [[funnelMatches]].
+    *
+    * Exact-parity semantics with the batch query, including ties: a grid
+    * point landing exactly on an observation takes that timestamp's FINAL
+    * value in (t, event_id) order, so boundary emission is DELAYED until
+    * event time advances past it. Consequently the only rows batch has
+    * that a drained stream lacks are per-user grid points exactly at the
+    * final observation's timestamp (hour-aligned final stamps — rare),
+    * which is precisely what the parity spec subtracts. Leading grid
+    * points (before the first observation) emit with its value on first
+    * sight, interior points lerp with the identical IEEE expression tree
+    * the batch query uses. */
+  def resampleLerp(events: DataFrame): Dataset[GridPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    events.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[ObsEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LerpState, GridPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[ObsEvent], state: GroupState[LerpState]) =>
+          var st = state.getOption
+          val out = Vector.newBuilder[GridPoint]
+          it.toVector.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
+            val t = toUs(e.ts)
+            st match {
+              case None =>
+                var g = Math.floorDiv(t, hourUs) * hourUs
+                while (g < t) { // before the first obs: next_v semantics
+                  out += GridPoint(uid, g, e.value); g += hourUs
+                }
+                st = Some(LerpState(t, e.value, g))
+              case Some(s) if t == s.lastT => // later event_id at same stamp wins
+                st = Some(s.copy(lastV = e.value))
+              case Some(s) =>
+                var g = s.nextGrid
+                if (g == s.lastT) { // delayed boundary: exact obs value
+                  out += GridPoint(uid, g, s.lastV); g += hourUs
+                }
+                while (g < t) { // interior: w21's exact lerp tree
+                  val f = (g - s.lastT).toDouble / (t - s.lastT).toDouble
+                  out += GridPoint(uid, g, s.lastV + (e.value - s.lastV) * f)
+                  g += hourUs
+                }
+                st = Some(LerpState(t, e.value, g))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def funnelMatches(events: DataFrame): Dataset[FunnelMatch] = {
     val spark = events.sparkSession
     import spark.implicits._

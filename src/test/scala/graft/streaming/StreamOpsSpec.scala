@@ -366,4 +366,43 @@ class StreamOpsSpec extends SparkSpec {
     assert(agg == w22, "DFA aggregate != w22 regex result")
     assert(streamed.count() > 0)
   }
+
+  test("online resample-lerp across micro-batches equals w21 minus pending boundaries") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sfDir, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lerp_ev")
+    val slices = Seq(
+      ev.filter(dayofmonth(col("ts")) <= 10),
+      ev.filter(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20),
+      ev.filter(dayofmonth(col("ts")) > 20))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_lerp_tmp$i")
+      s.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next()
+      val dst = dir.resolve(f"slice_$i%02d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val streamed = runStream(StreamOps.resampleLerp(src).toDF(),
+      "lerp_stream", mode = "append")
+    val batch = graft.SparkEntry.queries("w21_resample_lerp")(spark, sfDir)
+    // the stream delays a boundary grid point until event time advances
+    // past it, so the only batch-not-stream rows are grid points exactly
+    // at a user's FINAL observation timestamp (hour-aligned final stamps)
+    val pendingBoundaries = batch.join(
+      ev.groupBy("user_id").agg(max(unix_micros(col("ts"))).as("last_t")),
+      "user_id").filter(col("grid_us") === col("last_t"))
+      .select("user_id", "grid_us", "v_interp")
+    val s = canon(streamed)
+    val b = canon(batch)
+    val pend = canon(pendingBoundaries)
+    assert(s.subsetOf(b), s"stream emitted rows batch lacks: ${(s -- b).take(3)}")
+    assert((b -- s) == pend,
+      s"batch-only rows must be exactly the pending boundaries: ${((b -- s) -- pend).take(3)}")
+    assert(s.size > 10000, "expected the full interpolated grid (~10.5k at sf0.001)")
+  }
 }
