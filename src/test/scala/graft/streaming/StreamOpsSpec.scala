@@ -405,4 +405,45 @@ class StreamOpsSpec extends SparkSpec {
       s"batch-only rows must be exactly the pending boundaries: ${((b -- s) -- pend).take(3)}")
     assert(s.size > 10000, "expected the full interpolated grid (~10.5k at sf0.001)")
   }
+
+  test("funnel DFA state survives a checkpoint restart mid-pattern") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sfDir, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_recov")
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_fr_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(part, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    // first half of the month drains in run 1; run 2 restarts from the
+    // SAME checkpoint and must resume every user's DFA mid-pattern
+    stage(ev.filter(dayofmonth(col("ts")) <= 15), "h1", 1000000L)
+    val ck = java.nio.file.Files.createTempDirectory("graft_funnel_ck").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_funnel_sink").toString + "/t"
+    def runOnce(): Unit = {
+      val q = StreamOps.funnelMatches(
+          spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(dir.toString))
+        .toDF().writeStream.format("parquet").outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck).option("path", sink)
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterH1 = spark.read.parquet(sink).count()
+    stage(ev.filter(dayofmonth(col("ts")) > 15), "h2", 2000000L)
+    runOnce()
+    val landed = canon(spark.read.parquet(sink))
+    val batch = canon(StreamOps.funnelMatches(ev).toDF())
+    assert(landed == batch,
+      "restart from checkpoint must resume DFA state, not recount")
+    assert(afterH1 > 0 && landed.size > afterH1,
+      "both runs must contribute matches")
+  }
 }
