@@ -409,5 +409,47 @@ object AggQueries {
         .select("l_returnflag", "q1", "med", "q3", "n_outliers")
         .orderBy("l_returnflag")
     },
+
+    // A24 — per-group equi-width histogram (8 bins over [min, max]):
+    // the profiling / distribution-drift primitive. Bin edges come from
+    // the per-group min/max (broadcast back, a23's pattern) and the bin
+    // index is one fixed IEEE tree — (v−min)/(max−min) is the same
+    // double on both engines, ×8 floored, top edge clamped into the
+    // last bin — so counts hash-match without any rounding. Empty bins
+    // are materialized via a tiny bins×groups cross join so the
+    // histogram shape is complete (a drift monitor needs the zeros).
+    // One fact shuffle for the stats, one for the counts; the bin
+    // frame join is broadcast.
+    q("a24_histogram",
+      """WITH s AS (
+        |  SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM events GROUP BY event_type),
+        |b AS (
+        |  SELECT e.event_type,
+        |         CAST(least(floor((e.value - s.lo) / (s.hi - s.lo) * 8), 7)
+        |              AS BIGINT) AS bin
+        |  FROM events e JOIN s USING (event_type)),
+        |grid AS (
+        |  SELECT event_type, unnest(range(0, 8)) AS bin FROM s),
+        |c AS (
+        |  SELECT event_type, bin, count(*) AS n FROM b GROUP BY event_type, bin)
+        |SELECT g.event_type, g.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM grid g LEFT JOIN c USING (event_type, bin)
+        |ORDER BY event_type, bin""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val stats = e.groupBy("event_type")
+        .agg(min("value").as("lo"), max("value").as("hi"))
+      val binned = e.join(broadcast(stats), "event_type")
+        .select(col("event_type"),
+          least(floor((col("value") - col("lo")) / (col("hi") - col("lo"))
+                        * 8), lit(7)).cast("long").as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+      val grid = stats.select(col("event_type"),
+        explode(sequence(lit(0L), lit(7L))).as("bin"))
+      grid.join(binned, Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"),
+                coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type", "bin")
+    },
   )
 }
