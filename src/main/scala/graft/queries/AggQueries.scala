@@ -451,5 +451,82 @@ object AggQueries {
                 coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("event_type", "bin")
     },
+
+    // A25 — population stability index (PSI) per feature group: a24's
+    // histogram as a DRIFT metric. Bin edges come from the REFERENCE
+    // period (first half-month); the current period bins into the same
+    // edges with out-of-range values clamped into the edge bins (that is
+    // where distribution shift shows up). Laplace-smoothed shares, and
+    // the x25/x27 determinism trick for the transcendental: each term's
+    // ln is computed on exact-integer ratios, rounded to 9 dp, and
+    // summed as DECIMAL — fold-order-free, so PSI hash-matches.
+    // Shape: two bounded aggs (8 bins × #groups) + broadcast joins; the
+    // monitored fact table is scanned twice (ref/cur period split), each
+    // pass map-side.
+    q("a25_psi",
+      """WITH s AS (
+        |  SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM events WHERE day(ts) <= 15 GROUP BY event_type),
+        |rb AS (
+        |  SELECT e.event_type,
+        |         least(greatest(CAST(floor((e.value - s.lo) / (s.hi - s.lo) * 8)
+        |                             AS BIGINT), 0), 7) AS bin
+        |  FROM events e JOIN s USING (event_type) WHERE day(e.ts) <= 15),
+        |cb AS (
+        |  SELECT e.event_type,
+        |         least(greatest(CAST(floor((e.value - s.lo) / (s.hi - s.lo) * 8)
+        |                             AS BIGINT), 0), 7) AS bin
+        |  FROM events e JOIN s USING (event_type) WHERE day(e.ts) > 15),
+        |grid AS (SELECT event_type, unnest(range(0, 8)) AS bin FROM s),
+        |rc AS (SELECT event_type, bin, count(*) AS n FROM rb GROUP BY event_type, bin),
+        |cc AS (SELECT event_type, bin, count(*) AS n FROM cb GROUP BY event_type, bin),
+        |rt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM rb GROUP BY event_type),
+        |ct AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM cb GROUP BY event_type),
+        |terms AS (
+        |  SELECT g.event_type,
+        |         CAST(round((CAST(coalesce(cc.n,0)+1 AS DOUBLE)/CAST(ct.n+8 AS DOUBLE)
+        |                    - CAST(coalesce(rc.n,0)+1 AS DOUBLE)/CAST(rt.n+8 AS DOUBLE))
+        |              * ln( (CAST(coalesce(cc.n,0)+1 AS DOUBLE)*CAST(rt.n+8 AS DOUBLE))
+        |                   /(CAST(coalesce(rc.n,0)+1 AS DOUBLE)*CAST(ct.n+8 AS DOUBLE))), 9)
+        |              AS DECIMAL(18,9)) AS t
+        |  FROM grid g
+        |  LEFT JOIN rc ON rc.event_type = g.event_type AND rc.bin = g.bin
+        |  LEFT JOIN cc ON cc.event_type = g.event_type AND cc.bin = g.bin
+        |  JOIN rt ON rt.event_type = g.event_type
+        |  JOIN ct ON ct.event_type = g.event_type)
+        |SELECT event_type, CAST(sum(t) AS DOUBLE) AS psi
+        |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val ref = e.filter(dayofmonth(col("ts")) <= 15)
+      val cur = e.filter(dayofmonth(col("ts")) > 15)
+      val stats = ref.groupBy("event_type")
+        .agg(min("value").as("lo"), max("value").as("hi"))
+      def binsOf(df: org.apache.spark.sql.DataFrame) =
+        df.join(broadcast(stats), "event_type")
+          .select(col("event_type"),
+            least(greatest(floor((col("value") - col("lo")) /
+                    (col("hi") - col("lo")) * 8).cast("long"), lit(0L)),
+                  lit(7L)).as("bin"))
+      val rc = binsOf(ref).groupBy("event_type", "bin").agg(count(lit(1)).as("rn"))
+      val cc = binsOf(cur).groupBy("event_type", "bin").agg(count(lit(1)).as("cn"))
+      val rt = binsOf(ref).groupBy("event_type").agg(count(lit(1)).as("rtot"))
+      val ct = binsOf(cur).groupBy("event_type").agg(count(lit(1)).as("ctot"))
+      val grid = stats.select(col("event_type"),
+        explode(sequence(lit(0L), lit(7L))).as("bin"))
+      val cN = (coalesce(col("cn"), lit(0L)) + 1).cast("double")
+      val rN = (coalesce(col("rn"), lit(0L)) + 1).cast("double")
+      val cD = (col("ctot") + 8).cast("double")
+      val rD = (col("rtot") + 8).cast("double")
+      grid.join(rc, Seq("event_type", "bin"), "left")
+        .join(cc, Seq("event_type", "bin"), "left")
+        .join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "event_type")
+        .select(col("event_type"),
+          round((cN / cD - rN / rD) * log(cN * rD / (rN * cD)), 9)
+            .cast("decimal(18,9)").as("t"))
+        .groupBy("event_type")
+        .agg(sum("t").cast("double").as("psi"))
+        .orderBy("event_type")
+    },
   )
 }
