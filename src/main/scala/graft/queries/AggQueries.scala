@@ -528,5 +528,43 @@ object AggQueries {
         .agg(sum("t").cast("double").as("psi"))
         .orderBy("event_type")
     },
+
+    // A26 — weighted median per group (quantity-weighted price): the
+    // smallest value whose cumulative weight reaches half the group
+    // total. Weights accumulate as DECIMAL (exact, fold-order-free) and
+    // the half-total test multiplies out (2·cum ≥ total) so no division
+    // touches the comparison; the reported median is a raw column value.
+    // Same discrete-not-interpolated philosophy as a23. One window sort
+    // per group + a tiny agg.
+    q("a26_weighted_median",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+        |           PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+        |                    l_partkey, l_suppkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |         sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+        |           PARTITION BY l_returnflag) AS tw
+        |  FROM lineitem)
+        |SELECT l_returnflag, min(v) AS wmedian
+        |FROM r WHERE 2 * cw >= tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber",
+                 "l_partkey", "l_suppkey")
+      li.withColumn("cw",
+          sum(col("l_quantity").cast("decimal(18,6)"))
+            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tw",
+          sum(col("l_quantity").cast("decimal(18,6)"))
+            .over(Window.partitionBy("l_returnflag")))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy("l_returnflag")
+        .agg(min(col("l_extendedprice")).as("wmedian"))
+        .orderBy("l_returnflag")
+    },
   )
 }

@@ -435,5 +435,33 @@ object DedupQueries {
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .orderBy("event_id")
     },
+
+    // d10 — set-CONTAINMENT near-dup pairs (|A∩B|/|A| >= 4/5, ordered):
+    // the asymmetric relation Jaccard can't see — a short doc quoted
+    // inside a long one scores high containment but low Jaccard (d2 at
+    // 0.7 misses it). Spark side is the prefix-filtered containment
+    // join (operators/ContainmentJoin.scala: index only each doc's
+    // (1-t)-fraction rarest shingles, exact integer verify); the oracle
+    // is the brute-force quadratic join — the d2/v2 oracle-of-record
+    // pattern. The score divides two exact integers, so it hash-matches.
+    q("d10_containment_pairs",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+        |           for i in range(1, greatest(len(string_split(text,' ')) - 1, 2))]) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / CAST(len(a.s) AS DOUBLE) AS containment
+        |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        |-- lossless size prefilter (|A∩B| <= |B|) so the quadratic oracle
+        |-- skips the expensive intersect on hopeless pairs
+        |WHERE 5 * len(b.s) >= 4 * len(a.s)
+        |  AND 5 * len(list_intersect(a.s, b.s)) >= 4 * len(a.s)
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      graft.operators.ContainmentJoin
+        .selfJoin(shingled(s, dir), "doc_id", "s", tNum = 4, tDen = 5)
+        .orderBy("a_id", "b_id")
+    },
   )
 }

@@ -553,5 +553,38 @@ object WindowQueries {
             .otherwise(0).cast("long").as("first_pos"))
         .orderBy("user_id")
     },
+
+    // W23 — first-order Markov transition matrix over event sequences
+    // (the behavioral-model summary w22's pattern matching samples from):
+    // per-user lag pairs → global (prev → next) counts and row-normalized
+    // probabilities. The probability divides two exact integers, so it
+    // hash-matches without rounding. One window per user + a 25-row agg;
+    // the row-total join is a broadcast of a #states-row dim.
+    q("w23_transition_matrix",
+      """WITH t AS (
+        |  SELECT event_type AS next,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+        |      FROM t WHERE prev IS NOT NULL GROUP BY prev, next),
+        |tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY prev)
+        |SELECT c.prev, c.next, c.n,
+        |       CAST(c.n AS DOUBLE) / CAST(tot.tn AS DOUBLE) AS p
+        |FROM c JOIN tot USING (prev)
+        |ORDER BY prev, next""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val t = Tables.load(s, dir, "events")
+        .select(col("event_type").as("next"),
+                lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy("prev", "next").agg(count(lit(1)).as("n"))
+      val tot = t.groupBy("prev").agg(sum("n").as("tn"))
+      t.join(broadcast(tot), "prev")
+        .select(col("prev"), col("next"), col("n"),
+                (col("n").cast("double") / col("tn").cast("double")).as("p"))
+        .orderBy("prev", "next")
+    },
   )
 }
