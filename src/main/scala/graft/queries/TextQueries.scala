@@ -1031,5 +1031,36 @@ object TextQueries {
         .select("source", "doc_id", "rk", "cum_tokens")
         .orderBy("source", "rk")
     },
+
+    // x35 — phrase search over a positional postings index: the
+    // search-engine shape. The corpus becomes (term, doc, pos) postings;
+    // a phrase query is an equi-join of the two terms' posting lists on
+    // (doc, adjacent positions) — at 100 TB the postings are the standing
+    // bucketed/sorted index and a query touches only the two terms'
+    // lists, never the corpus. Counting is in token space (overlap-safe:
+    // "w w w" has TWO "w w" hits), which a consumed-scan regex would
+    // undercount — the oracle replays the same position arithmetic with
+    // a filtered list comprehension.
+    q("x35_phrase_search",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |SELECT doc_id,
+        |       CAST(len([i for i in range(1, len(ts))
+        |                 if ts[i] = 'table' AND ts[i+1] = 'hash'])
+        |            AS BIGINT) AS n_hits
+        |FROM t
+        |WHERE len([i for i in range(1, len(ts))
+        |           if ts[i] = 'table' AND ts[i+1] = 'hash']) > 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val postings = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "term")
+      val t1 = postings.filter(col("term") === "table")
+        .select(col("doc_id"), col("p").as("p1"))
+      val t2 = postings.filter(col("term") === "hash")
+        .select(col("doc_id"), col("p").as("p2"))
+      t1.join(t2, Seq("doc_id")).filter(col("p2") === col("p1") + 1)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    },
   )
 }
