@@ -109,7 +109,13 @@ class SkewStressSpec extends IsolatedSparkSpec {
   private val DurFloorMs = 500L
   private val RecFloor = 1000L
 
-  for (name <- Seq("d3_minhash_lsh", "d5_dedup_clusters", "x14_decontaminate"))
+  // d10's containment prefix filter faces both adversaries at once: the
+  // hot boilerplate shingle must stay OUT of the rarest-first probe side
+  // (else the 900-doc hot family floods one bucket), and the 300-doc
+  // clique's legitimate quadratic pair output (89,700 ordered pairs) is
+  // the output-expansion case the write-records measure exists for
+  for (name <- Seq("d3_minhash_lsh", "d5_dedup_clusters", "x14_decontaminate",
+                   "d10_containment_pairs"))
     test(s"$name task skew stays bounded on the adversarial fixture") {
       // AQE's partition coalescing would merge these miniature shuffle
       // partitions into 1-4 tasks and hide the per-key distribution; at
