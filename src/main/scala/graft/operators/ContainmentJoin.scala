@@ -45,8 +45,10 @@ object ContainmentJoin {
     val prefix = exploded.join(freq, "g")
       .withColumn("rk", row_number().over(
         Window.partitionBy("sid").orderBy(col("df"), col("g"))))
+      // integer ceil division (div, not `/`): the double route is exact
+      // only below 2^53 and this bound must never shrink the prefix
       .filter(col("rk") <= col("n") -
-        ((lit(tNum) * col("n") + (tDen - 1)) / tDen).cast("long") + 1)
+        expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
       .select(col("sid").as("a_id"), col("g"))
     val index = exploded.select(col("sid").as("b_id"), col("g"))
     val cands = prefix.join(index, "g")

@@ -84,9 +84,20 @@ object EditDistanceJoin {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "a_str", "b_id", "b_str")
 
-    val candShort = shorts.select(col("sid").as("a_id"), col("str").as("a_str"))
-      .crossJoin(shorts.select(col("sid").as("b_id"), col("str").as("b_str")))
+    // the all-pairs fallback runs over DISTINCT short VALUES — that is
+    // what makes the |Σ|^(q(k+1)−1) bound real; ids expand back only for
+    // value pairs that survive the length filter and the exact verify
+    val shortVals = shorts.select("str").distinct()
+    val shortValPairs = shortVals.select(col("str").as("a_str"))
+      .crossJoin(shortVals.select(col("str").as("b_str")))
+      .filter(abs(length(col("a_str")) - length(col("b_str"))) <= k)
+      .withColumn("vdist", levenshtein(col("a_str"), col("b_str"), k).cast("long"))
+      .filter(col("vdist") >= 0)
+    val candShort = shortValPairs
+      .join(shorts.select(col("sid").as("a_id"), col("str").as("a_str")), "a_str")
+      .join(shorts.select(col("sid").as("b_id"), col("str").as("b_str")), "b_str")
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "a_str", "b_id", "b_str")
 
     candLong.unionByName(candShort)
       .filter(abs(length(col("a_str")) - length(col("b_str"))) <= k)

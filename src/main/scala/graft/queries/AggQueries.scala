@@ -415,19 +415,23 @@ object AggQueries {
     // the per-group min/max (broadcast back, a23's pattern) and the bin
     // index is one fixed IEEE tree — (v−min)/(max−min) is the same
     // double on both engines, ×8 floored, top edge clamped into the
-    // last bin — so counts hash-match without any rounding. Empty bins
-    // are materialized via a tiny bins×groups cross join so the
-    // histogram shape is complete (a drift monitor needs the zeros).
-    // One fact shuffle for the stats, one for the counts; the bin
-    // frame join is broadcast.
+    // last bin — so counts hash-match without any rounding. A constant
+    // group (hi = lo) is pinned to bin 0 explicitly: the 0/0 division
+    // is NaN, and the engines disagree on NaN (Spark's floor-cast gives
+    // 0, DuckDB's least() keeps NaN and the a25-style BIGINT cast
+    // errors). Empty bins are materialized via a tiny bins×groups cross
+    // join so the histogram shape is complete (a drift monitor needs
+    // the zeros). One fact shuffle for the stats, one for the counts;
+    // the bin frame join is broadcast.
     q("a24_histogram",
       """WITH s AS (
         |  SELECT event_type, min(value) AS lo, max(value) AS hi
         |  FROM events GROUP BY event_type),
         |b AS (
         |  SELECT e.event_type,
-        |         CAST(least(floor((e.value - s.lo) / (s.hi - s.lo) * 8), 7)
-        |              AS BIGINT) AS bin
+        |         CASE WHEN s.hi = s.lo THEN 0
+        |              ELSE CAST(least(floor((e.value - s.lo) / (s.hi - s.lo) * 8), 7)
+        |                        AS BIGINT) END AS bin
         |  FROM events e JOIN s USING (event_type)),
         |grid AS (
         |  SELECT event_type, unnest(range(0, 8)) AS bin FROM s),
@@ -441,8 +445,10 @@ object AggQueries {
         .agg(min("value").as("lo"), max("value").as("hi"))
       val binned = e.join(broadcast(stats), "event_type")
         .select(col("event_type"),
-          least(floor((col("value") - col("lo")) / (col("hi") - col("lo"))
-                        * 8), lit(7)).cast("long").as("bin"))
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(floor((col("value") - col("lo")) /
+                               (col("hi") - col("lo")) * 8), lit(7))
+                         .cast("long")).as("bin"))
         .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
       val grid = stats.select(col("event_type"),
         explode(sequence(lit(0L), lit(7L))).as("bin"))
@@ -469,19 +475,21 @@ object AggQueries {
         |  FROM events WHERE day(ts) <= 15 GROUP BY event_type),
         |rb AS (
         |  SELECT e.event_type,
-        |         least(greatest(CAST(floor((e.value - s.lo) / (s.hi - s.lo) * 8)
-        |                             AS BIGINT), 0), 7) AS bin
+        |         CASE WHEN s.hi = s.lo THEN 0
+        |              ELSE least(greatest(CAST(floor((e.value - s.lo)
+        |                     / (s.hi - s.lo) * 8) AS BIGINT), 0), 7) END AS bin
         |  FROM events e JOIN s USING (event_type) WHERE day(e.ts) <= 15),
         |cb AS (
         |  SELECT e.event_type,
-        |         least(greatest(CAST(floor((e.value - s.lo) / (s.hi - s.lo) * 8)
-        |                             AS BIGINT), 0), 7) AS bin
+        |         CASE WHEN s.hi = s.lo THEN 0
+        |              ELSE least(greatest(CAST(floor((e.value - s.lo)
+        |                     / (s.hi - s.lo) * 8) AS BIGINT), 0), 7) END AS bin
         |  FROM events e JOIN s USING (event_type) WHERE day(e.ts) > 15),
         |grid AS (SELECT event_type, unnest(range(0, 8)) AS bin FROM s),
         |rc AS (SELECT event_type, bin, count(*) AS n FROM rb GROUP BY event_type, bin),
         |cc AS (SELECT event_type, bin, count(*) AS n FROM cb GROUP BY event_type, bin),
-        |rt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM rb GROUP BY event_type),
-        |ct AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM cb GROUP BY event_type),
+        |rt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n FROM rc GROUP BY event_type),
+        |ct AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n FROM cc GROUP BY event_type),
         |terms AS (
         |  SELECT g.event_type,
         |         CAST(round((CAST(coalesce(cc.n,0)+1 AS DOUBLE)/CAST(ct.n+8 AS DOUBLE)
@@ -504,13 +512,16 @@ object AggQueries {
       def binsOf(df: org.apache.spark.sql.DataFrame) =
         df.join(broadcast(stats), "event_type")
           .select(col("event_type"),
-            least(greatest(floor((col("value") - col("lo")) /
-                    (col("hi") - col("lo")) * 8).cast("long"), lit(0L)),
-                  lit(7L)).as("bin"))
+            when(col("hi") === col("lo"), lit(0L))
+              .otherwise(least(greatest(floor((col("value") - col("lo")) /
+                      (col("hi") - col("lo")) * 8).cast("long"), lit(0L)),
+                    lit(7L))).as("bin"))
       val rc = binsOf(ref).groupBy("event_type", "bin").agg(count(lit(1)).as("rn"))
       val cc = binsOf(cur).groupBy("event_type", "bin").agg(count(lit(1)).as("cn"))
-      val rt = binsOf(ref).groupBy("event_type").agg(count(lit(1)).as("rtot"))
-      val ct = binsOf(cur).groupBy("event_type").agg(count(lit(1)).as("ctot"))
+      // period totals fold out of the 8-bins-per-group frames — the fact
+      // table is scanned once per period, not twice
+      val rt = rc.groupBy("event_type").agg(sum("rn").as("rtot"))
+      val ct = cc.groupBy("event_type").agg(sum("cn").as("ctot"))
       val grid = stats.select(col("event_type"),
         explode(sequence(lit(0L), lit(7L))).as("bin"))
       val cN = (coalesce(col("cn"), lit(0L)) + 1).cast("double")

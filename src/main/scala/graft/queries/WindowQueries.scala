@@ -477,36 +477,10 @@ object WindowQueries {
         |  END AS v_interp
         |FROM f WHERE is_grid = 1
         |ORDER BY user_id, grid_us""".stripMargin) { (s, dir) =>
-      val hourUs = 3600L * 1000000L
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("t"),
-                col("value"), col("event_id"), lit(0).as("is_grid"))
-      val grid = ev.groupBy("user_id")
-        .agg(min("t").as("g0"), max("t").as("g1"))
-        .select(col("user_id"),
-          explode(sequence(expr(s"g0 div $hourUs * $hourUs"), col("g1"),
-                           lit(hourUs))).as("t"),
-          lit(null).cast("double").as("value"), lit(-1L).as("event_id"),
-          lit(1).as("is_grid"))
-      val ord = Window.partitionBy("user_id")
-        .orderBy(col("t"), col("is_grid"), col("event_id"))
-      val wp = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wn = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      val obsOnly = (c: String) => when(col("is_grid") === 0, col(c))
-      ev.unionByName(grid)
-        .withColumn("prev_v", last(obsOnly("value"), ignoreNulls = true).over(wp))
-        .withColumn("prev_t", last(obsOnly("t"), ignoreNulls = true).over(wp))
-        .withColumn("next_v", first(obsOnly("value"), ignoreNulls = true).over(wn))
-        .withColumn("next_t", first(obsOnly("t"), ignoreNulls = true).over(wn))
-        .filter(col("is_grid") === 1)
-        .withColumn("v_interp",
-          when(col("prev_t").isNull, col("next_v"))
-            .when(col("next_t").isNull, col("prev_v"))
-            .when(col("next_t") === col("prev_t"), col("prev_v"))
-            .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
-              ((col("t") - col("prev_t")).cast("double") /
-               (col("next_t") - col("prev_t")).cast("double"))))
-        .select(col("user_id"), col("t").as("grid_us"), col("v_interp"))
+                col("value"), col("event_id"))
+      graft.operators.ResampleLerp.gridLerp(ev, stepUs = 3600L * 1000000L)
         .orderBy("user_id", "grid_us")
     },
 

@@ -426,28 +426,6 @@ object StreamOps {
   case class FunnelMatch(user_id: Long, match_start: Long, match_end: Long,
                          match_no: Long)
 
-  /** Online sequence-pattern matching — the streaming twin of
-    * `w22_seq_pattern`. The batch query materializes each user's whole
-    * event-initial string and runs a regex; a stream can't hold history,
-    * but the pattern ('vc*p': view, any clicks, purchase) is a 2-state
-    * DFA, so per-user state is FOUR scalars regardless of stream length —
-    * the state store is bounded by live users, not history. Each completed
-    * funnel emits one Append-mode row as it happens (the batch query only
-    * reports count + first position after the fact).
-    *
-    * Leftmost-match parity with the regex: a fresh 'v' always restarts the
-    * candidate (for "v v p" the regex's leftmost successful start is the
-    * SECOND v — attempts from the first fail on the intervening non-c), so
-    * `cand` tracks the latest 'v'; 'c' keeps a live candidate alive; 'p'
-    * completes it; anything else kills it. StreamOpsSpec proves streamed
-    * matches across time-split micro-batches equal the batch run and
-    * aggregate exactly to w22's (n_funnels, first_pos).
-    *
-    * Same micro-batch ordering contract as [[gapSessions]]: events are
-    * sorted within each batch slice; cross-batch order comes from
-    * event-time-ordered file arrival (watermark-bounded disorder would be
-    * handled by buffering inside the watermark — not needed for the
-    * file-replay sources this engine drives). */
   case class ObsEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
                       value: Double)
   /** lastT/lastV: the latest observation (ties on t resolved by the later
@@ -514,6 +492,28 @@ object StreamOps {
       }
   }
 
+  /** Online sequence-pattern matching — the streaming twin of
+    * `w22_seq_pattern`. The batch query materializes each user's whole
+    * event-initial string and runs a regex; a stream can't hold history,
+    * but the pattern ('vc*p': view, any clicks, purchase) is a 2-state
+    * DFA, so per-user state is FOUR scalars regardless of stream length —
+    * the state store is bounded by live users, not history. Each completed
+    * funnel emits one Append-mode row as it happens (the batch query only
+    * reports count + first position after the fact).
+    *
+    * Leftmost-match parity with the regex: a fresh 'v' always restarts the
+    * candidate (for "v v p" the regex's leftmost successful start is the
+    * SECOND v — attempts from the first fail on the intervening non-c), so
+    * `cand` tracks the latest 'v'; 'c' keeps a live candidate alive; 'p'
+    * completes it; anything else kills it. StreamOpsSpec proves streamed
+    * matches across time-split micro-batches equal the batch run and
+    * aggregate exactly to w22's (n_funnels, first_pos).
+    *
+    * Same micro-batch ordering contract as [[gapSessions]]: events are
+    * sorted within each batch slice; cross-batch order comes from
+    * event-time-ordered file arrival (watermark-bounded disorder would be
+    * handled by buffering inside the watermark — not needed for the
+    * file-replay sources this engine drives). */
   def funnelMatches(events: DataFrame): Dataset[FunnelMatch] = {
     val spark = events.sparkSession
     import spark.implicits._

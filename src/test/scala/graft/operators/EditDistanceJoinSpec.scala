@@ -72,16 +72,25 @@ class EditDistanceJoinSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 1L && p._2 == 22L)) // two digits differ
   }
 
-  test("no O(n^2) stage: candidate join keys on prefix tokens, not a cross join") {
+  test("no O(n^2) stage: long-string candidates equi-join on prefix tokens; at most the one bounded-values cartesian") {
     import spark.implicits._
     val strs = (0L until 60L).map(i => i -> f"Customer#$i%09d")
-    val plan = EditDistanceJoin.selfJoin(strs.toDF("id", "s"), "id", "s", k = 1)
-      .queryExecution.optimizedPlan.toString
-    // the long-string path must be an equi-join (on gram tokens); the only
-    // permitted cartesian is the bounded short-string block, which is
-    // empty here (all strings are length 18)
-    assert(plan.contains("Join Inner") || plan.toLowerCase.contains("hashjoin") ||
-           plan.contains("join"), s"no join found:\n$plan")
+    val phys = EditDistanceJoin.selfJoin(strs.toDF("id", "s"), "id", "s", k = 1)
+      .queryExecution.sparkPlan.toString
+    // the gram path's candidate stage must be an equi-join keyed on the
+    // (g, occ) prefix tokens — a hash or sort-merge join, with the gram
+    // column in its keys
+    assert(phys.contains("HashJoin") || phys.contains("SortMergeJoin"),
+      s"no equi-join stage in the plan:\n$phys")
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[g#".r
+             .findFirstIn(phys).isDefined,
+      s"candidate join is not keyed on the gram tokens:\n$phys")
+    // the ONLY permitted cartesian is the short-string block, which runs
+    // over DISTINCT VALUES (bounded by |alphabet|^len) — never the rows
+    val nCartesian = "CartesianProduct|BroadcastNestedLoopJoin".r
+      .findAllIn(phys).length
+    assert(nCartesian <= 1,
+      s"more than the one documented bounded cartesian:\n$phys")
     val verified = EditDistanceJoin.selfJoin(strs.toDF("id", "s"), "id", "s", k = 1)
     assert(verified.count() > 0)
   }

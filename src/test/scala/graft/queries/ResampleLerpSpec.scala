@@ -42,56 +42,25 @@ class ResampleLerpSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  // closed-form cases run the REGISTERED implementation —
+  // operators.ResampleLerp.gridLerp is the single copy behind both the
+  // w21 query and these tests
+  private def lerpOf(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+    graft.operators.ResampleLerp.gridLerp(df, hourUs)
+      .orderBy("grid_us").select("v_interp")
+      .collect().map(_.getDouble(0)).toSeq
+
   test("a grid point landing exactly on an observation reproduces its value") {
     import spark.implicits._
-    // synthetic micro-case exercised through the registered query path is
-    // oracle territory; here check the closed form directly: obs at grid
-    // times t=0h,2h with values 10, 30 -> grid at 0h,1h,2h = 10, 20, 30
+    // obs at grid times t=0h,2h with values 10, 30 -> grid 0h,1h,2h = 10,20,30
     val df = Seq((1L, 0L * hourUs, 10.0, 1L), (1L, 2 * hourUs, 30.0, 2L))
       .toDF("user_id", "t", "value", "event_id")
-    val lerped = ResampleLerpSpec.lerpOf(spark, df, hourUs)
-    assert(lerped === Seq(10.0, 20.0, 30.0))
+    assert(lerpOf(df) === Seq(10.0, 20.0, 30.0))
   }
 
   test("single-observation user: entire grid holds that value") {
     import spark.implicits._
     val df = Seq((7L, hourUs + 17L, 42.5, 1L)).toDF("user_id", "t", "value", "event_id")
-    assert(ResampleLerpSpec.lerpOf(spark, df, hourUs) === Seq(42.5))
-  }
-}
-
-object ResampleLerpSpec {
-  import org.apache.spark.sql.{DataFrame, SparkSession}
-  import org.apache.spark.sql.expressions.Window
-
-  /** The w21 core on a prepared (user_id, t, value, event_id) frame —
-    * shared shape with the registered query, used for closed-form cases. */
-  def lerpOf(spark: SparkSession, ev0: DataFrame, hourUs: Long): Seq[Double] = {
-    val ev = ev0.withColumn("is_grid", lit(0))
-    val grid = ev.groupBy("user_id")
-      .agg(min("t").as("g0"), max("t").as("g1"))
-      .select(col("user_id"),
-        explode(sequence(expr(s"g0 div $hourUs * $hourUs"), col("g1"),
-                         lit(hourUs))).as("t"),
-        lit(null).cast("double").as("value"), lit(-1L).as("event_id"),
-        lit(1).as("is_grid"))
-    val ord = Window.partitionBy("user_id")
-      .orderBy(col("t"), col("is_grid"), col("event_id"))
-    val wp = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wn = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val obs = (c: String) => when(col("is_grid") === 0, col(c))
-    ev.unionByName(grid)
-      .withColumn("prev_v", last(obs("value"), ignoreNulls = true).over(wp))
-      .withColumn("prev_t", last(obs("t"), ignoreNulls = true).over(wp))
-      .withColumn("next_v", first(obs("value"), ignoreNulls = true).over(wn))
-      .withColumn("next_t", first(obs("t"), ignoreNulls = true).over(wn))
-      .filter(col("is_grid") === 1)
-      .withColumn("v", when(col("prev_t").isNull, col("next_v"))
-        .when(col("next_t").isNull, col("prev_v"))
-        .when(col("next_t") === col("prev_t"), col("prev_v"))
-        .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
-          ((col("t") - col("prev_t")).cast("double") /
-           (col("next_t") - col("prev_t")).cast("double"))))
-      .orderBy("t").select("v").collect().map(_.getDouble(0)).toSeq
+    assert(lerpOf(df) === Seq(42.5))
   }
 }

@@ -33,6 +33,23 @@ class StreamOpsSpec extends SparkSpec {
   private def canon(df: DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 
+  /** Write `df` as a single parquet file `name.parquet` inside `dir` with
+    * the given mtime — the file source replays files in mtime order, so
+    * staged slices become ordered micro-batches (with maxFilesPerTrigger=1).
+    * One copy of the write-coalesce-copy-setLastModified dance for every
+    * multi-batch / restart test. */
+  private def stageSlice(df: DataFrame, dir: java.nio.file.Path,
+                         name: String, mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).next()
+    val dst = dir.resolve(s"$name.parquet")
+    java.nio.file.Files.copy(part, dst)
+    dst.toFile.setLastModified(mtime)
+  }
+
   test("streaming tumbling-window totals equal the batch result") {
     val streamed = runStream(
       StreamOps.windowedTotals(StreamOps.eventStream(spark, eventsDir)),
@@ -342,14 +359,7 @@ class StreamOpsSpec extends SparkSpec {
       ev.filter(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20),
       ev.filter(dayofmonth(col("ts")) > 20))
     slices.zipWithIndex.foreach { case (s, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_funnel_tmp$i")
-      s.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).next()
-      val dst = dir.resolve(f"slice_$i%02d.parquet")
-      java.nio.file.Files.copy(part, dst)
-      dst.toFile.setLastModified(1000000L * (i + 1))
+      stageSlice(s, dir, f"slice_$i%02d", 1000000L * (i + 1))
     }
     val src = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
@@ -376,14 +386,7 @@ class StreamOpsSpec extends SparkSpec {
       ev.filter(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20),
       ev.filter(dayofmonth(col("ts")) > 20))
     slices.zipWithIndex.foreach { case (s, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_lerp_tmp$i")
-      s.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).next()
-      val dst = dir.resolve(f"slice_$i%02d.parquet")
-      java.nio.file.Files.copy(part, dst)
-      dst.toFile.setLastModified(1000000L * (i + 1))
+      stageSlice(s, dir, f"slice_$i%02d", 1000000L * (i + 1))
     }
     val src = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
@@ -410,19 +413,9 @@ class StreamOpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val ev = Tables.load(spark, sfDir, "events")
     val dir = java.nio.file.Files.createTempDirectory("graft_funnel_recov")
-    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_fr_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).next()
-      val dst = dir.resolve(s"$name.parquet")
-      java.nio.file.Files.copy(part, dst)
-      dst.toFile.setLastModified(mtime)
-    }
     // first half of the month drains in run 1; run 2 restarts from the
     // SAME checkpoint and must resume every user's DFA mid-pattern
-    stage(ev.filter(dayofmonth(col("ts")) <= 15), "h1", 1000000L)
+    stageSlice(ev.filter(dayofmonth(col("ts")) <= 15), dir, "h1", 1000000L)
     val ck = java.nio.file.Files.createTempDirectory("graft_funnel_ck").toString
     val sink = java.nio.file.Files.createTempDirectory("graft_funnel_sink").toString + "/t"
     def runOnce(): Unit = {
@@ -437,7 +430,7 @@ class StreamOpsSpec extends SparkSpec {
     }
     runOnce()
     val afterH1 = spark.read.parquet(sink).count()
-    stage(ev.filter(dayofmonth(col("ts")) > 15), "h2", 2000000L)
+    stageSlice(ev.filter(dayofmonth(col("ts")) > 15), dir, "h2", 2000000L)
     runOnce()
     val landed = canon(spark.read.parquet(sink))
     val batch = canon(StreamOps.funnelMatches(ev).toDF())
