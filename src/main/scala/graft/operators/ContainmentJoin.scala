@@ -19,41 +19,106 @@ import org.apache.spark.sql.functions._
   * are EXACT integer comparisons (tDen·|∩| ≥ tNum·|S_a|); only the
   * reported score divides.
   *
+  * JOSIE-style index-side pruning (round 7; position/length filters in
+  * the candidate join, both integer-exact and lossless):
+  *
+  *  - LENGTH: |∩| ≤ |S_b|, so a candidate with tDen·nb < tNum·na can
+  *    never verify — pruned before the distinct/verify.
+  *  - POSITIONAL: both sides rank tokens in the SAME global canonical
+  *    order, so for the EARLIEST common token of a true pair — at rank
+  *    i of na in a, rank j of nb in b, with no common token before
+  *    it — the overlap is bounded by 1 + min(na−i, nb−j). If that bound
+  *    misses ⌈t·na⌉ the pair cannot verify; later collisions only have
+  *    smaller remainders (positions grow on BOTH sides together because
+  *    the order is shared), so dropping every failing collision row
+  *    never loses a pair whose earliest collision passes — and the
+  *    earliest common token of a qualifying pair is always in a's
+  *    prefix (prefix theorem) and in b's full index.
+  *  - Optionally (boilerplate-heavy corpora), a BLOOM prune of the index
+  *    explode against the distinct probe-prefix tokens: hot boilerplate
+  *    shingles have high document frequency, so rarest-first prefixes
+  *    exclude them and the bloom removes them from the index MAP-SIDE,
+  *    before the candidate join's exchange ever sees them. False
+  *    positives only re-admit rows the join would drop anyway.
+  *
   * 100 TB shape: the probe side explodes ≈ (1−t)·|S_a| + 1 shingles per
-  * doc (rarest-first keeps hot boilerplate shingles out of the probe);
-  * the index side is the full shingle list — the candidate join is the
-  * only wide op, then an array_intersect verify per candidate, map-side
-  * after two id-keyed joins. Position/length pruning on the index side
-  * (the JOSIE refinement) is the documented next cut if index-side
-  * volume ever dominates.
+  * doc; the candidate join is the only wide op, its input cut by the
+  * bloom and its output cut by the length/position filters before the
+  * distinct; then an array_intersect verify per candidate, map-side
+  * after two id-keyed joins.
   */
 object ContainmentJoin {
+
+  /** The probe-prefix and index frames the candidate join runs over.
+    * Public so the pruning/bloom cut can be MEASURED, not argued
+    * (ContainmentJoinSpec / SCALING.md). */
+  def frames(df: DataFrame, idCol: String, shCol: String,
+             tNum: Int, tDen: Int,
+             indexBloomItems: Option[Long] = None): (DataFrame, DataFrame) = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"need 0 < t <= 1; got $tNum/$tDen")
+    val base = df.select(col(idCol).as("sid"), col(shCol).as("sh"),
+                         size(col(shCol)).cast("long").as("n"))
+    val exploded = base.select(col("sid"), col("n"), explode(col("sh")).as("g"))
+    // global shingle document-frequency → rarest-first canonical order;
+    // ONE ranking pass yields both the probe prefix and the index position
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(freq, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("sid").orderBy(col("df"), col("g"))).cast("long"))
+    // prefix size = n - ceil(t*n) + 1, all in integers
+    // (integer ceil division (div, not `/`): the double route is exact
+    // only below 2^53 and this bound must never shrink the prefix)
+    val prefix = ranked
+      .filter(col("rk") <= col("n") -
+        expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
+      .select(col("sid").as("a_id"), col("g"),
+              col("rk").as("a_rk"), col("n").as("na"))
+    val indexAll = ranked.select(col("sid").as("b_id"), col("g"),
+                                 col("rk").as("b_rk"), col("n").as("nb"))
+    val index = indexBloomItems match {
+      case Some(items) =>
+        val bf = prefix.stat.bloomFilter("g", items, 0.03)
+        val bc = df.sparkSession.sparkContext.broadcast(bf)
+        val mightContain = udf((g: String) =>
+          g != null && bc.value.mightContainString(g))
+        indexAll.filter(mightContain(col("g")))
+      case None => indexAll
+    }
+    (prefix, index)
+  }
+
+  /** Pre-distinct candidate collision rows (a_id, b_id). `positional`
+    * toggles the JOSIE length+position filters; `indexBloomItems` sizes
+    * the optional map-side bloom prune of the index explode (None = off). */
+  def candidatePairs(df: DataFrame, idCol: String, shCol: String,
+                     tNum: Int, tDen: Int, positional: Boolean = true,
+                     indexBloomItems: Option[Long] = None): DataFrame = {
+    val (prefix, index) = frames(df, idCol, shCol, tNum, tDen, indexBloomItems)
+    val joined = prefix.join(index, "g")
+      .filter(col("a_id") =!= col("b_id"))
+    val pruned =
+      if (positional)
+        joined
+          .filter(col("nb") * tDen >= col("na") * tNum) // length prune
+          .filter((lit(1L) + least(col("na") - col("a_rk"),
+                                   col("nb") - col("b_rk"))) * tDen >=
+            col("na") * tNum) // positional prune
+      else joined
+    pruned.select("a_id", "b_id")
+  }
 
   /** df must carry (idCol, shCol: array<string> of DISTINCT shingles).
     * Output: a_id, b_id, containment (double), for ordered pairs a ≠ b
     * with containment ≥ tNum/tDen.
     */
   def selfJoin(df: DataFrame, idCol: String, shCol: String,
-               tNum: Int, tDen: Int): DataFrame = {
-    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"need 0 < t <= 1; got $tNum/$tDen")
+               tNum: Int, tDen: Int,
+               indexBloomItems: Option[Long] = None): DataFrame = {
     val base = df.select(col(idCol).as("sid"), col(shCol).as("sh"),
                          size(col(shCol)).cast("long").as("n"))
-    val exploded = base.select(col("sid"), col("n"), explode(col("sh")).as("g"))
-    // global shingle document-frequency → rarest-first canonical order
-    val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
-    // prefix size = n - ceil(t*n) + 1, all in integers
-    val prefix = exploded.join(freq, "g")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("sid").orderBy(col("df"), col("g"))))
-      // integer ceil division (div, not `/`): the double route is exact
-      // only below 2^53 and this bound must never shrink the prefix
-      .filter(col("rk") <= col("n") -
-        expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
-      .select(col("sid").as("a_id"), col("g"))
-    val index = exploded.select(col("sid").as("b_id"), col("g"))
-    val cands = prefix.join(index, "g")
-      .filter(col("a_id") =!= col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val cands = candidatePairs(df, idCol, shCol, tNum, tDen,
+        positional = true, indexBloomItems = indexBloomItems)
+      .distinct()
     cands
       .join(base.select(col("sid").as("a_id"), col("sh").as("sa"),
                         col("n").as("na")), "a_id")

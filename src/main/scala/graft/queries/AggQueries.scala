@@ -545,8 +545,16 @@ object AggQueries {
     // total. Weights accumulate as DECIMAL (exact, fold-order-free) and
     // the half-total test multiplies out (2·cum ≥ total) so no division
     // touches the comparison; the reported median is a raw column value.
-    // Same discrete-not-interpolated philosophy as a23. One window sort
-    // per group + a tiny agg.
+    // Same discrete-not-interpolated philosophy as a23.
+    //
+    // Scale shape (round 7): the cumulative window the ORACLE uses
+    // partitions by l_returnflag — a 3-value enum — which on the Spark
+    // side would sort the whole fact table on 3 tasks regardless of
+    // cluster size. The Spark plan instead runs WeightedMedian's
+    // two-phase shape: (group, value) pre-aggregation collapses ties,
+    // then a range-partitioned sort + broadcast partial-weight offsets
+    // locate the half-total flip point with no single-task group sort
+    // (operators/WeightedMedian.scala; the GlobalRank offset pattern).
     q("a26_weighted_median",
       """WITH r AS (
         |  SELECT l_returnflag, l_extendedprice AS v,
@@ -561,20 +569,9 @@ object AggQueries {
         |SELECT l_returnflag, min(v) AS wmedian
         |FROM r WHERE 2 * cw >= tw
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val li = Tables.load(s, dir, "lineitem")
-      val ord = Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber",
-                 "l_partkey", "l_suppkey")
-      li.withColumn("cw",
-          sum(col("l_quantity").cast("decimal(18,6)"))
-            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("tw",
-          sum(col("l_quantity").cast("decimal(18,6)"))
-            .over(Window.partitionBy("l_returnflag")))
-        .filter(col("cw") * 2 >= col("tw"))
-        .groupBy("l_returnflag")
-        .agg(min(col("l_extendedprice")).as("wmedian"))
+      graft.operators.WeightedMedian
+        .weightedMedian(Tables.load(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", "l_quantity")
         .orderBy("l_returnflag")
     },
   )

@@ -382,5 +382,31 @@ object JoinQueries {
         .deletionSelfJoin(c, "c_custkey", "c_name", k = 1)
         .orderBy("a_id", "b_id")
     },
+
+    // J18 — edit-distance self-join on LONG strings (documents, 48-553
+    // chars): the Ed-Join q-gram prefix-filter path (operators/
+    // EditDistanceJoin.selfJoin), the documented long-string scale path
+    // past the deletion-neighbourhood crossover at len ≈ 10³ᐟᵏ (j17's
+    // short-key path would generate O(len^k) variants per doc — absurd
+    // at len 500, k 8). Rarest-first prefix tokens keep candidate
+    // buckets tight even though every doc shares common bigrams. Oracle
+    // is the brute-force quadratic join (oracle-of-record pattern, d2/
+    // v2/j17); the single levenshtein per banded pair lives in a CTE so
+    // the oracle pays ONE O(n·m) DP per pair. Exact dist on both sides
+    // proves the prefix filter + short-bucket union lost nothing.
+    q("j18_editdist_docs",
+      """WITH p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         levenshtein(a.text, b.text) AS d
+        |  FROM documents a JOIN documents b
+        |    ON a.doc_id < b.doc_id
+        |   AND abs(len(a.text) - len(b.text)) <= 8)
+        |SELECT a_id, b_id, CAST(d AS BIGINT) AS dist
+        |FROM p WHERE d <= 8 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+      graft.operators.EditDistanceJoin
+        .selfJoin(d, "doc_id", "text", k = 8, q = 2)
+        .orderBy("a_id", "b_id")
+    },
   )
 }

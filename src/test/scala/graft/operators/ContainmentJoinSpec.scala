@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class ContainmentJoinSpec extends SparkSpec {
 
@@ -62,5 +63,78 @@ class ContainmentJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.contains((1L, 2L)))
     assert(!out.contains((2L, 1L)))           // 4/6 < 4/5
+  }
+
+  // --- JOSIE refinement (round 7): measured, not argued -------------------
+
+  /** Boilerplate-heavy corpus engineered so every pruning lever has real
+    * work to do at t = 4/5:
+    *  - `normal`+`clique`: every doc shares the 6 hot boilerplate
+    *    shingles (in NO prefix → the bloom's target) and a near-dup
+    *    clique hides inside;
+    *  - `bigs`/`smalls`: bigs' rarest prefix shingles also live in
+    *    3-shingle smalls — raw collisions the LENGTH filter kills
+    *    (nb·5 < na·4);
+    *  - `cDocs`/`dDocs`: share one mid-frequency shingle that sits at
+    *    prefix-rank 5 in c but rank 11 in d — a collision only the
+    *    POSITIONAL filter kills (1 + min(15, 9) = 10 < ⌈0.8·20⌉ = 16). */
+  private val boilerplateCorpus: Seq[(Long, Seq[String])] = {
+    val boiler = (0 until 6).map(i => s"hot$i")
+    val normal = (0L until 200L).map { i =>
+      i -> (boiler ++ (0 until 14).map(j => s"p${i}x$j"))
+    }
+    val clique = (400L until 420L).map { i =>
+      i -> (boiler ++ (0 until 12).map(j => s"dup$j") ++ Seq(s"q${i}"))
+    }
+    val smalls = (1000L until 1800L).map { i =>
+      i -> Seq(s"sh${i % 20}", s"u${i}a", s"u${i}b")
+    }
+    val bigs = (2000L until 2020L).map { i =>
+      i -> (0 until 20).map(k => s"sh$k").toSeq
+    }
+    val cDocs = (3000L until 3030L).map { i =>
+      i -> ((0 until 4).map(j => s"cu${i}x$j") ++ Seq("mid") ++
+            (0 until 9).map(j => s"cc$j") ++ boiler)
+    }
+    val dDocs = (3100L until 3140L).map { i =>
+      i -> ((0 until 10).map(j => s"du${i}x$j") ++ Seq("mid") ++
+            (0 until 9).map(j => s"sh$j"))
+    }
+    normal ++ clique ++ smalls ++ bigs ++ cDocs ++ dDocs
+  }
+
+  test("JOSIE length+position pruning cuts candidates and stays lossless") {
+    import spark.implicits._
+    val df = boilerplateCorpus.map { case (i, s) => (i, s.distinct) }.toDF("id", "sh")
+    val raw = ContainmentJoin
+      .candidatePairs(df, "id", "sh", 4, 5, positional = false).count()
+    val pruned = ContainmentJoin
+      .candidatePairs(df, "id", "sh", 4, 5, positional = true).count()
+    info(s"candidate collision rows: raw=$raw josie=$pruned " +
+      f"(${raw.toDouble / pruned}%.1fx cut)")
+    assert(pruned * 2 <= raw,
+      s"length+position pruning should cut >=2x here (raw=$raw pruned=$pruned)")
+    // losslessness on the adversarial corpus, prunes + bloom all on
+    assert(run(boilerplateCorpus, 4, 5) == brute(boilerplateCorpus, 4, 5))
+    val withBloom = ContainmentJoin.selfJoin(df, "id", "sh", 4, 5,
+        indexBloomItems = Some(10000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withBloom == brute(boilerplateCorpus, 4, 5))
+  }
+
+  test("bloom prune drops hot boilerplate shingles from the index map-side") {
+    import spark.implicits._
+    val df = boilerplateCorpus.map { case (i, s) => (i, s.distinct) }.toDF("id", "sh")
+    val full = ContainmentJoin.frames(df, "id", "sh", 4, 5, None)._2.count()
+    val bloomed = ContainmentJoin
+      .frames(df, "id", "sh", 4, 5, Some(10000L))._2.count()
+    info(s"index explode rows: full=$full bloom-pruned=$bloomed " +
+      f"(${full.toDouble / bloomed}%.1fx cut)")
+    // the 6 hot boilerplate shingles sit in NO prefix (max df), so the
+    // bloom removes their index rows before the candidate join's exchange
+    assert(bloomed < full)
+    val hotRows = ContainmentJoin.frames(df, "id", "sh", 4, 5, Some(10000L))._2
+      .filter(col("g").startsWith("hot")).count()
+    assert(hotRows == 0, "boilerplate shingles should be bloom-pruned from the index")
   }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class WeightedMedianSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The naive single-task-per-group window formulation — correct at any
+    * scale that fits one task; used here as the in-JVM oracle. */
+  private def windowed(df: DataFrame, g: String, v: String, w: String): DataFrame = {
+    val ord = Window.partitionBy(g).orderBy(v)
+    df.withColumn("cw",
+        sum(col(w).cast("decimal(18,6)"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw",
+        sum(col(w).cast("decimal(18,6)")).over(Window.partitionBy(g)))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(g)
+      .agg(min(col(v)).as("wmedian"))
+  }
+
+  private def check(df: DataFrame, g: String, v: String, w: String): Unit = {
+    val got = WeightedMedian.weightedMedian(df, g, v, w)
+      .orderBy(g).collect().toSeq
+    val want = windowed(df, g, v, w).orderBy(g).collect().toSeq
+    assert(got == want)
+  }
+
+  test("matches the window formulation on lineitem (sf0.001)") {
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    check(li, "l_returnflag", "l_extendedprice", "l_quantity")
+  }
+
+  test("exact half-total boundary: 2*cum == total picks that value") {
+    // weights 1,1,2: cum at v=10 is 2, total 4, 2*2 == 4 → median is 10
+    val df = Seq(("a", 5.0, 1.0), ("a", 10.0, 1.0), ("a", 20.0, 2.0))
+      .toDF("g", "v", "w")
+    val m = WeightedMedian.weightedMedian(df, "g", "v", "w").collect()
+    assert(m.map(r => (r.getString(0), r.getDouble(1))).toSeq == Seq(("a", 10.0)))
+  }
+
+  test("ties collapse: duplicate values accumulate before the test") {
+    // v=1 carries 3 of 5 total weight across three tied rows → median 1
+    val df = Seq(("a", 1.0, 1.0), ("a", 1.0, 1.0), ("a", 1.0, 1.0),
+                 ("a", 2.0, 1.0), ("a", 3.0, 1.0)).toDF("g", "v", "w")
+    val m = WeightedMedian.weightedMedian(df, "g", "v", "w").collect()
+    assert(m.map(r => (r.getString(0), r.getDouble(1))).toSeq == Seq(("a", 1.0)))
+  }
+
+  test("one dominant-weight row wins regardless of position") {
+    val df = Seq(("a", 1.0, 1.0), ("a", 50.0, 100.0), ("a", 99.0, 1.0),
+                 ("b", 7.0, 0.5)).toDF("g", "v", "w")
+    val m = WeightedMedian.weightedMedian(df, "g", "v", "w")
+      .orderBy("g").collect()
+    assert(m.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 50.0), ("b", 7.0)))
+  }
+
+  test("skewed many-partition input agrees with the window oracle") {
+    // 4 shuffle partitions in specs; 10k rows, 2 groups, fractional
+    // weights — forces each group across several range partitions and
+    // non-trivial broadcast offsets.
+    val df = spark.range(10000).select(
+      (col("id") % 2).cast("string").as("g"),
+      (col("id") % 97).cast("double").as("v"),
+      ((col("id") % 7) + lit(0.25)).cast("double").as("w"))
+    check(df, "g", "v", "w")
+  }
+
+  test("null weights are ignored, zero weights are inert") {
+    val df = Seq(("a", 1.0, Some(0.0)), ("a", 2.0, Some(3.0)),
+                 ("a", 9.0, None), ("a", 3.0, Some(1.0))).toDF("g", "v", "w")
+    val m = WeightedMedian.weightedMedian(df, "g", "v", "w").collect()
+    assert(m.map(r => (r.getString(0), r.getDouble(1))).toSeq == Seq(("a", 2.0)))
+  }
+}
