@@ -87,4 +87,75 @@ object Multimodal {
       }
     }
   }
+
+  /** STUB re-encode — stands in for a lossy codec round-trip: every
+    * `stride`-th byte moves by +1 (mod 256), the in-place micro-noise a
+    * real JPEG re-save leaves on the pixel grid. Deterministic, so the
+    * oracle replays the perturbation exactly. */
+  def reencodeStub(payload: Array[Byte], stride: Int): Array[Byte] = {
+    val out = payload.clone()
+    var i = 0
+    while (i < out.length) {
+      if (i % stride == 0) out(i) = ((out(i) + 1) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Batched per-partition re-encode producing id-offset copies (the
+    * fixture for perceptual-hash dedup: original and re-encode must
+    * collide, distinct media must not). */
+  def reencode(media: Dataset[MediaRow], stride: Int,
+               idOffset: Long): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => MediaRow(r.media_id + idOffset, r.kind,
+                             reencodeStub(r.payload, stride)))
+    }
+  }
+
+  final case class AHashRow(media_id: Long, sig: Long)
+
+  /** Perceptual average-hash over the decoded payload (STUB decode: the
+    * raw bytes stand in for the grayscale plane; a real build swaps ONLY
+    * the byte source for a decoded+downscaled pixel grid). The payload
+    * splits into `bits` contiguous cells (byte `off` → cell
+    * `off·bits div n`); bit c is set iff cell c's mean byte value
+    * strictly exceeds the global mean — compared CROSS-MULTIPLIED
+    * (cellSum·n > total·cellLen) so the whole hash is exact integer
+    * arithmetic the oracle replays (safe while cellSum·n < 2⁶³, i.e.
+    * payloads < ~190 MB at byte values ≤ 255). Near-dup pairs then ride
+    * d4's pigeonhole machinery: 60-bit sigs, 4 chunks of 15 bits —
+    * complete for Hamming ≤ 3. */
+  def aHash(media: Dataset[MediaRow], bits: Int = 60): Dataset[AHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.payload
+        val n = b.length
+        if (n == 0) AHashRow(r.media_id, 0L)
+        else {
+          var tot = 0L
+          var i = 0
+          while (i < n) { tot += (b(i) & 0xff); i += 1 }
+          val cs = new Array[Long](bits)
+          val cl = new Array[Long](bits)
+          i = 0
+          while (i < n) {
+            val c = ((i.toLong * bits) / n).toInt
+            cs(c) += (b(i) & 0xff)
+            cl(c) += 1
+            i += 1
+          }
+          var sig = 0L
+          var c = 0
+          while (c < bits) {
+            if (cs(c) * n > tot * cl(c)) sig |= (1L << c)
+            c += 1
+          }
+          AHashRow(r.media_id, sig)
+        }
+      }
+    }
+  }
 }

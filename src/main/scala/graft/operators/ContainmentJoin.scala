@@ -107,6 +107,60 @@ object ContainmentJoin {
     pruned.select("a_id", "b_id")
   }
 
+  /** Asymmetric PROBE join for the incremental/streaming case (the d8
+    * pattern): each probe doc `a` is tested for ≥ t containment inside
+    * ANY standing index doc `b`. The canonical rarest-first order is
+    * FROZEN from the INDEX corpus document frequencies (probe-side
+    * shingles unseen by the index get df = 0 — rarest — which is
+    * consistent on both sides, so the prefix theorem and the positional
+    * bound still hold; such tokens cannot collide anyway). Cost ∝
+    * |probe| × bucket hit rate — the standing index is never
+    * re-self-joined.
+    *
+    * Output: a_id (probe), b_id (index), containment = |∩|/|S_a|.
+    */
+  def probeJoin(probe: DataFrame, index: DataFrame, idCol: String,
+                shCol: String, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"need 0 < t <= 1; got $tNum/$tDen")
+    def prep(df: DataFrame) =
+      df.select(col(idCol).as("sid"), col(shCol).as("sh"),
+                size(col(shCol)).cast("long").as("n"))
+    val pBase = prep(probe)
+    val iBase = prep(index)
+    val iExploded = iBase.select(col("sid"), col("n"), explode(col("sh")).as("g"))
+    val freq = iExploded.groupBy("g").agg(count(lit(1)).as("df"))
+    def ranked(exploded: DataFrame) = exploded
+      .join(freq, Seq("g"), "left")
+      .withColumn("dfz", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("sid").orderBy(col("dfz"), col("g"))).cast("long"))
+    val pPrefix = ranked(
+        pBase.select(col("sid"), col("n"), explode(col("sh")).as("g")))
+      .filter(col("rk") <= col("n") -
+        expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
+      .select(col("sid").as("a_id"), col("g"),
+              col("rk").as("a_rk"), col("n").as("na"))
+    val iIndex = ranked(iExploded)
+      .select(col("sid").as("b_id"), col("g"),
+              col("rk").as("b_rk"), col("n").as("nb"))
+    val cands = pPrefix.join(iIndex, "g")
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("nb") * tDen >= col("na") * tNum)
+      .filter((lit(1L) + least(col("na") - col("a_rk"),
+                               col("nb") - col("b_rk"))) * tDen >=
+        col("na") * tNum)
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(pBase.select(col("sid").as("a_id"), col("sh").as("sa"),
+                         col("n").as("na")), "a_id")
+      .join(iBase.select(col("sid").as("b_id"), col("sh").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("inter") * tDen >= lit(tNum) * col("na"))
+      .select(col("a_id"), col("b_id"),
+              (col("inter").cast("double") / col("na").cast("double"))
+                .as("containment"))
+  }
+
   /** df must carry (idCol, shCol: array<string> of DISTINCT shingles).
     * Output: a_id, b_id, containment (double), for ordered pairs a ≠ b
     * with containment ≥ tNum/tDen.

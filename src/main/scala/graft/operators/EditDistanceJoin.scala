@@ -41,7 +41,11 @@ import org.apache.spark.sql.functions._
   * tokens. Rarest-first prefix ordering keeps candidate buckets small by
   * construction — the hot-gram flood that breaks naive gram joins lands in
   * the frequent grams, which the prefix skips. Self-join output is halved
-  * by the a_id < b_id guard before the verify.
+  * by the a_id < b_id guard before the verify. The candidate join and the
+  * distinct carry ONLY (id, length) — for long strings (documents) the
+  * payload would dominate the exchange, so strings re-join by id after
+  * the candidate set is deduped, and the length band prunes with the
+  * carried lengths before any string moves.
   */
 object EditDistanceJoin {
 
@@ -56,12 +60,13 @@ object EditDistanceJoin {
     // filter; bucket those lengths for the all-pairs fallback (see above)
     val shortLen = q * (k + 1) - 1
 
-    val base = df.select(col(idCol).as("sid"), col(strCol).as("str"))
-    val grammed = base.filter(length(col("str")) >= q)
-    val shorts  = base.filter(length(col("str")) <= shortLen)
+    val base = df.select(col(idCol).as("sid"), col(strCol).as("str"),
+                         length(col(strCol)).as("len"))
+    val grammed = base.filter(col("len") >= q)
+    val shorts  = base.filter(col("len") <= shortLen)
 
     // positional q-grams via codegen'd higher-order functions
-    val grams = grammed.select(col("sid"), col("str"),
+    val grams = grammed.select(col("sid"), col("len"),
       explode(expr(
         s"transform(sequence(1, length(str) - $q + 1), i -> substring(str, i, $q))"
       )).as("g"))
@@ -75,14 +80,17 @@ object EditDistanceJoin {
       .withColumn("rk", row_number().over(
         Window.partitionBy("sid").orderBy(col("freq"), col("g"), col("occ"))))
       .filter(col("rk") <= prefixLen)
-      .select("sid", "str", "g", "occ")
+      .select("sid", "len", "g", "occ")
 
-    val candLong = prefix.select(col("sid").as("a_id"), col("str").as("a_str"),
+    // id+length only through the join: the length band prunes here, the
+    // string payload never enters the candidate exchange
+    val candLong = prefix.select(col("sid").as("a_id"), col("len").as("a_len"),
         col("g"), col("occ"))
-      .join(prefix.select(col("sid").as("b_id"), col("str").as("b_str"),
+      .join(prefix.select(col("sid").as("b_id"), col("len").as("b_len"),
         col("g"), col("occ")), Seq("g", "occ"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "a_str", "b_id", "b_str")
+      .filter(abs(col("a_len") - col("b_len")) <= k)
+      .select("a_id", "b_id")
 
     // the all-pairs fallback runs over DISTINCT short VALUES — that is
     // what makes the |Σ|^(q(k+1)−1) bound real; ids expand back only for
@@ -97,11 +105,12 @@ object EditDistanceJoin {
       .join(shorts.select(col("sid").as("a_id"), col("str").as("a_str")), "a_str")
       .join(shorts.select(col("sid").as("b_id"), col("str").as("b_str")), "b_str")
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "a_str", "b_id", "b_str")
+      .select("a_id", "b_id")
 
     candLong.unionByName(candShort)
-      .filter(abs(length(col("a_str")) - length(col("b_str"))) <= k)
       .distinct()
+      .join(base.select(col("sid").as("a_id"), col("str").as("a_str")), "a_id")
+      .join(base.select(col("sid").as("b_id"), col("str").as("b_str")), "b_id")
       .withColumn("dist", levenshtein(col("a_str"), col("b_str"), k).cast("long"))
       .filter(col("dist") >= 0)
       .select("a_id", "b_id", "dist")
@@ -142,14 +151,19 @@ object EditDistanceJoin {
       vExpr = s"array_distinct(flatten(transform($vExpr, " +
               s"s0 -> array_union(array(s0), ${del("s0")}))))"
 
-    val base = df.select(col(idCol).as("sid"), col(strCol).as("str"))
-    val vars = base.select(col("sid"), col("str"), explode(expr(vExpr)).as("v"))
-    vars.select(col("sid").as("a_id"), col("str").as("a_str"), col("v"))
-      .join(vars.select(col("sid").as("b_id"), col("str").as("b_str"), col("v")),
+    val base = df.select(col(idCol).as("sid"), col(strCol).as("str"),
+                         length(col(strCol)).as("len"))
+    val vars = base.select(col("sid"), col("len"), explode(expr(vExpr)).as("v"))
+    // id+length only through the variant join; strings re-join after the
+    // candidate distinct (same exchange-slimming as selfJoin)
+    vars.select(col("sid").as("a_id"), col("len").as("a_len"), col("v"))
+      .join(vars.select(col("sid").as("b_id"), col("len").as("b_len"), col("v")),
             Seq("v"))
       .filter(col("a_id") < col("b_id"))
-      .filter(abs(length(col("a_str")) - length(col("b_str"))) <= k)
-      .select("a_id", "a_str", "b_id", "b_str").distinct()
+      .filter(abs(col("a_len") - col("b_len")) <= k)
+      .select("a_id", "b_id").distinct()
+      .join(base.select(col("sid").as("a_id"), col("str").as("a_str")), "a_id")
+      .join(base.select(col("sid").as("b_id"), col("str").as("b_str")), "b_id")
       .withColumn("dist", levenshtein(col("a_str"), col("b_str"), k).cast("long"))
       .filter(col("dist") >= 0)
       .select("a_id", "b_id", "dist")

@@ -47,21 +47,24 @@ import org.apache.spark.sql.types.StructType
   */
 object WeightedMedian {
 
+  /** Phases 1–2 as a frame (also dumped into EXPLAIN.md): the (group,
+    * value) pre-aggregation and the range-partitioned sort the two scan
+    * jobs run over. */
+  def sortedFrame(df: DataFrame, groupCol: String, valueCol: String,
+                  weightCol: String): DataFrame = {
+    val nParts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.filter(col(weightCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol).cast("decimal(18,6)")).as("w"))
+      .repartitionByRange(nParts, col(groupCol), col(valueCol))
+      .sortWithinPartitions(col(groupCol), col(valueCol))
+  }
+
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
                      weightCol: String, medianName: String = "wmedian"): DataFrame = {
     val spark = df.sparkSession
-    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-
-    // 1 — collapse ties on the high-cardinality (group, value) key
-    val agg = df
-      .filter(col(weightCol).isNotNull)
-      .groupBy(col(groupCol), col(valueCol))
-      .agg(sum(col(weightCol).cast("decimal(18,6)")).as("w"))
-
-    // 2 — range-sort; each group spans many partitions
-    val sorted = agg
-      .repartitionByRange(nParts, col(groupCol), col(valueCol))
-      .sortWithinPartitions(col(groupCol), col(valueCol))
+    val sorted = sortedFrame(df, groupCol, valueCol, weightCol)
 
     val schema = sorted.schema
     val gIdx = schema.fieldIndex(groupCol)

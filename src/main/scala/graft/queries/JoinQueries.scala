@@ -408,5 +408,36 @@ object JoinQueries {
         .selfJoin(d, "doc_id", "text", k = 8, q = 2)
         .orderBy("a_id", "b_id")
     },
+
+    // J19 — grid-bucketed spatial distance join (round 7): all event
+    // pairs within Euclidean distance 2 on the synthetic (x, y) plane
+    // (f2's coordinate derivation) — the JOIN form of f18's scalar
+    // within_dist filter, i.e. "defenders within r yards of the
+    // receiver" as a set-to-set operator. operators/GridJoin: cell =
+    // (⌊x/d⌋, ⌊y/d⌋), probe explodes the 3×3 neighborhood, index keys
+    // its own cell once, candidates are ONE equi-join on the cell key
+    // (lossless, no distinct needed — each pair collides exactly once),
+    // exact distance verify map-side. The oracle is the banded
+    // quadratic join over the same fixed event_id < 5000 slice (the
+    // k1/k2 bounded-slice precedent keeps the oracle affordable at
+    // every sf).
+    q("j19_grid_join",
+      """WITH p AS (
+        |  SELECT event_id, value % 100 AS x, (value * 7) % 50 AS y
+        |  FROM events WHERE event_id < 5000)
+        |SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |       round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 4) AS dist
+        |FROM p a JOIN p b
+        |  ON a.event_id < b.event_id
+        | AND abs(a.x - b.x) <= 2 AND abs(a.y - b.y) <= 2
+        | AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4.0
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val p = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 5000)
+        .select(col("event_id"),
+          (col("value") % 100).as("x"), ((col("value") * 7) % 50).as("y"))
+      graft.operators.GridJoin.selfJoin(p, "event_id", "x", "y", d = 2.0)
+        .orderBy("a_id", "b_id")
+    },
   )
 }

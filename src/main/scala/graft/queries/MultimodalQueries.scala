@@ -118,5 +118,83 @@ object MultimodalQueries {
           e("label"), size(e("embedding")).cast("long").as("dim"))
         .orderBy("doc_id")
     },
+
+    // Perceptual-hash near-dup over media payloads (round 7): the image
+    // twin of d4's text simhash. The media table holds each payload AND
+    // its lossy "re-encode" (Multimodal.reencodeStub: every 97th byte
+    // +1 mod 256 — the in-place micro-noise a JPEG re-save leaves;
+    // media_id = 2·doc_id, re-encode = 2·doc_id + 1 — a PARITY flag, so
+    // the encoding survives any doc_id range, incl. sf1's 1e8-offset
+    // copies). aHash (Multimodal.aHash, stub decode:
+    // raw bytes as the grayscale plane) gives each payload a 60-bit
+    // signature from exact-integer cell-vs-global mean comparisons;
+    // candidate pairs ride d4's pigeonhole blocking (4 chunks × 15 bits,
+    // complete for Hamming ≤ 3) and verify by bit_count(xor). The
+    // operator must flag original↔re-encode pairs while DISTINCT docs
+    // stay out (their measured pairwise hd floor on this corpus is 8).
+    // Scale shape identical to d4: signature is one mapPartitions pass
+    // over the payload scan, the only shuffle is the (chunk_idx,
+    // chunk_val) equi-join. DuckDB replays the byte sums, the
+    // perturbation, the cross-multiplied bit test, chunking, and the
+    // Hamming verify bit-for-bit.
+    q("mm6_phash_neardup",
+      """WITH raw AS (
+        |  SELECT doc_id * 2 AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS media_id, text FROM documents),
+        |byts AS (
+        |  SELECT media_id, text, octet_length(CAST(text AS BLOB)) AS n,
+        |         unnest(range(0, octet_length(CAST(text AS BLOB)))) AS off
+        |  FROM raw),
+        |vals AS (
+        |  SELECT media_id, n, (off * 60) // n AS c,
+        |         CASE WHEN media_id % 2 = 1 AND off % 97 = 0
+        |              THEN (CAST(ascii(substr(text, CAST(off AS INTEGER) + 1, 1)) AS BIGINT) + 1) % 256
+        |              ELSE CAST(ascii(substr(text, CAST(off AS INTEGER) + 1, 1)) AS BIGINT)
+        |         END AS v
+        |  FROM byts),
+        |tot AS (SELECT media_id, any_value(n) AS n, sum(v) AS tv
+        |        FROM vals GROUP BY media_id),
+        |cells AS (SELECT media_id, c, sum(v) AS cs, count(*) AS cl
+        |          FROM vals GROUP BY media_id, c),
+        |sig AS (
+        |  SELECT cells.media_id,
+        |         CAST(sum(CASE WHEN cs * t.n > t.tv * cl
+        |                       THEN (1::BIGINT << CAST(c AS INTEGER))
+        |                       ELSE 0 END) AS BIGINT) AS sig
+        |  FROM cells JOIN tot t ON cells.media_id = t.media_id
+        |  GROUP BY cells.media_id),
+        |ch AS (
+        |  SELECT media_id, sig, c2, (sig >> CAST(c2 * 15 AS INTEGER)) & 32767 AS cv
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c2))
+        |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hd
+        |FROM ch a JOIN ch b ON a.c2 = b.c2 AND a.cv = b.cv AND a.media_id < b.media_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Dedup.{simhashChunks, hamming}
+      val originals = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select((col("doc_id") * 2).as("media_id"), lit("image").as("kind"),
+                col("text").cast("binary").as("payload"))
+        .as[MediaRow]
+      val media = originals.union(
+        Multimodal.reencode(originals, stride = 97, idOffset = 1L))
+      val sig = Multimodal.aHash(media).toDF()
+      val chunks = sig.select(col("media_id"), col("sig"),
+          explode(simhashChunks(col("sig"), 4, sigBits = 60)).as("c"))
+        .select(col("media_id"), col("sig"), col("c.chunk_idx"), col("c.chunk_val"))
+      chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+                hamming(col("a.sig"), col("b.sig")).cast("long").as("hd"))
+        .distinct()
+        .filter(col("hd") <= 3)
+        .orderBy("media_a", "media_b")
+    },
   )
 }

@@ -1062,5 +1062,82 @@ object TextQueries {
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id")
     },
+
+    // Temperature-resampled domain mixture (round 7) — the T<1
+    // multinomial UPSAMPLING standard in multilingual/multi-domain
+    // pretraining (x15 is the downsampling-to-budget sibling): sampling
+    // mass p_i ∝ tokens_i^α (α = 0.5) flattens the domain distribution,
+    // so low-resource sources REPEAT (multiplier > 1×) while the head
+    // shrinks. The realized plan is deterministic: per-source multiplier
+    // in integer basis points (one floor over doubles whose inputs are
+    // DECIMAL-exact — sqrt is IEEE-correctly-rounded in both engines,
+    // the s_i sum is exact decimal, then a single ×/÷ chain), per-doc
+    // repetition = bp div 10⁴ + {0,1} by the LCG hash on doc_id (x10's
+    // portable sampler). Scale shape: two tiny per-source aggs broadcast
+    // back over one corpus pass; the training manifest is one
+    // explode(sequence(1, rep)) away, never materialized here. Output:
+    // the sampling plan + realized doc/token counts per source.
+    q("x36_temperature_mix",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |srcs AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+        |  FROM d GROUP BY source),
+        |ws AS (
+        |  SELECT *, CAST(round(sqrt(CAST(tokens_total AS DOUBLE)), 6)
+        |                 AS DECIMAL(18,6)) AS s
+        |  FROM srcs),
+        |scal AS (SELECT sum(s) AS s_sum,
+        |                CAST(sum(tokens_total) AS BIGINT) AS tok_all FROM ws),
+        |rates AS (
+        |  SELECT source, n_docs, tokens_total,
+        |         CAST(floor(10000.0 * (CAST(tok_all AS DOUBLE) *
+        |              (CAST(s AS DOUBLE) / CAST(s_sum AS DOUBLE))) /
+        |              CAST(tokens_total AS DOUBLE)) AS BIGINT) AS mult_bp
+        |  FROM ws CROSS JOIN scal),
+        |per AS (
+        |  SELECT d.source,
+        |         (r.mult_bp // 10000) +
+        |         CASE WHEN (d.doc_id * 1103515245 + 12345) % 10000
+        |                   < r.mult_bp % 10000 THEN 1 ELSE 0 END AS rep,
+        |         d.n_tokens
+        |  FROM d JOIN rates r USING (source))
+        |SELECT r.source, r.n_docs, r.tokens_total, r.mult_bp,
+        |       CAST(sum(p.rep) AS BIGINT) AS docs_out,
+        |       CAST(sum(p.rep * p.n_tokens) AS BIGINT) AS tokens_out
+        |FROM rates r JOIN per p ON r.source = p.source
+        |GROUP BY r.source, r.n_docs, r.tokens_total, r.mult_bp
+        |ORDER BY r.source""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      val srcs = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_total"))
+      val ws = srcs.withColumn("s",
+        round(sqrt(col("tokens_total").cast("double")), 6).cast("decimal(18,6)"))
+      val scal = ws.agg(sum("s").as("s_sum"),
+                        sum("tokens_total").cast("long").as("tok_all"))
+      val rates = ws.crossJoin(broadcast(scal))
+        .withColumn("mult_bp",
+          floor(lit(10000.0) * (col("tok_all").cast("double") *
+              (col("s").cast("double") / col("s_sum").cast("double"))) /
+            col("tokens_total").cast("double")).cast("long"))
+        .select("source", "n_docs", "tokens_total", "mult_bp")
+      val per = d.join(broadcast(rates.select("source", "mult_bp")), "source")
+        .withColumn("rep",
+          expr("mult_bp div 10000") +
+          when((col("doc_id") * 1103515245L + 12345L) % 10000 <
+               col("mult_bp") % 10000, 1L).otherwise(0L))
+      per.groupBy("source")
+        .agg(sum("rep").cast("long").as("docs_out"),
+             sum(col("rep") * col("n_tokens")).cast("long").as("tokens_out"))
+        .join(broadcast(rates), "source")
+        .select("source", "n_docs", "tokens_total", "mult_bp",
+                "docs_out", "tokens_out")
+        .orderBy("source")
+    },
   )
 }

@@ -560,5 +560,45 @@ object WindowQueries {
                 (col("n").cast("double") / col("tn").cast("double")).as("p"))
         .orderBy("prev", "next")
     },
+
+    // W24 — streak detection (round 7): maximal runs of the SAME event
+    // type per user, the gaps-and-islands pattern (value-change islands,
+    // the complement of w13/w14's time-gap islands): island id =
+    // row_number-over-user − row_number-over-(user, type), constant
+    // exactly within a maximal same-type run. Runs of length ≥ 3 emit
+    // (user, type, streak_len, started, ended). Scale shape: both
+    // windows partition by the HIGH-cardinality user key (never global),
+    // the island aggregation is an ordinary hash agg on (user, type,
+    // grp), and nothing is quadratic — each event contributes one row to
+    // each window and one to the agg.
+    q("w24_streaks",
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS ra,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts, event_id) AS rt
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_type, ra - rt AS grp,
+        |         count(*) AS streak_len, min(ts) AS started, max(ts) AS ended
+        |  FROM o GROUP BY user_id, event_type, ra - rt)
+        |SELECT user_id, event_type, streak_len, started, ended
+        |FROM g WHERE streak_len >= 3
+        |ORDER BY user_id, started, event_type""".stripMargin) { (s, dir) =>
+      val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wTyp = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+                row_number().over(wAll).cast("long").as("ra"),
+                row_number().over(wTyp).cast("long").as("rt"))
+        .groupBy(col("user_id"), col("event_type"),
+                 (col("ra") - col("rt")).as("grp"))
+        .agg(count(lit(1)).as("streak_len"),
+             min("ts").as("started"), max("ts").as("ended"))
+        .filter(col("streak_len") >= 3)
+        .select("user_id", "event_type", "streak_len", "started", "ended")
+        .orderBy("user_id", "started", "event_type")
+    },
   )
 }

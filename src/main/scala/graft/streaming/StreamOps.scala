@@ -29,20 +29,38 @@ object StreamOps {
   def eventStream(spark: SparkSession, path: String,
                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // readStream needs an explicit schema; probe the file's physical ts type
-    // once (batch read) so both generator vintages — TIMESTAMP(NANOS) read
-    // as raw longs, and TIMESTAMP(MICROS) read as NTZ — normalize to the
+    // readStream needs an explicit schema; probe the files' physical ts type
+    // once (batch footer reads) so both generator vintages — TIMESTAMP(NANOS)
+    // read as raw longs, and TIMESTAMP(MICROS) read as NTZ — normalize to the
     // same session-UTC TimestampType the downstream watermarks expect.
     // One probed schema is applied to every file the stream ever picks up,
-    // so a source directory must hold a single generator vintage (mixing
-    // vintages in one directory is a misconfiguration; the probe would
-    // misread one of them). If the directory is empty at start — the normal
-    // "stream first, producers later" file-source pattern — default to the
-    // current generator's TIMESTAMP(NANOS) layout instead of failing.
-    val tsIsLong = scala.util.Try(
-        spark.read.parquet(path).schema("ts").dataType ==
-          org.apache.spark.sql.types.LongType)
-      .getOrElse(true)
+    // so a source directory must hold a single generator vintage: the probe
+    // samples up to 8 files and FAILS FAST on a mix (one of them would
+    // otherwise be silently misread). If the directory is empty or absent at
+    // start — the normal "stream first, producers later" file-source
+    // pattern — default to the current generator's TIMESTAMP(NANOS) layout
+    // instead of failing; the stream then starts and drains files as they
+    // arrive.
+    val vintages: Seq[org.apache.spark.sql.types.DataType] = {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val files =
+        if (fs.exists(hPath))
+          fs.listStatus(hPath).filter(s => s.isFile &&
+              s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString).sorted.take(8).toSeq
+        else Seq.empty[String]
+      files.flatMap(f =>
+        scala.util.Try(spark.read.parquet(f).schema("ts").dataType).toOption)
+        .distinct
+    }
+    require(vintages.size <= 1,
+      s"mixed events.ts parquet vintages under $path: " +
+        s"${vintages.mkString(", ")} — a file-stream source directory must " +
+        "hold a single generator vintage (the probed schema is applied to " +
+        "every file the stream picks up)")
+    val tsIsLong =
+      vintages.headOption.forall(_ == org.apache.spark.sql.types.LongType)
     val tsDdl = if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"
     val reader = spark.readStream
       .schema(s"event_id BIGINT, ts $tsDdl, user_id BIGINT, " +
@@ -350,6 +368,58 @@ object StreamOps {
     kept.count() // materialize before the append lands new files
     kept.write.mode("append").parquet(path)
     kept.unpersist()
+    ()
+  }
+
+  /** d10's streaming twin (the d8 pattern): containment / near-dup
+    * GATING on ingest. Each arriving micro-batch of documents is
+    * shingled and PROBED against a standing shingle index
+    * (`ContainmentJoin.probeJoin`: prefix filter in the index corpus's
+    * frozen rarest-first order, JOSIE length/position prunes,
+    * integer-exact verify) and one (a_id, b_id, containment) row lands
+    * per flagged pair — the "is this arriving doc mostly contained in
+    * something we already hold" alarm that catches quotes/wrapper dups
+    * symmetric Jaccard misses. The index is read-only ⇒ zero cross-batch
+    * state; a batch retry re-probes identical rows, so exactly-once uses
+    * upsertSink's anti-join pattern keyed by the probe doc id. Scale
+    * shape: cost ∝ |delta| × bucket hit rate — the standing corpus is
+    * never re-self-joined, exactly like d8's incremental LSH. */
+  def containmentGate(docs: DataFrame, refShingled: DataFrame,
+                      tNum: Int, tDen: Int, path: String,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        containmentGateBatch(batch, refShingled, tNum, tDen, path)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The per-micro-batch body of [[containmentGate]], exposed for
+    * failure-injection tests (same contract as [[upsertBatch]]:
+    * idempotent per input batch, so a redelivered batch appends
+    * nothing). */
+  def containmentGateBatch(batch: DataFrame, refShingled: DataFrame,
+                           tNum: Int, tDen: Int, path: String): Unit = {
+    import graft.functions.TextFunctions.shingles
+    val spark = batch.sparkSession
+    val landed =
+      (try Some(spark.read.parquet(path))
+       catch {
+         case e: org.apache.spark.sql.AnalysisException
+           if e.getErrorClass == "PATH_NOT_FOUND" => None
+       })
+        .map(_.select(col("a_id").as("landed_id")).distinct())
+        .getOrElse(batch.select(col("doc_id").as("landed_id")).limit(0))
+    val probe = batch.select(col("doc_id"), shingles(col("text"), 3).as("s"))
+    val flagged = graft.operators.ContainmentJoin
+      .probeJoin(probe, refShingled, "doc_id", "s", tNum, tDen)
+      .join(landed, col("a_id") <=> col("landed_id"), "left_anti")
+      .persist()
+    flagged.count() // materialize before the append lands new files
+    flagged.write.mode("append").parquet(path)
+    flagged.unpersist()
     ()
   }
 

@@ -29,7 +29,20 @@ object RecallProbe {
         val r = (exact intersect pairs(name)).size.toDouble / exact.size
         name.split("_")(0) -> r
       }
-    println(recalls.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+    // v9's denser operating point (round 7): same 64-bit codes, 5x the
+    // re-rank cushion — the standard recall/cost dial when the coarse
+    // ADC ordering under-ranks a true neighbor past candidate 100
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val pq500 = graft.operators.PqAnn.topK(
+        corpus = e.select("vec_id", "embedding"),
+        queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+          .select("vec_id", "embedding"),
+        k = 5, cand = 500)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = recalls :+
+      ("v9c500" -> (exact intersect pq500).size.toDouble / exact.size)
+    println(all.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", s""","n_exact":${exact.size},"sf":"$sfDir"}"""))
     spark.stop()
   }

@@ -44,6 +44,8 @@ class PlanHygieneSpec extends SparkSpec {
     "x29_tfidf_topk"        -> "1-row corpus-count scalar",
     "x31_heaps_growth"      -> "1-row max-doc-id scalar",
     "x32_epoch_shuffle"     -> "1-row corpus-count scalar (epoch offset fold)",
+    "j18_editdist_docs"     -> "alphabet-bounded DISTINCT short-value block (len <= q(k+1)-1 = 17, |Sigma|^17-bounded by construction; empty on this corpus - min doc len 48)",
+    "x36_temperature_mix"   -> "1-row temperature-normalizer scalar (s_sum, tok_all)",
   )
 
   /** Global windows fed by a constant-bounded input. */

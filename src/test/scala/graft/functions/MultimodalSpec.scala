@@ -44,4 +44,45 @@ class MultimodalSpec extends SparkSpec {
     assert(readSchema.nonEmpty)
     assert(!readSchema.contains("text"), s"payload not pruned: $readSchema")
   }
+
+  test("aHash: re-encode noise moves few bits, distinct payloads stay apart") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val payloads = (0L until 40L).map { i =>
+      i * 2 -> Array.fill(300)((rnd.nextInt(256) - 128).toByte)
+    }
+    val rows = payloads.map { case (id, p) => MediaRow(id, "image", p) } ++
+      payloads.map { case (id, p) =>
+        MediaRow(id + 1, "image", Multimodal.reencodeStub(p, 97)) }
+    val sigs = Multimodal.aHash(rows.toDS()).collect()
+      .map(r => r.media_id -> r.sig).toMap
+    def hd(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // original vs its re-encode: tiny in-place noise → Hamming <= 3
+    payloads.foreach { case (id, _) =>
+      assert(hd(sigs(id), sigs(id + 1)) <= 3,
+        s"re-encode of $id drifted ${hd(sigs(id), sigs(id + 1))} bits")
+    }
+    // distinct random payloads: far apart (60-bit sigs, expect ~30)
+    val cross = for {
+      (a, _) <- payloads; (b, _) <- payloads if a < b
+    } yield hd(sigs(a), sigs(b))
+    assert(cross.min > 3, s"distinct payloads collided at hd=${cross.min}")
+  }
+
+  test("aHash edge cases: empty, tiny, and uniform payloads are stable") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(0L, "image", Array.emptyByteArray),
+      MediaRow(1L, "image", Array[Byte](42)),
+      MediaRow(2L, "image", Array.fill(10)(7.toByte)),     // < 60 bytes
+      MediaRow(3L, "image", Array.fill(600)(0.toByte)))    // all-zero
+    val sigs = Multimodal.aHash(rows.toDS()).collect()
+      .map(r => r.media_id -> r.sig).toMap
+    assert(sigs(0L) == 0L)                 // defined: empty → 0
+    assert(sigs(2L) == 0L)                 // uniform: no cell beats the mean
+    assert(sigs(3L) == 0L)
+    // determinism across re-runs
+    assert(Multimodal.aHash(rows.toDS()).collect()
+      .map(r => r.media_id -> r.sig).toMap == sigs)
+  }
 }

@@ -86,6 +86,28 @@ class SimilaritySpec extends SparkSpec {
       assert(recall >= 0.6, s"PQ recall $recall too low")
       assert(pq.forall { case (q, n) => q != n })
     }
+
+    test(s"PQ at the dense operating point (cand=500) recovers recall at sf$sf") {
+      // the standard recall/cost dial for 64-bit codes: same codebooks,
+      // 5x the exact-re-rank cushion. Measured 1.000/1.000/0.825 across
+      // the decades vs 0.850/0.725/0.650 at cand=100 (SCALING.md table);
+      // cost is re-rank-side only — the ADC scan is unchanged.
+      val exact = pairsAt(dir)("v1_cosine_topk")
+      val coarse = pairsAt(dir)("v9_ann_pq_topk")
+      val e = graft.Tables.load(spark, dir, "embeddings")
+      val dense = graft.operators.PqAnn.topK(
+          corpus = e.select("vec_id", "embedding"),
+          queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+            .select("vec_id", "embedding"),
+          k = 5, cand = 500)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rDense = (exact intersect dense).size.toDouble / exact.size
+      val rCoarse = (exact intersect coarse).size.toDouble / exact.size
+      assert(rDense >= rCoarse,
+        s"a larger re-rank cushion must never lose recall ($rDense < $rCoarse)")
+      assert(rDense >= 0.8, s"PQ cand=500 recall $rDense below the dense tier")
+    }
   }
 
   // v8 ≡ v4 at every recall scale: same quantizer seed ⇒ same cells ⇒

@@ -143,4 +143,64 @@ class FailureInjectionSpec extends SparkSpec {
            batchKept.select("doc_id").collect().map(_.getLong(0)).toSet,
       "landed doc set must equal the batch gate's kept set")
   }
+
+  test("containment gate: post-append crash + redelivery lands each flagged pair once") {
+    import graft.functions.TextFunctions.shingles
+    val docs = Tables.load(spark, sfDir, "documents")
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), shingles(col("text"), 3).as("s"))
+    val delta = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cgfail_src")
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cgfail_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/p")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/p"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(name))
+    }
+    stage(delta.filter(col("doc_id") % 2 === 0), "a_evens.parquet")
+    stage(delta.filter(col("doc_id") % 2 =!= 0), "b_odds.parquet")
+
+    val sink = java.nio.file.Files.createTempDirectory("graft_cgfail_sink").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_cgfail_ck").toString
+
+    def runOnce(failAfterFirstAppend: Boolean): Unit = {
+      @volatile var failed = false
+      val q = spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          StreamOps.containmentGateBatch(batch, ref, 1, 4, sink)
+          if (failAfterFirstAppend && !failed) {
+            failed = true
+            throw new RuntimeException("injected post-append failure")
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: StreamingQueryException
+          if e.getMessage.contains("injected post-append failure") => ()
+      }
+    }
+
+    runOnce(failAfterFirstAppend = true)
+    assert(spark.read.parquet(sink).count() > 0, "pre-crash append must be durable")
+    runOnce(failAfterFirstAppend = false)
+
+    val landed = spark.read.parquet(sink)
+    val batchPairs = graft.operators.ContainmentJoin.probeJoin(
+      delta.select(col("doc_id"), shingles(col("text"), 3).as("s")),
+      ref, "doc_id", "s", 1, 4)
+    assert(landed.groupBy("a_id", "b_id").count()
+             .filter(col("count") > 1).count() == 0,
+      "no pair may land twice across crash + redelivery")
+    assert(landed.select("a_id", "b_id").collect().map(_.toString).toSet ==
+           batchPairs.select("a_id", "b_id").collect().map(_.toString).toSet,
+      "landed pairs must equal the batch probe join exactly")
+  }
 }

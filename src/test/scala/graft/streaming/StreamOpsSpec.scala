@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming/batch parity: the streaming pipeline over the same event
@@ -438,5 +439,74 @@ class StreamOpsSpec extends SparkSpec {
       "restart from checkpoint must resume DFA state, not recount")
     assert(afterH1 > 0 && landed.size > afterH1,
       "both runs must contribute matches")
+  }
+
+  test("streaming containment gate equals the batch probe join") {
+    import graft.functions.TextFunctions.shingles
+    val docs = Tables.load(spark, sfDir, "documents")
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), shingles(col("text"), 3).as("s"))
+    val delta = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cgate_src")
+    stageSlice(delta.filter(col("doc_id") % 2 === 0), dir, "s1", 1000000L)
+    stageSlice(delta.filter(col("doc_id") % 2 === 1), dir, "s2", 2000000L)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cgate_${System.nanoTime()}"
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = StreamOps.containmentGate(stream, ref, 1, 4,
+      s"$base/out", s"$base/ck")
+    q.awaitTermination()
+    val landed = canon(spark.read.parquet(s"$base/out"))
+    val batch = canon(graft.operators.ContainmentJoin.probeJoin(
+      delta.select(col("doc_id"), shingles(col("text"), 3).as("s")),
+      ref, "doc_id", "s", 1, 4))
+    info(s"flagged pairs: streamed=${landed.size} batch=${batch.size}")
+    assert(landed == batch)
+    assert(landed.nonEmpty,
+      "fixture must flag at least one contained pair or the test is vacuous")
+  }
+
+  // --- round-7 regression: schema probe on empty / mixed-vintage dirs ----
+
+  test("stream starts on an EMPTY source directory and drains late files") {
+    // "stream first, producers later": eventStream must not throw on an
+    // empty (or even absent) directory — it defaults the schema and the
+    // next run picks up whatever has arrived since
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_src")
+    val stream = StreamOps.eventStream(spark, dir.toString) // must not throw
+    val drained = runStream(
+      stream.groupBy().count(), "empty_start")
+    assert(drained.collect().headOption.forall(_.getLong(0) == 0L))
+    // files arrive after the first drain (in the generator's NTZ-micros
+    // vintage, like a real producer); a later run sees them
+    stageSlice(Tables.load(spark, sfDir, "events")
+        .withColumn("ts", col("ts").cast("timestamp_ntz")),
+      dir, "late", 1000000L)
+    val after = runStream(
+      StreamOps.eventStream(spark, dir.toString).groupBy().count(),
+      "late_files")
+    assert(after.collect().head.getLong(0) ==
+      Tables.load(spark, sfDir, "events").count())
+  }
+
+  test("mixed ts vintages in one source directory fail fast at the probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixed_src")
+    // vintage A: the generator's file as-is (NTZ-micros or nanos-as-long)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("a_vintage.parquet"))
+    // vintage B: the SAME data written as UTC-adjusted TIMESTAMP(MICROS) —
+    // reads back as session TimestampType, a different probe type
+    val saved = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try stageSlice(Tables.load(spark, sfDir, "events"), dir, "b_vintage", 2000000L)
+    finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.eventStream(spark, dir.toString)
+    }
+    assert(e.getMessage.contains("mixed events.ts parquet vintages"))
   }
 }
