@@ -463,5 +463,38 @@ object DedupQueries {
         .selfJoin(shingled(s, dir), "doc_id", "s", tNum = 4, tDen = 5)
         .orderBy("a_id", "b_id")
     },
+
+    // Incremental containment PROBE (round 7) — d8's delta pattern
+    // applied to d10's asymmetric containment: only the doc_id % 5 = 0
+    // delta probes the standing index (the other 4/5ths of the
+    // corpus), with the canonical rarest-first order FROZEN from the
+    // index corpus frequencies (operators/ContainmentJoin.probeJoin —
+    // the same code path StreamOps.containmentGate runs per
+    // micro-batch, here oracle-checked). Threshold 1/4: "a quarter of
+    // the arriving doc's shingles already live in some held doc".
+    // Cost ∝ |delta| × bucket hit rate; the standing corpus never
+    // re-self-joins. Oracle: quadratic probe restricted to delta ×
+    // index pairs with the lossless size prefilter.
+    q("d11_containment_probe",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+        |           for i in range(1, greatest(len(string_split(text,' ')) - 1, 2))]) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / CAST(len(a.s) AS DOUBLE) AS containment
+        |FROM sh a JOIN sh b
+        |  ON a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+        |WHERE 4 * len(b.s) >= len(a.s)
+        |  AND 4 * len(list_intersect(a.s, b.s)) >= len(a.s)
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val sh = shingled(s, dir)
+      graft.operators.ContainmentJoin.probeJoin(
+          sh.filter(col("doc_id") % 5 === 0),
+          sh.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "s", tNum = 1, tDen = 4)
+        .orderBy("a_id", "b_id")
+    },
   )
 }
