@@ -206,4 +206,28 @@ object IvfAnn {
         Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id")))
         .cast("long"))
       .filter(col("rnk") <= k)
+
+  /** FILTERED ANN (round 7): top-k among vectors satisfying a metadata
+    * predicate, expressed as an `allowed` id set — the
+    // vector-search-plus-WHERE-clause shape every retrieval stack needs.
+    * POST-filter design: the index stays predicate-agnostic (built once
+    * over the full corpus, like [[buildIndex]]); probed candidates
+    * semi-join the allowed ids BEFORE the exact re-rank, so the rerank
+    * cost scales with qualifying candidates only. The standard recall
+    * lever under selective predicates is a larger nProbe (candidates
+    * thin out by the selectivity factor), which callers pass explicitly.
+    * At 100 TB the semi-join is the J16 bloom-prune shape when the
+    * allowed set is large, or a broadcast when it is small. */
+  def topKFiltered(corpus: DataFrame, queries: DataFrame,
+                   allowed: DataFrame, k: Int, nCells: Int,
+                   nProbe: Int): DataFrame =
+    candidates(corpus, queries, nCells, nProbe)
+      .join(allowed.select(col(allowed.columns.head).as("vec_id")),
+            Seq("vec_id"), "left_semi")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(cosineSim(col("qe"), col("embedding")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
 }

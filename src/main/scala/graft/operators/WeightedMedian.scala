@@ -62,8 +62,20 @@ object WeightedMedian {
   }
 
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
-                     weightCol: String, medianName: String = "wmedian"): DataFrame = {
+                     weightCol: String, medianName: String = "wmedian"): DataFrame =
+    weightedQuantile(df, groupCol, valueCol, weightCol,
+      qNum = 1, qDen = 2, outName = medianName)
+
+  /** General exact weighted quantile: the smallest value whose cumulative
+    * weight reaches q = qNum/qDen of the group total (median = 1/2).
+    * The flip test is qDen·cum ≥ qNum·total — same integer-exact,
+    * division-free comparison, same two-phase plan. */
+  def weightedQuantile(df: DataFrame, groupCol: String, valueCol: String,
+                       weightCol: String, qNum: Int, qDen: Int,
+                       outName: String = "wquantile"): DataFrame = {
+    require(qNum > 0 && qDen > 0 && qNum <= qDen, s"need 0 < q <= 1; got $qNum/$qDen")
     val spark = df.sparkSession
+    val medianName = outName
     val sorted = sortedFrame(df, groupCol, valueCol, weightCol)
 
     val schema = sorted.schema
@@ -98,7 +110,8 @@ object WeightedMedian {
     val bcTot = spark.sparkContext.broadcast(totals)
 
     // 4 — seeded running weight; ≤ 1 emitted row per (partition, group)
-    val two = java.math.BigDecimal.valueOf(2L)
+    val den = java.math.BigDecimal.valueOf(qDen.toLong)
+    val num = java.math.BigDecimal.valueOf(qNum.toLong)
     val hits = rdd.mapPartitionsWithIndex { (pid, it) =>
       val off = bcOff.value; val tot = bcTot.value
       val run = scala.collection.mutable.HashMap.empty[Any, java.math.BigDecimal]
@@ -109,7 +122,7 @@ object WeightedMedian {
         else {
           val cum = run.getOrElse(g, off((pid, g))).add(r.getDecimal(wIdx))
           run.update(g, cum)
-          if (cum.multiply(two).compareTo(tot(g)) >= 0) {
+          if (cum.multiply(den).compareTo(tot(g).multiply(num)) >= 0) {
             done.add(g); Some(Row(g, r.get(vIdx)))
           } else None
         }

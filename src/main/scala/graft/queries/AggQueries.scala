@@ -574,5 +574,31 @@ object AggQueries {
           "l_returnflag", "l_extendedprice", "l_quantity")
         .orderBy("l_returnflag")
     },
+
+    // A27 — exact weighted p90 per group (round 7): a26's machinery
+    // generalized to any q = qNum/qDen — the flip test becomes
+    // qDen·cum ≥ qNum·total, still integer/DECIMAL-exact and
+    // division-free. Same two-phase scale plan (pre-agg + range sort +
+    // broadcast offsets), no enum-partition window anywhere.
+    q("a27_weighted_p90",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+        |           PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+        |                    l_partkey, l_suppkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |         sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+        |           PARTITION BY l_returnflag) AS tw
+        |  FROM lineitem)
+        |SELECT l_returnflag, min(v) AS wp90
+        |FROM r WHERE 10 * cw >= 9 * tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      graft.operators.WeightedMedian
+        .weightedQuantile(Tables.load(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", "l_quantity",
+          qNum = 9, qDen = 10, outName = "wp90")
+        .orderBy("l_returnflag")
+    },
   )
 }

@@ -140,8 +140,10 @@ object SimilarityQueries {
     * step is a correctly-rounded scalar op or a left-to-right double
     * fold, so centroids, cells, probes and the final rounded cosines
     * hash-match bit-for-bit. */
+  /** `candPredicate`: optional SQL boolean over alias `ce` (the
+    * candidate's embeddings row) — the filtered-ANN variant (v10). */
   private def ivfSql(nCells: Int, nProbe: Int, iters: Int, k: Int,
-                     dim: Int = 64): String = {
+                     dim: Int = 64, candPredicate: Option[String] = None): String = {
     // squared-L2 between quantized micro-units and a centroid double list,
     // left-to-right fold — the exact comparison IvfAnn.assignUdf makes
     def dist(rq: String, c: String) =
@@ -196,6 +198,8 @@ object SimilarityQueries {
        |cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id
        |  FROM af a JOIN probe p USING (cell)
+       |  ${candPredicate.map(pr => s"JOIN embeddings ce ON ce.vec_id = a.vec_id AND ($pr)")
+          .getOrElse("")}
        |  WHERE a.vec_id <> p.query_id),
        |rerank AS (
        |  SELECT cand.query_id, cand.neighbor_id,
@@ -601,6 +605,29 @@ object SimilarityQueries {
           corpus = e.select("vec_id", "embedding"),
           queries = e.filter(col("vec_id") < 8).select("vec_id", "embedding"),
           k = 5, cand = 100)
+        .orderBy("query_id", "rnk")
+    },
+
+    // FILTERED ANN (round 7): top-k cosine among vectors whose label is
+    // in {0, 3, 6, 9} — the vector-search-plus-WHERE-clause shape every
+    // retrieval stack needs (RAG over one tenant/language/license).
+    // POST-filter design (IvfAnn.topKFiltered): the IVF index stays
+    // predicate-agnostic; probed candidates semi-join the allowed id
+    // set BEFORE the exact re-rank. nProbe raised 6 → 8 vs v4: the
+    // predicate keeps ~40% of candidates, and a wider probe is the
+    // standard recall lever under selective filters. Oracle replays
+    // quantizer + probing + the same candidate predicate.
+    q("v10_ann_filtered",
+      ivfSql(nCells = 16, nProbe = 8,
+             iters = graft.operators.IvfAnn.LloydIters, k = 5,
+             candPredicate = Some("ce.label % 3 = 0"))) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      graft.operators.IvfAnn.topKFiltered(
+          corpus = e.select("vec_id", "embedding"),
+          queries = e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          allowed = e.filter(col("label") % 3 === 0).select("vec_id"),
+          k = 5, nCells = 16, nProbe = 8)
         .orderBy("query_id", "rnk")
     },
 

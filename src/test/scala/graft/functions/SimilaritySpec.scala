@@ -87,6 +87,35 @@ class SimilaritySpec extends SparkSpec {
       assert(pq.forall { case (q, n) => q != n })
     }
 
+    test(s"filtered ANN finds only allowed vectors, recall >= 0.6 at sf$sf") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val e = graft.Tables.load(spark, dir, "embeddings")
+      val allowedIds = e.filter(col("label") % 3 === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = graft.SparkEntry.queries("v10_ann_filtered")(spark, dir)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.forall { case (_, n) => allowedIds(n) },
+        "filtered ANN must never return a disallowed vector")
+      // exact filtered brute force (8 queries x allowed subset)
+      val qv = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val exact = e.filter(col("label") % 3 === 0)
+        .crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(graft.queries.SimilarityQueries.cosineSim(col("qe"), col("embedding")), 6)
+            .as("cos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact intersect got).size.toDouble / exact.size
+      assert(recall >= 0.6, s"filtered ANN recall $recall too low")
+    }
+
     test(s"PQ at the dense operating point (cand=500) recovers recall at sf$sf") {
       // the standard recall/cost dial for 64-bit codes: same codebooks,
       // 5x the exact-re-rank cushion. Measured 1.000/1.000/0.825 across

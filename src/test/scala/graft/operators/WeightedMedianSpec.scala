@@ -70,6 +70,34 @@ class WeightedMedianSpec extends SparkSpec {
     check(df, "g", "v", "w")
   }
 
+  test("weighted quantiles: q sweep matches the window formulation") {
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    for ((qn, qd) <- Seq((1, 10), (1, 4), (3, 4), (9, 10), (1, 1))) {
+      val got = WeightedMedian
+        .weightedQuantile(li, "l_returnflag", "l_extendedprice", "l_quantity",
+          qn, qd, outName = "wq")
+        .orderBy("l_returnflag").collect().toSeq
+      val ord = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val want = li
+        .withColumn("cw", sum(col("l_quantity").cast("decimal(18,6)"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tw", sum(col("l_quantity").cast("decimal(18,6)"))
+          .over(Window.partitionBy("l_returnflag")))
+        .filter(col("cw") * qd >= col("tw") * qn)
+        .groupBy("l_returnflag")
+        .agg(min(col("l_extendedprice")).as("wq"))
+        .orderBy("l_returnflag").collect().toSeq
+      assert(got == want, s"quantile mismatch at q=$qn/$qd")
+    }
+  }
+
+  test("q = 1/1 returns the group maximum value") {
+    val df = Seq(("a", 1.0, 1.0), ("a", 5.0, 2.0), ("a", 3.0, 1.0))
+      .toDF("g", "v", "w")
+    val m = WeightedMedian.weightedQuantile(df, "g", "v", "w", 1, 1).collect()
+    assert(m.map(r => (r.getString(0), r.getDouble(1))).toSeq == Seq(("a", 5.0)))
+  }
+
   test("null weights are ignored, zero weights are inert") {
     val df = Seq(("a", 1.0, Some(0.0)), ("a", 2.0, Some(3.0)),
                  ("a", 9.0, None), ("a", 3.0, Some(1.0))).toDF("g", "v", "w")
