@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -29,7 +30,14 @@ import scala.jdk.CollectionConverters._
   *    row is generated — the DSv2 analog of partition pruning;
   *  - `SupportsPushDownRequiredColumns`: the reader materializes only
   *    the pruned schema, so `select(x, y)` never pays for the other
-  *    columns (asserted in BdbMiniSourceSpec).
+  *    columns (asserted in BdbMiniSourceSpec);
+  *  - `SupportsPushDownAggregates` (round 7): a group-free COUNT(*)
+  *    is answered by the SOURCE — each split emits ONE partial-count
+  *    row instead of its rows, and Spark's final aggregate sums the
+  *    per-split partials (`supportCompletePushDown` = false, the
+  *    partial-pushdown contract). Composes with the gameId filter:
+  *    filters push before aggregates, so a pruned scan counts only
+  *    surviving splits. The DSv2 analog of metadata-only count(*).
   *
   * Each reader generates its split's rows on the EXECUTOR (the fixture
   * generator is a pure function), so nothing flows through the driver.
@@ -99,14 +107,16 @@ class BdbMiniTable(tableName: String) extends Table with SupportsRead {
 }
 
 class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = BdbMiniSource.schemaOf(tableName)
   private var gameFilter: Option[Long] = None
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    this.requiredSchema = requiredSchema
+    if (!countPushed) this.requiredSchema = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -120,19 +130,38 @@ class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  // Partial-pushdown contract: the scan emits one COUNT partial per
+  // split and Spark's final aggregate sums them.
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
+    if (ok) {
+      countPushed = true
+      requiredSchema = StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+    }
+    ok
+  }
+
   override def build(): Scan =
-    new BdbMiniScan(tableName, requiredSchema, gameFilter)
+    new BdbMiniScan(tableName, requiredSchema, gameFilter, countPushed)
 }
 
 case class BdbMiniSplit(table: String, gameId: Option[Long]) extends InputPartition
 
 class BdbMiniScan(tableName: String, requiredSchema: StructType,
-                  gameFilter: Option[Long]) extends Scan with Batch {
+                  gameFilter: Option[Long],
+                  countPushed: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-bdb table=$tableName pushedGame=$gameFilter"
+    s"graft-bdb table=$tableName pushedGame=$gameFilter" +
+      (if (countPushed) " PushedAggregates=[COUNT(*)]" else "")
 
   /** One split per surviving game — EqualTo(gameId) pushdown prunes
     * splits HERE, before any row exists. */
@@ -145,21 +174,29 @@ class BdbMiniScan(tableName: String, requiredSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BdbMiniReaderFactory(tableName, requiredSchema)
+    new BdbMiniReaderFactory(tableName, requiredSchema, countPushed)
 }
 
-class BdbMiniReaderFactory(tableName: String, requiredSchema: StructType)
+class BdbMiniReaderFactory(tableName: String, requiredSchema: StructType,
+                           countPushed: Boolean = false)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val split = partition.asInstanceOf[BdbMiniSplit]
     new PartitionReader[InternalRow] {
-      private val full = BdbMiniSource.schemaOf(tableName)
-      private val indices = requiredSchema.fieldNames.map(full.fieldIndex)
-      private val it = BdbMiniSource.rowsOf(tableName, split.gameId).map { r =>
-        // project to the pruned schema only
-        InternalRow.fromSeq(indices.map(i => r.get(i, full(i).dataType)).toSeq)
-      }
+      private val it: Iterator[InternalRow] =
+        if (countPushed)
+          // one partial-count row per split; rows never materialize
+          Iterator.single(InternalRow(
+            BdbMiniSource.rowsOf(tableName, split.gameId).size.toLong))
+        else {
+          val full = BdbMiniSource.schemaOf(tableName)
+          val indices = requiredSchema.fieldNames.map(full.fieldIndex)
+          BdbMiniSource.rowsOf(tableName, split.gameId).map { r =>
+            // project to the pruned schema only
+            InternalRow.fromSeq(indices.map(i => r.get(i, full(i).dataType)).toSeq)
+          }
+        }
       private var current: InternalRow = _
       override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
       override def get(): InternalRow = current

@@ -48,4 +48,38 @@ class BdbMiniSourceSpec extends SparkSpec {
     val expected = BdbMini.plays.count(p => p.isDropback && p.down == 1)
     assert(df.count() == expected)
   }
+
+  test("COUNT(*) pushes to the source: scan emits per-split partials only") {
+    // correctness: pushed count == fixture count, with and without the
+    // pushed gameId filter (filters push before aggregates)
+    assert(read("tracking").count() == BdbMini.tracking.size)
+    val g = BdbMini.games.head.gameId
+    assert(read("tracking").filter(col("gameId") === g).count() ==
+      BdbMini.tracking.count(_.gameId == g))
+    // plan evidence: the v2 scan's output is the count partial, not rows
+    // sparkPlan, not executedPlan: AQE wraps the aggregate's plan and
+    // hides the scan from a top-level collect
+    val agg = read("tracking").groupBy().count()
+    val scan = agg.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.output.map(_.name).exists(_.toLowerCase.contains("count")),
+      s"scan output should be the count partial: ${scan.output.map(_.name)}")
+    assert(scan.toString.contains("PushedAggregates=[COUNT(*)]") ||
+           scan.scan.description().contains("PushedAggregates=[COUNT(*)]"),
+      "scan description should record the pushed aggregate")
+  }
+
+  test("aggregate pushdown declines grouped or non-count aggregates") {
+    // per-game grouped count is NOT pushed (source declines) but stays
+    // correct through the ordinary row path
+    val perGame = read("tracking").groupBy("gameId").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = BdbMini.tracking.groupBy(_.gameId)
+      .view.mapValues(_.size.toLong).toMap
+    assert(perGame == expected)
+    val s = read("tracking").agg(sum("x")).head.getDouble(0)
+    // fold-order tolerance: Spark sums per-partition, the fixture in seq order
+    assert(math.abs(s - BdbMini.tracking.map(_.x).sum) < 1e-6)
+  }
 }
