@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.DedupQueries.defs ++
     graft.queries.SimilarityQueries.defs ++
     graft.queries.PipelineQueries.defs ++
-    graft.queries.BpeQueries.defs
+    graft.queries.BpeQueries.defs ++
+    graft.queries.GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-schema rollup: revenue per region × order priority, with rank of

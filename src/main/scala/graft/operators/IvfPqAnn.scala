@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the production-shape ANN index (the FAISS IVFPQ layout),
+  * composing the family's two scale levers: an IVF coarse quantizer
+  * prunes the corpus to nProbe Voronoi cells per query, and product
+  * quantization compresses each vector's RESIDUAL (vector − its cell
+  * centroid) to an M-nibble code scored by ADC table lookups. Residual
+  * encoding is what separates this from running v4 and v9 side by side:
+  * once the coarse centroid is subtracted, the M subspace codebooks
+  * only have to cover the within-cell spread, so the same 64-bit code
+  * budget quantizes a much tighter distribution — the standard reason
+  * IVF-PQ beats flat PQ at equal code size.
+  *
+  * Engine portability (what makes v11 oracle-replayable): the coarse
+  * quantizer is `IvfAnn.fitCentroids` — already deterministic and
+  * DuckDB-replayed by v4/v8 — and every IVF-PQ-specific step is EXACT
+  * INTEGER arithmetic in micro-units: the final cell assignment is
+  * integer squared-L2 against the MICRO-QUANTIZED centroids (cmicro),
+  * residuals are BIGINT subtractions, the per-subspace Lloyd fit reuses
+  * `PqAnn`'s integer scheme on those residuals, and ADC sums are BIGINT.
+  * The only float ops anywhere are the coarse Lloyd's s/(n·1e6) means
+  * (correctly-rounded scalars, v4's argument) and the query-side cell
+  * probing by cosine (left-to-right double fold, v4's probe).
+  *
+  * Scale shape at 100 TB: the index is nCells directories of 8-byte
+  * codes — the corpus never shuffles after the one assignment pass;
+  * a query touches nProbe/nCells of the code scan, map-side, with its
+  * per-cell ADC tables broadcast (nProbe · M · K longs per query). The
+  * candidate cut is GroupTopK (map-side partial heaps), so the only
+  * per-query shuffle is ≤ cand · partitions candidate rows. Fit cost:
+  * coarse Lloyd is v4's (sample-fit at scale); the residual PQ fit adds
+  * PqIters passes of (sub, cell, pos) partial sums — M·K·dsub rows per
+  * partition per pass, corpus-size-independent shuffle volume.
+  */
+object IvfPqAnn {
+
+  val NCells = 16
+
+  /** Wider than v4's nProbe=6: IVF-PQ compounds two approximations
+    * (probe misses × residual code coarseness), and the probe width is
+    * the standard recall dial — measured at sf0.1: 6/100 → 0.475,
+    * 8/200 → 0.725 (SCALING.md table). */
+  val NProbe = 8
+
+  private val QScale = 1000000.0
+
+  /** Integer argmin cell over micro-quantized centroids; ties to the
+    * lowest cell id — the comparison the oracle replays with idist. */
+  private def assignIntUdf(cmicro: Array[Array[Long]]) =
+    udf { (rq: Seq[Long]) =>
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < cmicro.length) {
+        val cm = cmicro(c)
+        var d = 0L
+        var i = 0
+        val n = math.min(cm.length, rq.length)
+        while (i < n) {
+          val diff = rq(i) - cm(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** BIGINT residual vs the assigned cell's micro centroid. */
+  private def residualUdf(cmicro: Array[Array[Long]]) =
+    udf { (rq: Seq[Long], cell: Int) =>
+      val cm = cmicro(cell)
+      rq.indices.map(i => rq(i) - cm(i))
+    }
+
+  /** nProbe closest cells by cosine against the DOUBLE coarse centroids
+    * — exactly v4's probe comparison (dot/(|q||c|), left-to-right
+    * folds), ties to the lowest cell. */
+  private def probeUdf(cents: Array[Array[Double]], nProbe: Int) =
+    udf { (qe: Seq[Float]) =>
+      val qn = math.sqrt(qe.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      cents.indices
+        .map { c =>
+          val cv = cents(c)
+          var dot = 0.0
+          var nc = 0.0
+          var i = 0
+          val n = math.min(cv.length, qe.length)
+          while (i < n) { dot += qe(i).toDouble * cv(i); i += 1 }
+          i = 0
+          while (i < cv.length) { nc += cv(i) * cv(i); i += 1 }
+          (c, dot / (qn * math.sqrt(nc)))
+        }
+        .sortBy { case (c, cos) => (-cos, c) }
+        .take(nProbe)
+        .map(_._1)
+    }
+
+  /** Deterministic per-subspace Lloyd fit on RESIDUAL micro vectors —
+    * `PqAnn.fitCodebooks`' integer scheme with the residual column as
+    * input (seeds are the same LCG-hash-ranked rows, contributing their
+    * residual subvectors). Input: (vec_id, res: array<long>). */
+  def fitResidualCodebooks(res: DataFrame): Array[Array[Array[Long]]] = {
+    val seeds = res
+      .withColumn("h", (col("vec_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(PqAnn.K)
+      .select("res").collect()
+      .map(_.getSeq[Long](0).toArray)
+    val dim = seeds.head.length
+    val dsub = dim / PqAnn.M
+    var cm: Array[Array[Array[Long]]] = Array.tabulate(PqAnn.M, PqAnn.K, dsub) {
+      (m, k, i) => seeds(k)(m * dsub + i)
+    }
+    var it = 0
+    while (it < PqAnn.PqIters) {
+      val enc = PqAnn.encodeUdf(cm)
+      val sums = res
+        .withColumn("codes", enc(col("res")))
+        .select(posexplode(col("res")).as(Seq("pos", "r")), col("codes"))
+        .withColumn("sub", (col("pos") / dsub).cast("int"))
+        .withColumn("cell", element_at(col("codes"), col("sub") + 1))
+        .groupBy("sub", "cell", "pos")
+        .agg(sum("r").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cm.map(_.map(_.clone()))
+      sums.foreach { row =>
+        val sub = row.getInt(0)
+        val cell = row.getInt(1)
+        val pos = row.getInt(2) % dsub
+        val s = row.getLong(3)
+        val n = row.getLong(4)
+        next(sub)(cell)(pos) = PqAnn.microOf(s.toDouble / (n.toDouble * QScale))
+      }
+      cm = next
+      it += 1
+    }
+    cm
+  }
+
+  /** Full IVF-PQ search. Output (query_id, neighbor_id, cos, rnk). */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           cand: Int = 200, nCells: Int = NCells,
+           nProbe: Int = NProbe): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftExtensions.install(spark)
+
+    val coarse = IvfAnn.fitCentroids(corpus, nCells)
+    val cmicro = coarse.map(_.map(PqAnn.microOf))
+
+    // one pass: quantize -> integer cell assignment -> BIGINT residual
+    val assigned = corpus
+      .select(col("vec_id"), col("embedding"),
+              PqAnn.quantCol(col("embedding")).as("rq"))
+      .withColumn("cell", assignIntUdf(cmicro)(col("rq")))
+      .withColumn("res", residualUdf(cmicro)(col("rq"), col("cell")))
+
+    val cm = fitResidualCodebooks(assigned.select(col("vec_id"), col("res")))
+    val codes = assigned
+      .select(col("vec_id"), col("embedding"), col("cell"),
+              PqAnn.encodeUdf(cm)(col("res")).as("codes"))
+
+    // query side: probe cells, per-probed-cell residual + ADC table
+    val qp = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              PqAnn.quantCol(col("embedding")).as("qrq"))
+      .withColumn("pcell", explode(probeUdf(coarse, nProbe)(col("qe"))))
+      .withColumn("qres", residualUdf(cmicro)(col("qrq"), col("pcell")))
+      .withColumn("qtable", PqAnn.qtableUdf(cm)(col("qres")))
+      .select("query_id", "qe", "pcell", "qtable")
+
+    // map-only ADC inside the probed cells: the equi-join on cell keeps
+    // corpus rows outside the probe set untouched, and the per-row score
+    // is M integer lookups in whole-stage codegen
+    val adc = codes
+      .join(broadcast(qp),
+        col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("adc",
+        aggregate(sequence(lit(0), lit(PqAnn.M - 1)),
+          lit(0L),
+          (acc, m) => acc +
+            element_at(col("qtable"),
+              m * PqAnn.K + element_at(col("codes"), m + 1) + 1)))
+
+    val candidates = GroupTopK
+      .topK(adc, Seq("query_id"), "adc", "vec_id", k = cand, descending = false)
+
+    candidates
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(graft.queries.SimilarityQueries.cosineSim(col("qe"), col("embedding")), 6)
+          .as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+}

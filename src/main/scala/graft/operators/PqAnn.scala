@@ -43,19 +43,19 @@ object PqAnn {
   private val QScale = 1000000.0
 
   /** v5's micro-unit rounding (half away from zero), DuckDB-mirrored. */
-  private def quantCol(c: Column): Column =
+  private[operators] def quantCol(c: Column): Column =
     transform(c, x =>
       when(x.cast("double") >= 0, floor(x.cast("double") * QScale + 0.5))
         .otherwise(-floor(-x.cast("double") * QScale + 0.5)).cast("long"))
 
   /** Centroid double -> micro-units, same rounding, driver-side. */
-  private def microOf(v: Double): Long =
+  private[operators] def microOf(v: Double): Long =
     if (v >= 0) math.floor(v * QScale + 0.5).toLong
     else -math.floor(-v * QScale + 0.5).toLong
 
   /** Exact integer squared-L2 between a vector's micro subvector and a
     * micro-quantized centroid; ties break to the lowest code. */
-  private def encodeUdf(cm: Array[Array[Array[Long]]]) =
+  private[operators] def encodeUdf(cm: Array[Array[Array[Long]]]) =
     udf { (rq: Seq[Long]) =>
       val dsub = rq.length / M
       (0 until M).map { m =>
@@ -79,7 +79,7 @@ object PqAnn {
 
   /** Per-query ADC table: entry [m*K + k] = exact integer squared-L2
     * between the query's m-th micro subvector and centroid (m, k). */
-  private def qtableUdf(cm: Array[Array[Array[Long]]]) =
+  private[operators] def qtableUdf(cm: Array[Array[Array[Long]]]) =
     udf { (rq: Seq[Long]) =>
       val dsub = rq.length / M
       val out = new Array[Long](M * K)

@@ -215,6 +215,159 @@ object SimilarityQueries {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** DuckDB mirror of the IVF-PQ index (operators.IvfPqAnn): replays
+    * v4's coarse Lloyd quantizer (double means, exact integer dimension
+    * sums), micro-quantizes the final centroids, then re-runs every
+    * IVF-PQ-specific step in EXACT BIGINT arithmetic — integer cell
+    * assignment, residual subtraction, the residual-space per-subspace
+    * Lloyd fit (pqSql's scheme over residuals), encoding, and ADC —
+    * plus v4's cosine cell probing for the query side. */
+  private def ivfpqSql(nCells: Int, nProbe: Int, coarseIters: Int,
+                       m: Int, kCents: Int, pqIters: Int,
+                       k: Int, cand: Int, dim: Int = 64): String = {
+    val dsub = dim / m
+    // double squared-L2 (coarse Lloyd assignment — ivfSql's comparison)
+    def dist(rq: String, c: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($rq, $c),
+         |  p -> (CAST(p[1] AS DOUBLE)/1000000.0 - CAST(p[2] AS DOUBLE))
+         |     * (CAST(p[1] AS DOUBLE)/1000000.0 - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)""".stripMargin
+    // exact integer squared-L2 between micro-unit BIGINT lists
+    def idist(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip($a, $b),
+         |  p -> (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT))
+         |     * (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)))), (x, y) -> x + y)""".stripMargin
+    def micro(v: String) =
+      s"""CASE WHEN ($v) >= 0 THEN CAST(floor(($v)*1000000.0 + 0.5) AS BIGINT)
+         |     ELSE -CAST(floor(-($v)*1000000.0 + 0.5) AS BIGINT) END""".stripMargin
+    // coarse Lloyd rounds — identical to ivfSql's iterCtes
+    val coarseCtes = (1 to coarseIters).map { it =>
+      s"""a$it AS (
+         |  SELECT vec_id, rq, cell FROM (
+         |    SELECT r.vec_id, r.rq, c.cell,
+         |           row_number() OVER (PARTITION BY r.vec_id
+         |             ORDER BY ${dist("r.rq", "c.c")}, c.cell) AS rn
+         |    FROM rq r CROSS JOIN c${it - 1} c) WHERE rn = 1),
+         |s$it AS MATERIALIZED (
+         |  SELECT cell, i, sum(rq[i + 1]) AS s, count(*) AS n
+         |  FROM a$it CROSS JOIN range($dim) t(i) GROUP BY cell, i),
+         |n$it AS MATERIALIZED (
+         |  SELECT cell, list(CAST(s AS DOUBLE)/(CAST(n AS DOUBLE)*1000000.0) ORDER BY i) AS c
+         |  FROM s$it GROUP BY cell),
+         |c$it AS MATERIALIZED (
+         |  SELECT p.cell, coalesce(nn.c, p.c) AS c
+         |  FROM c${it - 1} p LEFT JOIN n$it nn USING (cell))""".stripMargin
+    }.mkString(",\n")
+    // residual-space PQ Lloyd rounds — pqSql's iterCtes over `rss`/`pc*`
+    val pqCtes = (1 to pqIters).map { it =>
+      s"""pa$it AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT r.vec_id, r.sub, c.cell,
+         |           row_number() OVER (PARTITION BY r.vec_id, r.sub
+         |             ORDER BY ${idist("r.rqm", "c.cm")}, c.cell) AS rn
+         |    FROM rss r JOIN pc${it - 1} c ON r.sub = c.sub) WHERE rn = 1),
+         |ps$it AS MATERIALIZED (
+         |  SELECT a.sub, a.cell, i, sum(r.rqm[i + 1]) AS s, count(*) AS n
+         |  FROM pa$it a JOIN rss r USING (vec_id, sub) CROSS JOIN range($dsub) t(i)
+         |  GROUP BY a.sub, a.cell, i),
+         |pn$it AS MATERIALIZED (
+         |  SELECT sub, cell,
+         |         list(${micro("CAST(s AS DOUBLE)/(CAST(n AS DOUBLE)*1000000.0)")} ORDER BY i) AS cm
+         |  FROM ps$it GROUP BY sub, cell),
+         |pc$it AS MATERIALIZED (
+         |  SELECT p.sub, p.cell, coalesce(nn.cm, p.cm) AS cm
+         |  FROM pc${it - 1} p LEFT JOIN pn$it nn USING (sub, cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH rq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CASE WHEN CAST(x AS DOUBLE) >= 0
+       |           THEN CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)
+       |           ELSE -CAST(floor(-CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) END) AS rq
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(rn - 1 AS INT) AS cell,
+       |         list_transform(rq, r -> CAST(r AS DOUBLE)/1000000.0) AS c
+       |  FROM (SELECT rq, row_number() OVER (
+       |          ORDER BY (vec_id*1103515245 + 12345) % 2147483648, vec_id) AS rn
+       |        FROM rq)
+       |  WHERE rn <= $nCells),
+       |$coarseCtes,
+       |cmu AS MATERIALIZED (
+       |  SELECT cell, list_transform(c, x -> ${micro("x")}) AS cmu
+       |  FROM c$coarseIters),
+       |af0 AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT r.vec_id, mm.cell,
+       |           row_number() OVER (PARTITION BY r.vec_id
+       |             ORDER BY ${idist("r.rq", "mm.cmu")}, mm.cell) AS rn
+       |    FROM rq r CROSS JOIN cmu mm) WHERE rn = 1),
+       |res AS MATERIALIZED (
+       |  SELECT r.vec_id, a.cell,
+       |         list_transform(list_zip(r.rq, mm.cmu),
+       |           p -> CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)) AS res
+       |  FROM rq r JOIN af0 a USING (vec_id) JOIN cmu mm ON mm.cell = a.cell),
+       |rss AS MATERIALIZED (
+       |  SELECT vec_id, CAST(t.m AS INT) AS sub,
+       |         res[t.m*$dsub + 1 : t.m*$dsub + $dsub] AS rqm
+       |  FROM res CROSS JOIN range($m) t(m)),
+       |pc0 AS MATERIALIZED (
+       |  SELECT CAST(t.m AS INT) AS sub, CAST(rn - 1 AS INT) AS cell,
+       |         res[t.m*$dsub + 1 : t.m*$dsub + $dsub] AS cm
+       |  FROM (SELECT res, row_number() OVER (
+       |          ORDER BY (vec_id*1103515245 + 12345) % 2147483648, vec_id) AS rn
+       |        FROM res)
+       |  CROSS JOIN range($m) t(m)
+       |  WHERE rn <= $kCents),
+       |$pqCtes,
+       |afq AS MATERIALIZED (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT r.vec_id, r.sub, c.cell,
+       |           row_number() OVER (PARTITION BY r.vec_id, r.sub
+       |             ORDER BY ${idist("r.rqm", "c.cm")}, c.cell) AS rn
+       |    FROM rss r JOIN pc$pqIters c ON r.sub = c.sub) WHERE rn = 1),
+       |probe AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             ${sqlDot("q.embedding", "c.c")}
+       |               / (${sqlNorm("q.embedding")} * ${sqlNorm("c.c")}) DESC, c.cell) AS rn
+       |    FROM embeddings q CROSS JOIN c$coarseIters c WHERE q.vec_id < 8)
+       |  WHERE rn <= $nProbe),
+       |qres AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, p.cell AS pcell,
+       |         list_transform(list_zip(q.rq, mm.cmu),
+       |           pz -> CAST(pz[1] AS BIGINT) - CAST(pz[2] AS BIGINT)) AS qres
+       |  FROM rq q JOIN probe p ON p.query_id = q.vec_id
+       |  JOIN cmu mm ON mm.cell = p.cell),
+       |qdt AS MATERIALIZED (
+       |  SELECT qr.query_id, qr.pcell, c.sub, c.cell,
+       |         ${idist(s"qr.qres[c.sub*$dsub + 1 : c.sub*$dsub + $dsub]", "c.cm")} AS d
+       |  FROM qres qr CROSS JOIN pc$pqIters c),
+       |adc AS MATERIALIZED (
+       |  SELECT qdt.query_id, afq.vec_id AS neighbor_id, sum(qdt.d) AS adc
+       |  FROM af0
+       |  JOIN afq ON afq.vec_id = af0.vec_id
+       |  JOIN qdt ON qdt.pcell = af0.cell AND qdt.sub = afq.sub
+       |          AND qdt.cell = afq.cell AND afq.vec_id <> qdt.query_id
+       |  GROUP BY qdt.query_id, afq.vec_id),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |              ORDER BY adc, neighbor_id) AS crn
+       |    FROM adc) WHERE crn <= $cand),
+       |rerank AS MATERIALIZED (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         round(${sqlDot("qv.embedding", "cv.embedding")}
+       |           / (${sqlNorm("qv.embedding")} * ${sqlNorm("cv.embedding")}), 6) AS cos
+       |  FROM cand
+       |  JOIN embeddings cv ON cv.vec_id = cand.neighbor_id
+       |  JOIN embeddings qv ON qv.vec_id = cand.query_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM rerank)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** DuckDB-side mirror of dotD/normD (double fold, same order). */
   private def sqlDot(a: String, b: String) =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
@@ -628,6 +781,31 @@ object SimilarityQueries {
             .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
           allowed = e.filter(col("label") % 3 === 0).select("vec_id"),
           k = 5, nCells = 16, nProbe = 8)
+        .orderBy("query_id", "rnk")
+    },
+
+    // IVF-PQ (round 7) — the production-shape index (FAISS IVFPQ): the
+    // coarse quantizer prunes to nProbe cells AND product quantization
+    // compresses each vector's RESIDUAL (vector − cell centroid) to a
+    // 64-bit code scored by ADC lookups. Residual encoding is the point:
+    // after the centroid is subtracted the codebooks only cover the
+    // within-cell spread, so the same code budget quantizes a tighter
+    // distribution than flat PQ (v9). See operators.IvfPqAnn for the
+    // 100 TB shape; every IVF-PQ-specific step is exact BIGINT
+    // arithmetic, so the oracle replays coarse fit → assignment →
+    // residuals → residual Lloyd → encode → probe → ADC bit-for-bit.
+    q("v11_ann_ivfpq",
+      ivfpqSql(nCells = graft.operators.IvfPqAnn.NCells,
+               nProbe = graft.operators.IvfPqAnn.NProbe,
+               coarseIters = graft.operators.IvfAnn.LloydIters,
+               m = graft.operators.PqAnn.M, kCents = graft.operators.PqAnn.K,
+               pqIters = graft.operators.PqAnn.PqIters,
+               k = 5, cand = 200)) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      graft.operators.IvfPqAnn.topK(
+          corpus = e.select("vec_id", "embedding"),
+          queries = e.filter(col("vec_id") < 8).select("vec_id", "embedding"),
+          k = 5, cand = 200)
         .orderBy("query_id", "rnk")
     },
 
