@@ -72,6 +72,50 @@ class GraphQueriesSpec extends SparkSpec {
       s"node $node: recount $viaNode != reported ${top.getLong(1)}")
   }
 
+  /** The DOULION-sampled co-purchase edge set, as local tuples. */
+  private def sampledPairs(): Set[(Long, Long)] = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("p"))
+    li.toDF("ok", "u").join(li.toDF("ok", "v"), Seq("ok"))
+      .where(col("u") < col("v"))
+      .where((col("u") * 1103515245L + col("v") * 12345L) % 4 === 0)
+      .select("u", "v").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("g4_kcore: matches a local 3-round peel, degrees consistent") {
+    val got = q("g4_kcore").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.values.forall(_ >= 18))
+    // independent driver-side peel on the same sampled graph
+    var edges = sampledPairs().flatMap(p => Seq(p, p.swap))
+    for (_ <- 1 to 3) {
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val keep = deg.filter(_._2 >= 18).keySet
+      edges = edges.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    val expected = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+      .filter(_._2 >= 18)
+    assert(got == expected, s"peel mismatch: ${got.size} vs ${expected.size} nodes")
+  }
+
+  test("g5_link_predict: scores are exact RA sums over non-adjacent pairs") {
+    val got = q("g5_link_predict").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(got.length == 50)
+    val pairs = sampledPairs()
+    val adj = pairs.flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    val deg = adj.map { case (n, ns) => n -> ns.size.toLong }
+    got.foreach { case ((u, w), ra) =>
+      assert(!pairs((u, w)) && !pairs((w, u)),
+        s"($u,$w) is an existing edge — link prediction must exclude it")
+      val common = adj.getOrElse(u, Set.empty) intersect adj.getOrElse(w, Set.empty)
+      val expected = common.toSeq.map(v => 1000000000L / deg(v)).sum
+      assert(ra == expected, s"($u,$w): RA $ra != recomputed $expected")
+    }
+  }
+
   test("g3_seeded_walks: paths follow real edges and alternate sides") {
     val out = q("g3_seeded_walks").cache()
     val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
