@@ -423,6 +423,52 @@ object StreamOps {
     ()
   }
 
+  /** Online retrieval: arriving query vectors probe the STANDING IVF
+    * index (`IvfAnn.buildIndex` — v8's persisted layout) per
+    * micro-batch, landing one (query_id, neighbor_id, cos, rnk) row per
+    * result. The index is read-only ⇒ zero cross-batch state; the probe
+    * prunes to nProbe partition directories exactly like the batch
+    * `topKFromIndex` (same code path). Exactly-once via the
+    * upsertSink anti-join pattern keyed by query_id — a redelivered
+    * batch appends nothing. Scale shape: cost ∝ |delta queries| ×
+    * (nProbe/nCells corpus fraction); the corpus never rescans outside
+    * the probed cells and never re-fits. */
+  def annGate(queryVecs: DataFrame, indexPath: String, k: Int, nProbe: Int,
+              path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    queryVecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        annGateBatch(batch, indexPath, k, nProbe, path)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Per-micro-batch body of [[annGate]], exposed for failure-injection
+    * tests (idempotent per input batch: redelivery appends nothing). */
+  def annGateBatch(batch: DataFrame, indexPath: String, k: Int,
+                   nProbe: Int, path: String): Unit = {
+    val spark = batch.sparkSession
+    val landed =
+      (try Some(spark.read.parquet(path))
+       catch {
+         case e: org.apache.spark.sql.AnalysisException
+           if e.getErrorClass == "PATH_NOT_FOUND" => None
+       })
+        .map(_.select(col("query_id").as("landed_id")).distinct())
+        .getOrElse(batch.select(col("vec_id").as("landed_id")).limit(0))
+    val queries = batch
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val results = graft.operators.IvfAnn
+      .topKFromIndex(spark, indexPath, queries, k, nProbe)
+      .join(landed, col("query_id") <=> col("landed_id"), "left_anti")
+      .persist()
+    results.count() // materialize before the append lands new files
+    results.write.mode("append").parquet(path)
+    results.unpersist()
+    ()
+  }
+
   /** x27's streaming twin: per-micro-batch distribution drift monitor.
     * Each arriving batch's smoothed token distribution is KL-compared
     * to the STANDING corpus distribution (count frame + scalars built

@@ -203,4 +203,66 @@ class FailureInjectionSpec extends SparkSpec {
            batchPairs.select("a_id", "b_id").collect().map(_.toString).toSet,
       "landed pairs must equal the batch probe join exactly")
   }
+
+  test("ANN gate: post-append crash + redelivery lands each query's top-k once") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_agfail_${System.nanoTime()}"
+    graft.operators.IvfAnn.buildIndex(
+      e.filter(col("vec_id") >= 8).select("vec_id", "embedding"),
+      nCells = 16, path = s"$base/idx")
+    val delta = e.filter(col("vec_id") < 8).select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_agfail_src")
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_agfail_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/p")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/p"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(name))
+    }
+    stage(delta.filter(col("vec_id") % 2 === 0), "a_evens.parquet")
+    stage(delta.filter(col("vec_id") % 2 =!= 0), "b_odds.parquet")
+
+    val sink = s"$base/out"
+    val ck = s"$base/ck"
+
+    def runOnce(failAfterFirstAppend: Boolean): Unit = {
+      @volatile var failed = false
+      val q = spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          StreamOps.annGateBatch(batch, s"$base/idx", 5, 6, sink)
+          if (failAfterFirstAppend && !failed) {
+            failed = true
+            throw new RuntimeException("injected post-append failure")
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: StreamingQueryException
+          if e.getMessage.contains("injected post-append failure") => ()
+      }
+    }
+
+    runOnce(failAfterFirstAppend = true)
+    assert(spark.read.parquet(sink).count() > 0, "pre-crash append must be durable")
+    runOnce(failAfterFirstAppend = false)
+
+    val landed = spark.read.parquet(sink)
+    assert(landed.groupBy("query_id", "rnk").count()
+             .filter(col("count") > 1).count() == 0,
+      "no (query, rank) may land twice across crash + redelivery")
+    val batchRes = graft.operators.IvfAnn.topKFromIndex(
+      spark, s"$base/idx",
+      delta.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      k = 5, nProbe = 6)
+    assert(landed.collect().map(_.toString).toSet ==
+           batchRes.collect().map(_.toString).toSet,
+      "landed results must equal the batch standing-index search exactly")
+  }
 }

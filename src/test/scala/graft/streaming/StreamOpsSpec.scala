@@ -466,6 +466,32 @@ class StreamOpsSpec extends SparkSpec {
       "fixture must flag at least one contained pair or the test is vacuous")
   }
 
+  test("streaming ANN gate equals the batch standing-index search") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_anngate_${System.nanoTime()}"
+    graft.operators.IvfAnn.buildIndex(
+      e.filter(col("vec_id") >= 8).select("vec_id", "embedding"),
+      nCells = 16, path = s"$base/idx")
+    val delta = e.filter(col("vec_id") < 8).select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_anngate_src")
+    stageSlice(delta.filter(col("vec_id") % 2 === 0), dir, "s1", 1000000L)
+    stageSlice(delta.filter(col("vec_id") % 2 === 1), dir, "s2", 2000000L)
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = StreamOps.annGate(stream, s"$base/idx", k = 5, nProbe = 6,
+      s"$base/out", s"$base/ck")
+    q.awaitTermination()
+    val landed = canon(spark.read.parquet(s"$base/out"))
+    val batch = canon(graft.operators.IvfAnn.topKFromIndex(
+      spark, s"$base/idx",
+      delta.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      k = 5, nProbe = 6))
+    info(s"results: streamed=${landed.size} batch=${batch.size}")
+    assert(landed == batch)
+    assert(landed.size == 40, "8 queries x top-5 expected")
+  }
+
   // --- round-7 regression: schema probe on empty / mixed-vintage dirs ----
 
   test("stream starts on an EMPTY source directory and drains late files") {
