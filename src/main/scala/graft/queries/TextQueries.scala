@@ -1139,5 +1139,67 @@ object TextQueries {
                 "docs_out", "tokens_out")
         .orderBy("source")
     },
+
+    // Corpus comparison / domain signature (round 7): which terms
+    // DISTINGUISH sub-corpus A (lang='en') from B (everything else) —
+    // the log-odds-with-prior tool behind contamination hunts, domain
+    // fingerprints, and "what did this crawl add" diffs. Scored by the
+    // smoothed odds ratio  (a+1)(Nb−b+1) / ((Na−a+1)(b+1))  computed as
+    // ONE double division of two EXACT BIGINT cross-products (counts
+    // here keep products < 2^53, so the division is a single correctly-
+    // rounded op — bitwise identical on both engines; at 100 TB counts
+    // you lift the products into DECIMAL(38,0) before the terminal
+    // divide). Monotone in the log-odds score, so the ranking equals
+    // the log-odds ranking without ever computing a log (libm log is
+    // NOT bitwise portable — the same reason x25 sums DECIMAL lp).
+    // Output: top-25 A-discriminative + top-25 B-discriminative terms.
+    // Scale shape: one token explode + one (term, side) partial-agg
+    // shuffle; the two corpus totals broadcast as 1-row scalars.
+    q("x37_corpus_diff",
+      """WITH tok AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in_a, t.term
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)),
+        |tc AS (
+        |  SELECT term,
+        |         CAST(sum(in_a) AS BIGINT) AS a,
+        |         CAST(sum(1 - in_a) AS BIGINT) AS b
+        |  FROM tok GROUP BY term),
+        |tot AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+        |  FROM tc),
+        |scored AS (
+        |  SELECT term, a, b,
+        |         CAST((a + 1) * (nb - b + 1) AS DOUBLE)
+        |           / CAST((na - a + 1) * (b + 1) AS DOUBLE) AS odds
+        |  FROM tc, tot),
+        |side_a AS (
+        |  SELECT 'A' AS side, term, a AS n_in, b AS n_out, odds
+        |  FROM scored ORDER BY odds DESC, term LIMIT 25),
+        |side_b AS (
+        |  SELECT 'B' AS side, term, b AS n_in, a AS n_out, odds
+        |  FROM scored ORDER BY odds ASC, term LIMIT 25)
+        |SELECT * FROM side_a UNION ALL SELECT * FROM side_b
+        |ORDER BY side, odds DESC, term""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      val tok = Tables.load(s, dir, "documents")
+        .select(when(col("lang") === "en", 1).otherwise(0).as("in_a"),
+                explode(tokens(col("text"))).as("term"))
+      val tc = tok.groupBy("term")
+        .agg(sum("in_a").as("a"), sum(lit(1) - col("in_a")).as("b"))
+      val tot = tc.agg(sum("a").as("na"), sum("b").as("nb"))
+      val scored = tc.crossJoin(broadcast(tot))
+        .select(col("term"), col("a"), col("b"),
+          (((col("a") + 1) * (col("nb") - col("b") + 1)).cast("double")
+            / ((col("na") - col("a") + 1) * (col("b") + 1)).cast("double"))
+            .as("odds"))
+        .cache()
+      val sideA = scored.orderBy(desc("odds"), col("term")).limit(25)
+        .select(lit("A").as("side"), col("term"),
+                col("a").as("n_in"), col("b").as("n_out"), col("odds"))
+      val sideB = scored.orderBy(col("odds"), col("term")).limit(25)
+        .select(lit("B").as("side"), col("term"),
+                col("b").as("n_in"), col("a").as("n_out"), col("odds"))
+      sideA.unionByName(sideB).orderBy(col("side"), desc("odds"), col("term"))
+    },
   )
 }

@@ -47,6 +47,7 @@ class PlanHygieneSpec extends SparkSpec {
     "j18_editdist_docs"     -> "alphabet-bounded DISTINCT short-value block (len <= q(k+1)-1 = 17, |Sigma|^17-bounded by construction; empty on this corpus - min doc len 48)",
     "x36_temperature_mix"   -> "1-row temperature-normalizer scalar (s_sum, tok_all)",
     "v10_ann_filtered"      -> "8-row query table x nCells-row trained-centroid table (probe scoring)",
+    "x37_corpus_diff"       -> "1-row corpus-totals scalar (na, nb)",
   )
 
   /** Global windows fed by a constant-bounded input. */
