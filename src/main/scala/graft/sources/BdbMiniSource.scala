@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -38,6 +39,14 @@ import scala.jdk.CollectionConverters._
   *    partial-pushdown contract). Composes with the gameId filter:
   *    filters push before aggregates, so a pruned scan counts only
   *    surviving splits. The DSv2 analog of metadata-only count(*).
+  *  - `SupportsPushDownLimit` / `SupportsPushDownTopN` (round 7): a
+  *    bare LIMIT — or a single-column ORDER BY + LIMIT — is applied
+  *    INSIDE each split's reader (`isPartiallyPushed` = true: each
+  *    split emits at most N rows, Spark applies the final global
+  *    limit/sort over ≤ N·splits survivors instead of every row).
+  *    The TopN accept rule is conservative: one atomic-orderable sort
+  *    column, else decline and let Spark run the ordinary sort — the
+  *    same mergeable-top-k argument as `operators.GroupTopK`.
   *
   * Each reader generates its split's rows on the EXECUTOR (the fixture
   * generator is a pure function), so nothing flows through the driver.
@@ -108,12 +117,15 @@ class BdbMiniTable(tableName: String) extends Table with SupportsRead {
 
 class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var requiredSchema: StructType = BdbMiniSource.schemaOf(tableName)
   private var gameFilter: Option[Long] = None
   private var pushed: Array[Filter] = Array.empty
   private var countPushed = false
+  private var limitPushed: Option[Int] = None
+  private var topNPushed: Option[(String, Boolean, Int)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (!countPushed) this.requiredSchema = requiredSchema
@@ -147,21 +159,64 @@ class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
     ok
   }
 
+  // Partial-pushdown contract for both: each split emits at most N
+  // rows; Spark still applies the global limit (and for TopN the final
+  // merge sort) over the per-split survivors.
+  override def pushLimit(limit: Int): Boolean = {
+    if (countPushed) false
+    else { limitPushed = Some(limit); true }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (countPushed || orders.length != 1) return false
+    val o = orders(0)
+    o.expression() match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        val name = f.fieldNames()(0)
+        val full = BdbMiniSource.schemaOf(tableName)
+        val orderable = full.fieldNames.contains(name) && {
+          import org.apache.spark.sql.types._
+          full(full.fieldIndex(name)).dataType match {
+            case _: NumericType | StringType | BooleanType | DateType |
+                 TimestampType => true
+            case _ => false
+          }
+        }
+        if (!orderable) false
+        else {
+          topNPushed =
+            Some((name, o.direction() == SortDirection.DESCENDING, limit))
+          true
+        }
+      case _ => false
+    }
+  }
+
   override def build(): Scan =
-    new BdbMiniScan(tableName, requiredSchema, gameFilter, countPushed)
+    new BdbMiniScan(tableName, requiredSchema, gameFilter, countPushed,
+      limitPushed, topNPushed)
 }
 
 case class BdbMiniSplit(table: String, gameId: Option[Long]) extends InputPartition
 
 class BdbMiniScan(tableName: String, requiredSchema: StructType,
                   gameFilter: Option[Long],
-                  countPushed: Boolean = false) extends Scan with Batch {
+                  countPushed: Boolean = false,
+                  limitPushed: Option[Int] = None,
+                  topNPushed: Option[(String, Boolean, Int)] = None)
+  extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-bdb table=$tableName pushedGame=$gameFilter" +
-      (if (countPushed) " PushedAggregates=[COUNT(*)]" else "")
+      (if (countPushed) " PushedAggregates=[COUNT(*)]" else "") +
+      limitPushed.map(n => s" PushedLimit=$n").getOrElse("") +
+      topNPushed.map { case (c, d, n) =>
+        s" PushedTopN=[$c ${if (d) "DESC" else "ASC"} LIMIT $n]"
+      }.getOrElse("")
 
   /** One split per surviving game — EqualTo(gameId) pushdown prunes
     * splits HERE, before any row exists. */
@@ -174,11 +229,14 @@ class BdbMiniScan(tableName: String, requiredSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BdbMiniReaderFactory(tableName, requiredSchema, countPushed)
+    new BdbMiniReaderFactory(tableName, requiredSchema, countPushed,
+      limitPushed, topNPushed)
 }
 
 class BdbMiniReaderFactory(tableName: String, requiredSchema: StructType,
-                           countPushed: Boolean = false)
+                           countPushed: Boolean = false,
+                           limitPushed: Option[Int] = None,
+                           topNPushed: Option[(String, Boolean, Int)] = None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -192,7 +250,27 @@ class BdbMiniReaderFactory(tableName: String, requiredSchema: StructType,
         else {
           val full = BdbMiniSource.schemaOf(tableName)
           val indices = requiredSchema.fieldNames.map(full.fieldIndex)
-          BdbMiniSource.rowsOf(tableName, split.gameId).map { r =>
+          val base = BdbMiniSource.rowsOf(tableName, split.gameId)
+          // per-split TopN / limit BEFORE projection (the sort column
+          // may be outside the pruned schema). Fixture splits are
+          // small, so a full sort is fine; a real source would keep a
+          // size-N bounded heap (GroupTopK.localTopK's shape).
+          val cut: Iterator[InternalRow] = topNPushed match {
+            case Some((cname, desc, n)) =>
+              val idx = full.fieldIndex(cname)
+              val dt = full(idx).dataType
+              val ord = new Ordering[InternalRow] {
+                def compare(a: InternalRow, b: InternalRow): Int =
+                  a.get(idx, dt).asInstanceOf[Comparable[Any]]
+                    .compareTo(b.get(idx, dt))
+              }
+              base.toArray
+                .sorted(if (desc) ord.reverse else ord)
+                .iterator.take(n)
+            case None =>
+              limitPushed.map(base.take).getOrElse(base)
+          }
+          cut.map { r =>
             // project to the pruned schema only
             InternalRow.fromSeq(indices.map(i => r.get(i, full(i).dataType)).toSeq)
           }

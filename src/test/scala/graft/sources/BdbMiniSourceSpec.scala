@@ -70,6 +70,47 @@ class BdbMiniSourceSpec extends SparkSpec {
       "scan description should record the pushed aggregate")
   }
 
+  test("LIMIT pushes to the source: each split emits at most N rows") {
+    val df = read("tracking").limit(5)
+    assert(df.count() == 5)
+    // every returned row is a real fixture row
+    val fixture = BdbMini.load(spark)._5.collect().map(_.toString).toSet
+    assert(df.collect().map(_.toString).forall(fixture))
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.scan.description().contains("PushedLimit=5"),
+      scan.scan.description())
+  }
+
+  test("single-column ORDER BY + LIMIT pushes as TopN (partial: per-split cut)") {
+    val df = read("tracking").orderBy(desc("x")).limit(3)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.scan.description().contains("PushedTopN=[x DESC LIMIT 3]"),
+      scan.scan.description())
+    // tie-safe correctness: the returned x multiset equals the fixture's
+    // global top-3 (the per-split cut is lossless for a global top-k —
+    // the GroupTopK mergeability argument)
+    val got = df.collect().map(_.getAs[Double]("x")).sorted.toSeq
+    val expected = BdbMini.tracking.map(_.x).sorted.reverse.take(3).sorted.toSeq
+    assert(got == expected)
+  }
+
+  test("TopN pushdown declines multi-column sorts; result still correct") {
+    val df = read("tracking").orderBy(desc("x"), col("y")).limit(3)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(!scan.scan.description().contains("PushedTopN"),
+      scan.scan.description())
+    val got = df.collect().map(r => (r.getAs[Double]("x"), r.getAs[Double]("y")))
+    val expected = BdbMini.tracking.map(t => (t.x, t.y))
+      .sortBy { case (x, y) => (-x, y) }.take(3)
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("aggregate pushdown declines grouped or non-count aggregates") {
     // per-game grouped count is NOT pushed (source declines) but stays
     // correct through the ordinary row path
