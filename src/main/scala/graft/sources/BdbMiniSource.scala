@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering, Statistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,7 +46,21 @@ import scala.jdk.CollectionConverters._
   *    limit/sort over ≤ N·splits survivors instead of every row).
   *    The TopN accept rule is conservative: one atomic-orderable sort
   *    column, else decline and let Spark run the ordinary sort — the
-  *    same mergeable-top-k argument as `operators.GroupTopK`.
+  *    same mergeable-top-k argument as `operators.GroupTopN`.
+  *  - `SupportsReportStatistics` (round 7): the scan reports exact
+  *    row counts / sizes, so the STATIC planner already knows the
+  *    games dimension is broadcast-sized — without stats every V2
+  *    table looks huge, the static plan is a sort-merge join, and
+  *    runtime DPP has no broadcast to reuse (it falls back to a
+  *    no-op filter; observed before this was added).
+  *  - `SupportsRuntimeFiltering` (round 7): the dynamic-partition-
+  *    pruning analog for V2 — when the fact scan joins a SELECTIVE
+  *    dimension on gameId, Spark re-plans the scan at runtime with the
+  *    dim side's surviving keys (`RuntimeFilters: [dynamicpruning...]`
+  *    in the plan) and `filter(In(gameId, ...))` drops whole splits
+  *    before a single row is generated. At 100 TB this is the
+  *    fact-table scan skipping every game a filtered dim join can
+  *    never match.
   *
   * Each reader generates its split's rows on the EXECUTOR (the fixture
   * generator is a pure function), so nothing flows through the driver.
@@ -206,7 +220,44 @@ class BdbMiniScan(tableName: String, requiredSchema: StructType,
                   countPushed: Boolean = false,
                   limitPushed: Option[Int] = None,
                   topNPushed: Option[(String, Boolean, Int)] = None)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsRuntimeFiltering
+  with SupportsReportStatistics {
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // exact stats from the fixture generator: count the surviving
+    // splits' rows (static gameId pushdown already applied). ~100
+    // bytes/row is the serialized row ballpark; what matters for
+    // planning is that 2-row games reports tiny and tracking large.
+    private lazy val n: Long =
+      if (tableName == "players") BdbMiniSource.rowsOf(tableName, None).size.toLong
+      else BdbMini.games.map(_.gameId)
+        .filter(g => gameFilter.forall(_ == g))
+        .map(g => BdbMiniSource.rowsOf(tableName, Some(g)).size.toLong).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * 100)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
+
+  // runtime (DPP-style) split pruning: Spark hands the dim join's
+  // surviving gameIds here after planning, before partitions are asked
+  private var runtimeGameIds: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (tableName == "players") Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.column("gameId"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("gameId", vs) =>
+      runtimeGameIds = Some(vs.map {
+        case l: Long => l
+        case i: Int  => i.toLong
+        case other   => other.toString.toLong
+      }.toSet)
+    case EqualTo("gameId", v: Long) => runtimeGameIds = Some(Set(v))
+    case EqualTo("gameId", v: Int)  => runtimeGameIds = Some(Set(v.toLong))
+    case _ => ()
+  }
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -224,6 +275,7 @@ class BdbMiniScan(tableName: String, requiredSchema: StructType,
     if (tableName == "players") Array(BdbMiniSplit(tableName, None))
     else BdbMini.games.map(_.gameId)
       .filter(g => gameFilter.forall(_ == g))
+      .filter(g => runtimeGameIds.forall(_.contains(g)))
       .map(g => BdbMiniSplit(tableName, Some(g)): InputPartition)
       .toArray
   }
