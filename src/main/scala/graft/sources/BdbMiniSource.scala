@@ -7,7 +7,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering, Statistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering, Statistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,6 +54,18 @@ import scala.jdk.CollectionConverters._
   *    table looks huge, the static plan is a sort-merge join, and
   *    runtime DPP has no broadcast to reuse (it falls back to a
   *    no-op filter; observed before this was added).
+  *  - `SupportsReportPartitioning` + `HasPartitionKey` (round 7):
+  *    the scan reports `KeyGroupedPartitioning(identity(gameId))` and
+  *    every split carries its gameId as the partition key, so with
+  *    `spark.sql.sources.v2.bucketing.enabled` two graft-bdb tables
+  *    JOIN ON gameId with NO Exchange on either side — the V2
+  *    storage-partitioned join, the source-native analog of the s10
+  *    bucketed join (spec-asserted shuffle-free plan; the conf is ON
+  *    by default in Spark 4). Interplay with runtime filtering: under
+  *    v2 bucketing Spark preserves the reported key set
+  *    (pushPartValues), so runtime-pruned gameIds become EMPTY
+  *    partitions; with bucketing off the splits disappear outright —
+  *    BdbMiniSpjSpec asserts both behaviors.
   *  - `SupportsRuntimeFiltering` (round 7): the dynamic-partition-
   *    pruning analog for V2 — when the fact scan joins a SELECTIVE
   *    dimension on gameId, Spark re-plans the scan at runtime with the
@@ -213,7 +226,12 @@ class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
       limitPushed, topNPushed)
 }
 
-case class BdbMiniSplit(table: String, gameId: Option[Long]) extends InputPartition
+case class BdbMiniSplit(table: String, gameId: Option[Long])
+  extends InputPartition with HasPartitionKey {
+  // storage-partitioned-join contract: the key row matches the
+  // KeyGroupedPartitioning expressions (identity(gameId))
+  override def partitionKey(): InternalRow = InternalRow(gameId.getOrElse(0L))
+}
 
 class BdbMiniScan(tableName: String, requiredSchema: StructType,
                   gameFilter: Option[Long],
@@ -221,7 +239,13 @@ class BdbMiniScan(tableName: String, requiredSchema: StructType,
                   limitPushed: Option[Int] = None,
                   topNPushed: Option[(String, Boolean, Int)] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
-  with SupportsReportStatistics {
+  with SupportsReportStatistics with SupportsReportPartitioning {
+
+  override def outputPartitioning(): Partitioning =
+    if (tableName == "players") new UnknownPartitioning(1)
+    else new KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.identity("gameId")),
+      planInputPartitions().length)
 
   override def estimateStatistics(): Statistics = new Statistics {
     // exact stats from the fixture generator: count the surviving

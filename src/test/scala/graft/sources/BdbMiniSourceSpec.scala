@@ -111,39 +111,6 @@ class BdbMiniSourceSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
-  test("runtime filtering: a selective dim join prunes fact splits (DPP analog)") {
-    val phi = BdbMini.games.head.gameId
-    val dim = read("games").filter(col("homeTeamAbbr") === "PHI")
-    val joined = read("tracking").join(dim, "gameId")
-    // execute THROUGH this QueryExecution (collect, not count — count
-    // builds a separate execution whose scan instance we can't inspect)
-    assert(joined.collect().length == BdbMini.tracking.count(_.gameId == phi))
-    // plan evidence: the v2 scan carries a dynamic-pruning runtime filter
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("runtimefilters") &&
-           plan.toLowerCase.contains("dynamicpruning"), plan)
-    // split evidence: after execution the fact scan planned ONE split —
-    // the PHI game — not one per game
-    val scan = collectLeaves(joined.queryExecution.executedPlan).collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-        if b.scan.description().contains("table=tracking") => b
-    }.head
-    assert(scan.inputRDD.getNumPartitions == 1, s"splits: ${scan.inputRDD.getNumPartitions}")
-  }
-
-  /** AQE-tolerant traversal: adaptive plans and materialized query
-    * stages hold their substructure in `executedPlan`/`plan`, not
-    * `children`. */
-  private def collectLeaves(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      collectLeaves(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      collectLeaves(q.plan)
-    case other =>
-      other +: (other.children ++ other.subqueries).flatMap(collectLeaves)
-  }
-
   test("aggregate pushdown declines grouped or non-count aggregates") {
     // per-game grouped count is NOT pushed (source declines) but stays
     // correct through the ordinary row path
