@@ -19,8 +19,10 @@ import org.apache.spark.sql.DataFrame
 object Golden {
 
   val queries: Seq[String] =
+    // bdb_mirror_matchups / bdb_coverage_features graduated to DuckDB
+    // oracles (round 8) — goldens retired for those two
     Seq("bdb_radius_stage", "bdb_press_pipeline", "bdb_disguise",
-        "bdb_mirror_matchups", "bdb_coverage_features", "bdb_coverage_model")
+        "bdb_coverage_model")
 
   /** Seeded-but-deterministic rows-only DATA queries, goldened at
     * sf0.001: ML training metrics (m2 LR, m4 RF confusion, m5 MLP), the
