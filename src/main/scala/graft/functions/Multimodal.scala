@@ -128,6 +128,12 @@ object Multimodal {
     * d4's pigeonhole machinery: 60-bit sigs, 4 chunks of 15 bits —
     * complete for Hamming ≤ 3. */
   def aHash(media: Dataset[MediaRow], bits: Int = 60): Dataset[AHashRow] = {
+    // 1L << c wraps mod 64 past bit 63 (silently folding high cells
+    // onto low bits), and the downstream pigeonhole blocking chunks the
+    // signature as 4 × 15 bits — so 60 is the hard ceiling
+    require(bits > 0 && bits <= 60,
+      s"aHash bits must be in 1..60 (4×15-bit chunking downstream; " +
+      s"Long shifts wrap at 64): got $bits")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>

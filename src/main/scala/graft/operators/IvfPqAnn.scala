@@ -143,30 +143,24 @@ object IvfPqAnn {
     cm
   }
 
-  /** Full IVF-PQ search. Output (query_id, neighbor_id, cos, rnk). */
-  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-           cand: Int = 200, nCells: Int = NCells,
-           nProbe: Int = NProbe): DataFrame = {
-    val spark = corpus.sparkSession
-    graft.plans.GraftExtensions.install(spark)
-
-    val coarse = IvfAnn.fitCentroids(corpus, nCells)
-    val cmicro = coarse.map(_.map(PqAnn.microOf))
-
-    // one pass: quantize -> integer cell assignment -> BIGINT residual
-    val assigned = corpus
+  /** Quantize → integer cell assignment → BIGINT residual (ONE pass
+    * over the corpus — callers persist the result so the PqIters
+    * codebook-fit collects and the final encode all read the same
+    * materialization instead of re-running the lineage each time). */
+  private def assignResiduals(corpus: DataFrame,
+                              cmicro: Array[Array[Long]]): DataFrame =
+    corpus
       .select(col("vec_id"), col("embedding"),
               PqAnn.quantCol(col("embedding")).as("rq"))
       .withColumn("cell", assignIntUdf(cmicro)(col("rq")))
       .withColumn("res", residualUdf(cmicro)(col("rq"), col("cell")))
 
-    val cm = fitResidualCodebooks(assigned.select(col("vec_id"), col("res")))
-    val codes = assigned
-      .select(col("vec_id"), col("embedding"), col("cell"),
-              PqAnn.encodeUdf(cm)(col("res")).as("codes"))
-
-    // query side: probe cells, per-probed-cell residual + ADC table
-    val qp = queries
+  /** Query-side prep: probe cells, per-probed-cell residual + ADC table. */
+  private def prepQueries(queries: DataFrame, coarse: Array[Array[Double]],
+                          cmicro: Array[Array[Long]],
+                          cm: Array[Array[Array[Long]]],
+                          nProbe: Int): DataFrame =
+    queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
               PqAnn.quantCol(col("embedding")).as("qrq"))
       .withColumn("pcell", explode(probeUdf(coarse, nProbe)(col("qe"))))
@@ -174,10 +168,17 @@ object IvfPqAnn {
       .withColumn("qtable", PqAnn.qtableUdf(cm)(col("qres")))
       .select("query_id", "qe", "pcell", "qtable")
 
-    // map-only ADC inside the probed cells: the equi-join on cell keeps
-    // corpus rows outside the probe set untouched, and the per-row score
-    // is M integer lookups in whole-stage codegen
-    val adc = codes
+  /** ADC scan of the probed cells + candidate cut + exact re-rank —
+    * the search tail shared by the fit-and-search and standing-index
+    * paths. Map-only ADC: the equi-join on cell keeps corpus rows
+    * outside the probe set untouched, and the per-row score is M
+    * integer lookups in whole-stage codegen. */
+  /** The ADC-scored (query, candidate) frame — the LAST plan-visible
+    * stage before GroupTopK's RDD pass (whose output plan prints as
+    * `Scan ExistingRDD`), so pruning properties of the code scan are
+    * asserted here (IvfPqAnnSpec/SimilaritySpec). */
+  private[graft] def adcScores(codes: DataFrame, qp: DataFrame): DataFrame =
+    codes
       .join(broadcast(qp),
         col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
       .withColumn("adc",
@@ -186,6 +187,10 @@ object IvfPqAnn {
           (acc, m) => acc +
             element_at(col("qtable"),
               m * PqAnn.K + element_at(col("codes"), m + 1) + 1)))
+
+  private def searchCodes(codes: DataFrame, qp: DataFrame,
+                          k: Int, cand: Int): DataFrame = {
+    val adc = adcScores(codes, qp)
 
     val candidates = GroupTopK
       .topK(adc, Seq("query_id"), "adc", "vec_id", k = cand, descending = false)
@@ -199,5 +204,113 @@ object IvfPqAnn {
         .cast("long"))
       .filter(col("rnk") <= k)
       .orderBy("query_id", "rnk")
+  }
+
+  /** Full IVF-PQ search. Output (query_id, neighbor_id, cos, rnk). */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           cand: Int = 200, nCells: Int = NCells,
+           nProbe: Int = NProbe): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftExtensions.install(spark)
+
+    val coarse = IvfAnn.fitCentroids(corpus, nCells)
+    val cmicro = coarse.map(_.map(PqAnn.microOf))
+
+    // persist: fitResidualCodebooks runs PqIters collect passes and the
+    // final encode reads it once more — uncached, each would re-run the
+    // full quantize/assign/residual lineage (~PqIters+2 corpus passes),
+    // contrary to the one-assignment-pass scale claim above. Evicted by
+    // the session's cache clear (Caches.reset); the standing-index path
+    // (buildIndex) unpersists explicitly.
+    val assigned = assignResiduals(corpus, cmicro).persist()
+
+    val cm = fitResidualCodebooks(assigned.select(col("vec_id"), col("res")))
+    val codes = assigned
+      .select(col("vec_id"), col("embedding"), col("cell"),
+              PqAnn.encodeUdf(cm)(col("res")).as("codes"))
+
+    searchCodes(codes, prepQueries(queries, coarse, cmicro, cm, nProbe),
+      k, cand)
+  }
+
+  /** Persist the IVF-PQ index (the v8 standing-index pattern applied to
+    * IVF-PQ): the code table laid out PARTITIONED BY cell — a probed
+    * search touches only nProbe directories — plus the tiny coarse
+    * centroid and residual-codebook tables. The operational shape at
+    * 100 TB: quantizers fit once, corpus assigned + encoded once, every
+    * query batch reads the standing 8-byte-per-vector index. */
+  /** Write-once-per-JVM guard around [[buildIndex]] (the graph-
+    * checkpoint convention): index content is a pure deterministic
+    * function of the corpus, so a rebuild is always byte-identical and
+    * a fresh JVM's rebuild heals any stale copy an older binary left
+    * behind; within a JVM the standing index is built exactly once and
+    * every subsequent search pays only the probe + pruned code scan. */
+  private val built = scala.collection.mutable.Set.empty[String]
+
+  def ensureIndex(corpus: DataFrame, path: String,
+                  nCells: Int = NCells): Unit = synchronized {
+    if (!built.contains(path)) {
+      buildIndex(corpus, path, nCells)
+      built.add(path)
+    }
+  }
+
+  def buildIndex(corpus: DataFrame, path: String, nCells: Int = NCells): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse = IvfAnn.fitCentroids(corpus, nCells)
+    val cmicro = coarse.map(_.map(PqAnn.microOf))
+    val assigned = assignResiduals(corpus, cmicro).persist()
+    val cm = fitResidualCodebooks(assigned.select(col("vec_id"), col("res")))
+    assigned
+      .select(col("vec_id"), col("embedding"), col("cell"),
+              PqAnn.encodeUdf(cm)(col("res")).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    assigned.unpersist()
+    coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    // codebooks flattened to (sub, cellk, pos, micro) — exact longs
+    (for {
+      m <- cm.indices; kc <- cm(m).indices; p <- cm(m)(kc).indices
+    } yield (m, kc, p, cm(m)(kc)(p))).toDF("sub", "cellk", "pos", "micro")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Top-k search against a persisted index: reconstruct the two tiny
+    * quantizer tables (bounded collects: nCells×dim + M·K·dsub rows),
+    * then prune the code scan to the probed cells — the isin on the
+    * partition column becomes static partition pruning, so only
+    * nProbe/nCells of the standing index is ever read. */
+  /** Prepped queries + probed-cell-pruned code scan from a persisted
+    * index (the shared head of [[topKFromIndex]]; package-private so
+    * the pruned-scan property is plan-assertable — see adcScores). */
+  private[graft] def indexedScan(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, queries: DataFrame,
+                                 nProbe: Int): (DataFrame, DataFrame) = {
+    graft.plans.GraftExtensions.install(spark)
+    val coarse = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cmicro = coarse.map(_.map(PqAnn.microOf))
+    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+    val subs = cbRows.map(_.getInt(0)).max + 1
+    val ks = cbRows.map(_.getInt(1)).max + 1
+    val dsub = cbRows.map(_.getInt(2)).max + 1
+    val cm = Array.ofDim[Long](subs, ks, dsub)
+    cbRows.foreach(r => cm(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3))
+
+    val qp = prepQueries(queries, coarse, cmicro, cm, nProbe)
+    val cells = qp.select("pcell").distinct().collect().map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(cells: _*)) // static partition pruning
+    (codes, qp)
+  }
+
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, cand: Int = 200,
+                    nProbe: Int = NProbe): DataFrame = {
+    val (codes, qp) = indexedScan(spark, path, queries, nProbe)
+    searchCodes(codes, qp, k, cand)
   }
 }

@@ -61,6 +61,17 @@ object WeightedMedian {
       .sortWithinPartitions(col(groupCol), col(valueCol))
   }
 
+  /** Enforced bound on the phase-3 subtotal collect: each partition may
+    * contribute at most this many DISTINCT group keys, capping the
+    * driver collect at nParts × MaxGroupsPerPartition rows. The
+    * two-phase plan presumes an enum-scale group key (the a26/a27
+    * shape); a high-cardinality group key trips this require instead of
+    * silently collecting — and for such keys the ordinary cumulative
+    * window (`sum(w) OVER (PARTITION BY group ORDER BY value)`) is
+    * already scale-safe, because many groups means no
+    * few-partitions sort. */
+  val MaxGroupsPerPartition = 10000
+
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
                      weightCol: String, medianName: String = "wmedian"): DataFrame =
     weightedQuantile(df, groupCol, valueCol, weightCol,
@@ -72,7 +83,8 @@ object WeightedMedian {
     * division-free comparison, same two-phase plan. */
   def weightedQuantile(df: DataFrame, groupCol: String, valueCol: String,
                        weightCol: String, qNum: Int, qDen: Int,
-                       outName: String = "wquantile"): DataFrame = {
+                       outName: String = "wquantile",
+                       maxGroupsPerPartition: Int = MaxGroupsPerPartition): DataFrame = {
     require(qNum > 0 && qDen > 0 && qNum <= qDen, s"need 0 < q <= 1; got $qNum/$qDen")
     val spark = df.sparkSession
     val medianName = outName
@@ -84,12 +96,23 @@ object WeightedMedian {
     val wIdx = schema.fieldIndex("w")
     val rdd = sorted.rdd // one lineage, two jobs → sort shuffle reused
 
-    // 3 — bounded subtotal collect: nParts × |groups| rows max
+    // 3 — bounded subtotal collect: ≤ nParts × maxGroupsPerPartition
+    // rows BY CONSTRUCTION — the enum-scale-groups premise is a
+    // runtime require (executor-side, before anything reaches the
+    // driver), not a scaladoc promise
     val subs: Array[(Int, Any, java.math.BigDecimal)] =
       rdd.mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[Any, java.math.BigDecimal]
         it.foreach { r =>
           val g = r.get(gIdx)
+          if (!m.contains(g) && m.size >= maxGroupsPerPartition)
+            throw new IllegalArgumentException(
+              s"weightedQuantile($groupCol): partition $pid holds more than " +
+              s"$maxGroupsPerPartition distinct group keys — the two-phase " +
+              "plan presumes an enum-scale group key. For a high-cardinality " +
+              "group key use the ordinary cumulative window " +
+              s"(sum($weightCol) OVER (PARTITION BY $groupCol ORDER BY " +
+              s"$valueCol)), which is scale-safe when groups are numerous.")
           m.update(g, m.getOrElse(g, java.math.BigDecimal.ZERO).add(r.getDecimal(wIdx)))
         }
         m.iterator.map { case (g, s) => (pid, g, s) }

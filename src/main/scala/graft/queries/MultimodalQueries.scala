@@ -143,16 +143,24 @@ object MultimodalQueries {
         |  UNION ALL
         |  SELECT doc_id * 2 + 1 AS media_id, text FROM documents),
         |byts AS (
-        |  SELECT media_id, text, octet_length(CAST(text AS BLOB)) AS n,
-        |         unnest(range(0, octet_length(CAST(text AS BLOB)))) AS off
+        |  SELECT media_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n,
+        |         unnest(range(0, octet_length(encode(text)))) AS off
         |  FROM raw),
+        |-- bytes indexed AS BYTES via the hex dump (not by CHARACTER:
+        |-- ascii(substr(text,...)) reads code points, which diverges
+        |-- from Spark's cast(text AS binary) UTF-8 bytes on any
+        |-- non-ASCII document), so the oracle stays valid if the corpus
+        |-- gains non-ASCII text
         |vals AS (
         |  SELECT media_id, n, (off * 60) // n AS c,
         |         CASE WHEN media_id % 2 = 1 AND off % 97 = 0
-        |              THEN (CAST(ascii(substr(text, CAST(off AS INTEGER) + 1, 1)) AS BIGINT) + 1) % 256
-        |              ELSE CAST(ascii(substr(text, CAST(off AS INTEGER) + 1, 1)) AS BIGINT)
-        |         END AS v
-        |  FROM byts),
+        |              THEN (bv + 1) % 256 ELSE bv END AS v
+        |  FROM (
+        |    SELECT media_id, n, off,
+        |           (strpos('0123456789ABCDEF', substr(h, CAST(off * 2 + 1 AS INTEGER), 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', substr(h, CAST(off * 2 + 2 AS INTEGER), 1)) - 1) AS bv
+        |    FROM byts)),
         |tot AS (SELECT media_id, any_value(n) AS n, sum(v) AS tv
         |        FROM vals GROUP BY media_id),
         |cells AS (SELECT media_id, c, sum(v) AS cs, count(*) AS cl

@@ -809,6 +809,31 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // v11's standing-index twin (round 8, the v8 pattern applied to
+    // IVF-PQ): the index — 8-byte codes partitioned by cell, coarse
+    // centroids, residual codebooks — is built ONCE per corpus
+    // (IvfPqAnn.ensureIndex) and each query batch pays only probe +
+    // pruned code scan + ADC + re-rank; the two deterministic Lloyd
+    // fits are NOT re-run per batch. Identical results to v11 (the
+    // quantizers are deterministic), so the SAME oracle replays it;
+    // IvfPqAnnSpec asserts v11 ≡ v12 and the partition-pruned scan.
+    q("v12_ann_ivfpq_persisted",
+      ivfpqSql(nCells = graft.operators.IvfPqAnn.NCells,
+               nProbe = graft.operators.IvfPqAnn.NProbe,
+               coarseIters = graft.operators.IvfAnn.LloydIters,
+               m = graft.operators.PqAnn.M, kCents = graft.operators.PqAnn.K,
+               pqIters = graft.operators.PqAnn.PqIters,
+               k = 5, cand = 200)) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_${dir.hashCode.toHexString}"
+      graft.operators.IvfPqAnn.ensureIndex(
+        e.select("vec_id", "embedding"), path)
+      graft.operators.IvfPqAnn.topKFromIndex(s, path,
+          queries = e.filter(col("vec_id") < 8).select("vec_id", "embedding"),
+          k = 5, cand = 200)
+        .orderBy("query_id", "rnk")
+    },
+
     // SemDeDup-style semantic dedup: assign every vector to its nearest
     // centroid by cosine, then drop any vector that has a smaller-id
     // within-cluster neighbor with cosine >= 0.35, reporting the kept

@@ -35,12 +35,16 @@ object StreamOps {
     // same session-UTC TimestampType the downstream watermarks expect.
     // One probed schema is applied to every file the stream ever picks up,
     // so a source directory must hold a single generator vintage: the probe
-    // samples up to 8 files and FAILS FAST on a mix (one of them would
-    // otherwise be silently misread). If the directory is empty or absent at
-    // start — the normal "stream first, producers later" file-source
-    // pattern — default to the current generator's TIMESTAMP(NANOS) layout
-    // instead of failing; the stream then starts and drains files as they
-    // arrive.
+    // reads EVERY present file's footer (footer reads are cheap driver-side
+    // metadata fetches; an end-sampled probe would still miss a second
+    // vintage buried mid-listing — the exact failure this closes) and FAILS
+    // FAST on a mix. Residual gap, stated in the require: files arriving
+    // AFTER the probe are never re-checked — a producer that switches
+    // vintage mid-stream is silently misread; keep one directory per
+    // vintage. If the directory is empty or absent at start — the normal
+    // "stream first, producers later" file-source pattern — default to the
+    // current generator's TIMESTAMP(NANOS) layout instead of failing; the
+    // stream then starts and drains files as they arrive.
     val vintages: Seq[org.apache.spark.sql.types.DataType] = {
       val hPath = new org.apache.hadoop.fs.Path(path)
       val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -48,7 +52,7 @@ object StreamOps {
         if (fs.exists(hPath))
           fs.listStatus(hPath).filter(s => s.isFile &&
               s.getPath.getName.endsWith(".parquet"))
-            .map(_.getPath.toString).sorted.take(8).toSeq
+            .map(_.getPath.toString).sorted.toSeq
         else Seq.empty[String]
       files.flatMap(f =>
         scala.util.Try(spark.read.parquet(f).schema("ts").dataType).toOption)
@@ -58,7 +62,8 @@ object StreamOps {
       s"mixed events.ts parquet vintages under $path: " +
         s"${vintages.mkString(", ")} — a file-stream source directory must " +
         "hold a single generator vintage (the probed schema is applied to " +
-        "every file the stream picks up)")
+        "every file the stream picks up; files arriving after this probe " +
+        "are not re-checked)")
     val tsIsLong =
       vintages.headOption.forall(_ == org.apache.spark.sql.types.LongType)
     val tsDdl = if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"

@@ -165,6 +165,38 @@ class SimilaritySpec extends SparkSpec {
       assert(rows("v8_ann_ivf_persisted") == rows("v4_ann_ivf_topk"))
     }
 
+  // v12 ≡ v11 at every recall scale: deterministic quantizers ⇒ the
+  // standing index encodes exactly what the fit-and-search path encodes,
+  // so v11's recall bound carries over to the persisted path verbatim.
+  for (dir <- recallDirs; sf = dir.split("/sf").last)
+    test(s"persisted IVF-PQ index returns exactly the in-memory IVF-PQ results at sf$sf") {
+      def rows(name: String) =
+        graft.SparkEntry.queries(name)(spark, dir)
+          .select("query_id", "neighbor_id", "cos", "rnk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(rows("v12_ann_ivfpq_persisted") == rows("v11_ann_ivfpq"))
+    }
+
+  test("persisted IVF-PQ search prunes the code scan to the probed cells") {
+    import graft.Tables
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_spec"
+    graft.operators.IvfPqAnn.buildIndex(e.select("vec_id", "embedding"), path)
+    val queries = e.filter(col("vec_id") < 2).select("vec_id", "embedding")
+    // plan-assert on the ADC stage — the LAST plan-visible stage before
+    // GroupTopK's RDD pass (past it the plan prints as Scan ExistingRDD)
+    val (codes, qp) = graft.operators.IvfPqAnn
+      .indexedScan(spark, path, queries, nProbe = 2)
+    val adc = graft.operators.IvfPqAnn.adcScores(codes, qp)
+    val scan = adc.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("PartitionFilters") && l.contains("cell"))
+    assert(scan.isDefined, "IVF-PQ index scan lost its cell partition filter")
+    // and the end-to-end search over the same index returns results
+    val q = graft.operators.IvfPqAnn.topKFromIndex(spark, path,
+      queries, k = 5, cand = 50, nProbe = 2)
+    assert(q.count() > 0)
+  }
+
   test("persisted IVF search prunes the index scan to the probed cells") {
     import graft.Tables
     val e = Tables.load(spark, sfDir, "embeddings")

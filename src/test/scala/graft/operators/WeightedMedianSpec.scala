@@ -98,6 +98,28 @@ class WeightedMedianSpec extends SparkSpec {
     assert(m.map(r => (r.getString(0), r.getDouble(1))).toSeq == Seq(("a", 5.0)))
   }
 
+  test("high-cardinality group key trips the bounded-collect cap, not a silent collect") {
+    // 10k distinct groups against a cap of 100: the executor-side
+    // require must fail BEFORE subtotals reach the driver, with the
+    // pointer to the window formulation in the message
+    val df = spark.range(10000).select(
+      col("id").cast("string").as("g"),
+      col("id").cast("double").as("v"),
+      lit(1.0).as("w"))
+    val e = intercept[org.apache.spark.SparkException] {
+      WeightedMedian.weightedQuantile(df, "g", "v", "w", 1, 2,
+        maxGroupsPerPartition = 100).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("enum-scale group key"), s"unexpected failure: $msg")
+  }
+
+  test("the default cap leaves enum-scale group keys untouched") {
+    assert(WeightedMedian.MaxGroupsPerPartition >= 1000)
+    val df = Seq(("a", 1.0, 1.0), ("b", 2.0, 1.0)).toDF("g", "v", "w")
+    assert(WeightedMedian.weightedMedian(df, "g", "v", "w").count() == 2)
+  }
+
   test("null weights are ignored, zero weights are inert") {
     val df = Seq(("a", 1.0, Some(0.0)), ("a", 2.0, Some(3.0)),
                  ("a", 9.0, None), ("a", 3.0, Some(1.0))).toDF("g", "v", "w")

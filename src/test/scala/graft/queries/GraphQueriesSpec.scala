@@ -99,6 +99,43 @@ class GraphQueriesSpec extends SparkSpec {
     assert(got == expected, s"peel mismatch: ${got.size} vs ${expected.size} nodes")
   }
 
+  test("g6_kcore_fixpoint: a true fixpoint, contained in g4's bounded peel") {
+    // NB: at sf0.001 the true 18-core is EMPTY (the sampled graph's
+    // degrees never reach 18 once the fringe peels) — that is the
+    // correct fixpoint, and exactly where g6 differs from g4's bounded
+    // upper approximation; the driver gate exercises the non-empty
+    // cores at sf0.01/sf0.1 (1856 / 18950 surviving nodes).
+    val got = q("g6_kcore_fixpoint").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ >= 18),
+      "at fixpoint EVERY surviving node keeps degree >= k")
+    // independent driver-side peel run to ITS fixpoint
+    var edges = sampledPairs().flatMap(p => Seq(p, p.swap))
+    var n = -1
+    while (n != edges.size) {
+      n = edges.size
+      val deg = edges.groupBy(_._1).map { case (node, es) => node -> es.size }
+      val keep = deg.filter(_._2 >= 18).keySet
+      edges = edges.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    val expected = edges.groupBy(_._1).map { case (node, es) => node -> es.size.toLong }
+    assert(got == expected, s"fixpoint mismatch: ${got.size} vs ${expected.size} nodes")
+    // the bounded 3-round peel (g4) is an UPPER approximation: it may
+    // keep extra nodes, never drop one the fixpoint keeps
+    val bounded = q("g4_kcore").collect().map(_.getLong(0)).toSet
+    assert(got.keySet.subsetOf(bounded),
+      "fixpoint core must be contained in the bounded peel's survivors")
+  }
+
+  test("g2_triangle_count: est_tri is the 1/p³-scaled sampled count") {
+    val rows = q("g2_triangle_count").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_tri") == 64L * r.getAs[Long]("n_tri"),
+        s"est_tri must be n_tri * 64 (p = 1/4): $r")
+    }
+  }
+
   test("g5_link_predict: scores are exact RA sums over non-adjacent pairs") {
     val got = q("g5_link_predict").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
