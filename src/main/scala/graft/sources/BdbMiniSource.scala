@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering, Statistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
@@ -40,6 +40,11 @@ import scala.jdk.CollectionConverters._
   *    partial-pushdown contract). Composes with the gameId filter:
   *    filters push before aggregates, so a pruned scan counts only
   *    surviving splits. The DSv2 analog of metadata-only count(*).
+  *    Round 8 extends this to GROUPED aggregates whose group key is
+  *    the partition key: `GROUP BY gameId` with MIN/MAX/COUNT partials
+  *    is answered per split (one row per split = one per group — the
+  *    split key IS the group), so the full row stream never leaves the
+  *    reader; grouping on anything else declines to the ordinary scan.
   *  - `SupportsPushDownLimit` / `SupportsPushDownTopN` (round 7): a
   *    bare LIMIT — or a single-column ORDER BY + LIMIT — is applied
   *    INSIDE each split's reader (`isPartiallyPushed` = true: each
@@ -142,6 +147,10 @@ class BdbMiniTable(tableName: String) extends Table with SupportsRead {
     new BdbMiniScanBuilder(tableName)
 }
 
+/** One pushed per-group aggregate: kind ∈ count_star | count | min | max
+  * (serializable — travels inside the reader factory to executors). */
+case class BdbPushedAgg(kind: String, column: String)
+
 class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -151,11 +160,12 @@ class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
   private var gameFilter: Option[Long] = None
   private var pushed: Array[Filter] = Array.empty
   private var countPushed = false
+  private var groupedAggs: Option[Seq[BdbPushedAgg]] = None
   private var limitPushed: Option[Int] = None
-  private var topNPushed: Option[(String, Boolean, Int)] = None
+  private var topNPushed: Option[(String, Boolean, Boolean, Int)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    if (!countPushed) this.requiredSchema = requiredSchema
+    if (!countPushed && groupedAggs.isEmpty) this.requiredSchema = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -169,35 +179,73 @@ class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  // Partial-pushdown contract: the scan emits one COUNT partial per
-  // split and Spark's final aggregate sums them.
+  // Partial-pushdown contract: the scan emits partial rows per split
+  // (one COUNT partial, or one row per split's group) and Spark's final
+  // aggregate merges them (sum of counts, min of mins, max of maxes).
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
 
+  private def singleCol(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 &&
+        BdbMiniSource.schemaOf(tableName).fieldNames.contains(f.fieldNames()(0)) =>
+      Some(f.fieldNames()(0))
+    case _ => None
+  }
+
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val ok = aggregation.groupByExpressions.isEmpty &&
-      aggregation.aggregateExpressions.length == 1 &&
-      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
-    if (ok) {
+    import org.apache.spark.sql.types._
+    val full = BdbMiniSource.schemaOf(tableName)
+    // tier 1: group-free COUNT(*) — one partial-count row per split
+    if (aggregation.groupByExpressions.isEmpty &&
+        aggregation.aggregateExpressions.length == 1 &&
+        aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]) {
       countPushed = true
       requiredSchema = StructType(Seq(
-        org.apache.spark.sql.types.StructField(
-          "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+        StructField("count(*)", LongType, nullable = false)))
+      return true
     }
-    ok
+    // tier 2 (round 8): per-gameId MIN/MAX/COUNT — the group column IS
+    // the partition key, so each split holds exactly one group and can
+    // answer its partials exactly: one row per split replaces the full
+    // row stream. Anything beyond {gameId} grouping or min/max/count
+    // declines — Spark then runs the ordinary scan + aggregate.
+    if (tableName == "players") return false
+    val groupCols = aggregation.groupByExpressions.toSeq.map(singleCol)
+    if (groupCols != Seq(Some("gameId"))) return false
+    val aggs = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(BdbPushedAgg("count_star", ""))
+      case c: Count if !c.isDistinct => singleCol(c.column).map(BdbPushedAgg("count", _))
+      case m: Min => singleCol(m.column).map(BdbPushedAgg("min", _))
+      case m: Max => singleCol(m.column).map(BdbPushedAgg("max", _))
+      case _ => None
+    }
+    if (aggs.exists(_.isEmpty)) return false
+    val specs = aggs.flatten
+    groupedAggs = Some(specs)
+    requiredSchema = StructType(
+      StructField("gameId", LongType, nullable = false) +: specs.map {
+        case BdbPushedAgg("count_star", _) =>
+          StructField("count(*)", LongType, nullable = false)
+        case BdbPushedAgg("count", c) =>
+          StructField(s"count($c)", LongType, nullable = false)
+        case BdbPushedAgg(k, c) =>
+          StructField(s"$k($c)", full(full.fieldIndex(c)).dataType, nullable = true)
+      })
+    true
   }
 
   // Partial-pushdown contract for both: each split emits at most N
   // rows; Spark still applies the global limit (and for TopN the final
   // merge sort) over the per-split survivors.
   override def pushLimit(limit: Int): Boolean = {
-    if (countPushed) false
+    if (countPushed || groupedAggs.isDefined) false
     else { limitPushed = Some(limit); true }
   }
 
   override def isPartiallyPushed(): Boolean = true
 
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
-    if (countPushed || orders.length != 1) return false
+    if (countPushed || groupedAggs.isDefined || orders.length != 1) return false
     val o = orders(0)
     o.expression() match {
       case f: NamedReference if f.fieldNames.length == 1 =>
@@ -213,8 +261,13 @@ class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
         }
         if (!orderable) false
         else {
-          topNPushed =
-            Some((name, o.direction() == SortDirection.DESCENDING, limit))
+          // honor the requested null placement (Spark defaults: ASC ⇒
+          // NULLS FIRST, DESC ⇒ NULLS LAST, but a query may override) —
+          // the per-split comparator places nulls explicitly instead of
+          // NPEing on Comparable.compareTo(null)
+          topNPushed = Some((name,
+            o.direction() == SortDirection.DESCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST, limit))
           true
         }
       case _ => false
@@ -223,7 +276,7 @@ class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
 
   override def build(): Scan =
     new BdbMiniScan(tableName, requiredSchema, gameFilter, countPushed,
-      limitPushed, topNPushed)
+      limitPushed, topNPushed, groupedAggs)
 }
 
 case class BdbMiniSplit(table: String, gameId: Option[Long])
@@ -237,7 +290,8 @@ class BdbMiniScan(tableName: String, requiredSchema: StructType,
                   gameFilter: Option[Long],
                   countPushed: Boolean = false,
                   limitPushed: Option[Int] = None,
-                  topNPushed: Option[(String, Boolean, Int)] = None)
+                  topNPushed: Option[(String, Boolean, Boolean, Int)] = None,
+                  groupedAggs: Option[Seq[BdbPushedAgg]] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics with SupportsReportPartitioning {
 
@@ -288,9 +342,14 @@ class BdbMiniScan(tableName: String, requiredSchema: StructType,
   override def description(): String =
     s"graft-bdb table=$tableName pushedGame=$gameFilter" +
       (if (countPushed) " PushedAggregates=[COUNT(*)]" else "") +
+      groupedAggs.map(as => " PushedAggregates=[" + as.map {
+        case BdbPushedAgg("count_star", _) => "COUNT(*)"
+        case BdbPushedAgg(k, c) => s"${k.toUpperCase}($c)"
+      }.mkString(", ") + "] GroupedBy=[gameId]").getOrElse("") +
       limitPushed.map(n => s" PushedLimit=$n").getOrElse("") +
-      topNPushed.map { case (c, d, n) =>
-        s" PushedTopN=[$c ${if (d) "DESC" else "ASC"} LIMIT $n]"
+      topNPushed.map { case (c, d, nf, n) =>
+        s" PushedTopN=[$c ${if (d) "DESC" else "ASC"} " +
+          s"NULLS ${if (nf) "FIRST" else "LAST"} LIMIT $n]"
       }.getOrElse("")
 
   /** One split per surviving game — EqualTo(gameId) pushdown prunes
@@ -306,13 +365,14 @@ class BdbMiniScan(tableName: String, requiredSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BdbMiniReaderFactory(tableName, requiredSchema, countPushed,
-      limitPushed, topNPushed)
+      limitPushed, topNPushed, groupedAggs)
 }
 
 class BdbMiniReaderFactory(tableName: String, requiredSchema: StructType,
                            countPushed: Boolean = false,
                            limitPushed: Option[Int] = None,
-                           topNPushed: Option[(String, Boolean, Int)] = None)
+                           topNPushed: Option[(String, Boolean, Boolean, Int)] = None,
+                           groupedAggs: Option[Seq[BdbPushedAgg]] = None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -323,7 +383,32 @@ class BdbMiniReaderFactory(tableName: String, requiredSchema: StructType,
           // one partial-count row per split; rows never materialize
           Iterator.single(InternalRow(
             BdbMiniSource.rowsOf(tableName, split.gameId).size.toLong))
-        else {
+        else if (groupedAggs.isDefined) {
+          // one row per split = one row per GROUP (gameId is the split
+          // key, so each split answers its group's partials exactly);
+          // full rows never leave the reader
+          val full = BdbMiniSource.schemaOf(tableName)
+          val rows = BdbMiniSource.rowsOf(tableName, split.gameId).toArray
+          val vals: Seq[Any] = groupedAggs.get.map {
+            case BdbPushedAgg("count_star", _) => rows.length.toLong
+            case BdbPushedAgg("count", c) =>
+              val i = full.fieldIndex(c)
+              rows.count(r => !r.isNullAt(i)).toLong
+            case BdbPushedAgg(kind, c) =>
+              val i = full.fieldIndex(c)
+              val dt = full(i).dataType
+              val nonNull = rows.iterator
+                .filterNot(_.isNullAt(i)).map(_.get(i, dt)).toSeq
+              if (nonNull.isEmpty) null
+              else {
+                val ord = Ordering.fromLessThan[Any]((a, b) =>
+                  a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+                if (kind == "min") nonNull.min(ord) else nonNull.max(ord)
+              }
+          }
+          Iterator.single(InternalRow.fromSeq(
+            split.gameId.getOrElse(0L) +: vals))
+        } else {
           val full = BdbMiniSource.schemaOf(tableName)
           val indices = requiredSchema.fieldNames.map(full.fieldIndex)
           val base = BdbMiniSource.rowsOf(tableName, split.gameId)
@@ -332,17 +417,26 @@ class BdbMiniReaderFactory(tableName: String, requiredSchema: StructType,
           // small, so a full sort is fine; a real source would keep a
           // size-N bounded heap (GroupTopK.localTopK's shape).
           val cut: Iterator[InternalRow] = topNPushed match {
-            case Some((cname, desc, n)) =>
+            case Some((cname, desc, nullsFirst, n)) =>
               val idx = full.fieldIndex(cname)
               val dt = full(idx).dataType
+              // null-aware total order matching the pushed SortOrder:
+              // direction on non-nulls, explicit null placement (a
+              // Comparable.compareTo(null) NPE otherwise)
               val ord = new Ordering[InternalRow] {
-                def compare(a: InternalRow, b: InternalRow): Int =
-                  a.get(idx, dt).asInstanceOf[Comparable[Any]]
-                    .compareTo(b.get(idx, dt))
+                def compare(a: InternalRow, b: InternalRow): Int = {
+                  val av = a.get(idx, dt)
+                  val bv = b.get(idx, dt)
+                  if (av == null && bv == null) 0
+                  else if (av == null) { if (nullsFirst) -1 else 1 }
+                  else if (bv == null) { if (nullsFirst) 1 else -1 }
+                  else {
+                    val c = av.asInstanceOf[Comparable[Any]].compareTo(bv)
+                    if (desc) -c else c
+                  }
+                }
               }
-              base.toArray
-                .sorted(if (desc) ord.reverse else ord)
-                .iterator.take(n)
+              base.toArray.sorted(ord).iterator.take(n)
             case None =>
               limitPushed.map(base.take).getOrElse(base)
           }

@@ -88,7 +88,7 @@ class BdbMiniSourceSpec extends SparkSpec {
     val scan = df.queryExecution.sparkPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }.head
-    assert(scan.scan.description().contains("PushedTopN=[x DESC LIMIT 3]"),
+    assert(scan.scan.description().contains("PushedTopN=[x DESC NULLS LAST LIMIT 3]"),
       scan.scan.description())
     // tie-safe correctness: the returned x multiset equals the fixture's
     // global top-3 (the per-split cut is lossless for a global top-k —
@@ -111,16 +111,78 @@ class BdbMiniSourceSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
-  test("aggregate pushdown declines grouped or non-count aggregates") {
-    // per-game grouped count is NOT pushed (source declines) but stays
-    // correct through the ordinary row path
-    val perGame = read("tracking").groupBy("gameId").count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val expected = BdbMini.tracking.groupBy(_.gameId)
-      .view.mapValues(_.size.toLong).toMap
-    assert(perGame == expected)
+  test("aggregate pushdown declines unsupported aggregates (sum, non-key group)") {
+    // SUM is not in the pushable set: source declines, ordinary row
+    // path stays correct
     val s = read("tracking").agg(sum("x")).head.getDouble(0)
     // fold-order tolerance: Spark sums per-partition, the fixture in seq order
     assert(math.abs(s - BdbMini.tracking.map(_.x).sum) < 1e-6)
+    val sumScan = read("tracking").agg(sum("x")).queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(!sumScan.scan.description().contains("PushedAggregates"),
+      sumScan.scan.description())
+    // grouping on a NON-partition-key column declines too (a split does
+    // not hold whole playId groups across tables in general)
+    val perPlay = read("tracking").groupBy("playId").count()
+    val playScan = perPlay.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(!playScan.scan.description().contains("PushedAggregates"),
+      playScan.scan.description())
+    val got = perPlay.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expected = BdbMini.tracking.groupBy(_.playId)
+      .view.mapValues(_.size.toLong).toMap
+    assert(got == expected)
+  }
+
+  test("per-gameId MIN/MAX/COUNT pushes: one partial row per split, no full-row scan") {
+    val df = read("tracking").groupBy("gameId")
+      .agg(min("x").as("mn"), max("s").as("mx"), count(col("nflId")).as("n"))
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.scan.description().contains("GroupedBy=[gameId]") &&
+           scan.scan.description().contains("MIN(x)"),
+      scan.scan.description())
+    // the scan emits (gameId, partials), never full tracking rows
+    assert(scan.output.length == 4,
+      s"scan output should be group + 3 partials: ${scan.output.map(_.name)}")
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    val expected = BdbMini.tracking.groupBy(_.gameId).map { case (g, rows) =>
+      g -> ((rows.map(_.x).min, rows.map(_.s).max,
+             rows.count(_.nflId.isDefined).toLong))
+    }
+    assert(got == expected)
+  }
+
+  test("per-gameId grouped COUNT(*) pushes and composes with the gameId filter") {
+    val g = BdbMini.games.head.gameId
+    val df = read("tracking").filter(col("gameId") === g).groupBy("gameId").count()
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.scan.description().contains("GroupedBy=[gameId]"),
+      scan.scan.description())
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == g &&
+      rows.head.getLong(1) == BdbMini.tracking.count(_.gameId == g))
+  }
+
+  test("TopN on a nullable column honors null ordering without NPE") {
+    // jerseyNumber is null on every football row. ASC NULLS LAST (the
+    // non-default placement the old comparator NPE'd on): the smallest
+    // non-null jerseys win
+    val last = read("tracking").orderBy(col("jerseyNumber").asc_nulls_last).limit(3)
+    val lastScan = last.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(lastScan.scan.description().contains("NULLS LAST"),
+      lastScan.scan.description())
+    assert(last.collect().map(_.getAs[Int]("jerseyNumber")).toSeq == Seq(9, 9, 9))
+    // default ASC = NULLS FIRST: the football rows surface
+    val first = read("tracking").orderBy(col("jerseyNumber")).limit(3)
+    assert(first.collect().forall(_.isNullAt(first.schema.fieldIndex("jerseyNumber"))))
   }
 }
