@@ -492,6 +492,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(landed.size == 40, "8 queries x top-5 expected")
   }
 
+  test("streaming walk gate equals the batch frontier advance") {
+    // standing edge list: the g1/g3 supplier↔part graph
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val e0 = li.select((col("l_suppkey").cast("long") * 2).as("src"),
+                       (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    val seeds = edges.where(col("src") % 2 === 0)
+      .select(col("src").as("start")).distinct()
+      .orderBy("start").limit(8).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_walkgate_src")
+    stageSlice(seeds.filter(col("start") % 4 === 0), dir, "s1", 1000000L)
+    stageSlice(seeds.filter(col("start") % 4 =!= 0), dir, "s2", 2000000L)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_walkgate_${System.nanoTime()}"
+    val stream = spark.readStream.schema("start BIGINT")
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = StreamOps.walkGate(stream, edges, steps = 4,
+      s"$base/out", s"$base/ck")
+    q.awaitTermination()
+    val landed = canon(spark.read.parquet(s"$base/out"))
+    val batch = canon(StreamOps.walkAdvance(seeds, edges, steps = 4))
+    info(s"walk rows: streamed=${landed.size} batch=${batch.size}")
+    assert(landed == batch)
+    assert(landed.size == 8 * 5, "8 seeds x steps 0..4 expected")
+  }
+
   // --- round-7 regression: schema probe on empty / mixed-vintage dirs ----
 
   test("stream starts on an EMPTY source directory and drains late files") {
