@@ -174,6 +174,22 @@ object IvfAnn {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  private val built = scala.collection.mutable.Set.empty[String]
+
+  /** Build-once guard (IvfPqAnn.ensureIndex's pattern): the index is a
+    * pure deterministic function of (corpus, nCells), so a path built
+    * earlier in this JVM is current; rebuilding per query batch re-pays
+    * the Lloyd fit + full-corpus assignment the standing index exists
+    * to amortize. The per-JVM memo still rewrites once per process,
+    * healing any stale copy an older binary left behind. */
+  def ensureIndex(corpus: DataFrame, nCells: Int,
+                  path: String): Unit = synchronized {
+    if (!built.contains(path)) {
+      buildIndex(corpus, nCells, path)
+      built.add(path)
+    }
+  }
+
   /** Top-k search against a persisted index. The probed cells arrive as
     * an isin filter on the partition column, so the scan prunes to the
     * probed directories (PartitionFilters — asserted in IvfAnnSpec). */

@@ -731,7 +731,7 @@ object SimilarityQueries {
              iters = graft.operators.IvfAnn.LloydIters, k = 5)) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode.toHexString}"
-      graft.operators.IvfAnn.buildIndex(
+      graft.operators.IvfAnn.ensureIndex(
         e.select("vec_id", "embedding"), nCells = 16, path = path)
       graft.operators.IvfAnn.topKFromIndex(s, path,
           queries = e.filter(col("vec_id") < 8)

@@ -5,12 +5,12 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering, Statistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{Encoder, Encoders}
 
@@ -212,11 +212,21 @@ class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
     if (tableName == "players") return false
     val groupCols = aggregation.groupByExpressions.toSeq.map(singleCol)
     if (groupCols != Seq(Some("gameId"))) return false
+    // SUM pushes only for integral inputs: a per-split Long partial is
+    // then EXACTLY the value Spark's final sum-of-sums expects, with no
+    // float-accumulation-order question (a double SUM's partial split
+    // could differ from the row-level plan by ulps — declined).
+    def integral(c: String): Boolean = full(full.fieldIndex(c)).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     val aggs = aggregation.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(BdbPushedAgg("count_star", ""))
       case c: Count if !c.isDistinct => singleCol(c.column).map(BdbPushedAgg("count", _))
       case m: Min => singleCol(m.column).map(BdbPushedAgg("min", _))
       case m: Max => singleCol(m.column).map(BdbPushedAgg("max", _))
+      case s: Sum if !s.isDistinct =>
+        singleCol(s.column).filter(integral).map(BdbPushedAgg("sum", _))
       case _ => None
     }
     if (aggs.exists(_.isEmpty)) return false
@@ -228,6 +238,10 @@ class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
           StructField("count(*)", LongType, nullable = false)
         case BdbPushedAgg("count", c) =>
           StructField(s"count($c)", LongType, nullable = false)
+        case BdbPushedAgg("sum", c) =>
+          // Catalyst's Sum(integral).dataType is LongType regardless of
+          // the input width — the scan schema must match it
+          StructField(s"sum($c)", LongType, nullable = true)
         case BdbPushedAgg(k, c) =>
           StructField(s"$k($c)", full(full.fieldIndex(c)).dataType, nullable = true)
       })
@@ -394,6 +408,20 @@ class BdbMiniReaderFactory(tableName: String, requiredSchema: StructType,
             case BdbPushedAgg("count", c) =>
               val i = full.fieldIndex(c)
               rows.count(r => !r.isNullAt(i)).toLong
+            case BdbPushedAgg("sum", c) =>
+              // exact Long partial (only integral columns are accepted);
+              // Sum-of-empty is null, matching Catalyst's Sum partial
+              val i = full.fieldIndex(c)
+              val dt = full(i).dataType
+              val nonNull = rows.iterator.filterNot(_.isNullAt(i)).map { r =>
+                dt match {
+                  case ByteType    => r.getByte(i).toLong
+                  case ShortType   => r.getShort(i).toLong
+                  case IntegerType => r.getInt(i).toLong
+                  case _           => r.getLong(i)
+                }
+              }.toSeq
+              if (nonNull.isEmpty) null else nonNull.sum
             case BdbPushedAgg(kind, c) =>
               val i = full.fieldIndex(c)
               val dt = full(i).dataType

@@ -157,6 +157,39 @@ class BdbMiniSourceSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("per-gameId SUM pushes for integral columns, declines for double") {
+    // integral SUM: per-split Long partials are exactly what the final
+    // sum-of-sums expects — pushes alongside count
+    val df = read("tracking").groupBy("gameId")
+      .agg(sum("frameId").as("sf"), count(lit(1)).as("n"))
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.scan.description().contains("SUM(frameId)"),
+      scan.scan.description())
+    assert(scan.output.length == 3,
+      s"scan output should be group + 2 partials: ${scan.output.map(_.name)}")
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expected = BdbMini.tracking.groupBy(_.gameId).map { case (g, rows) =>
+      g -> ((rows.map(_.frameId.toLong).sum, rows.size.toLong))
+    }
+    assert(got == expected)
+    // double SUM: a float partial's accumulation split could differ
+    // from the row-level plan by ulps — the whole aggregation declines
+    // to the ordinary scan, and the result is still correct
+    val dbl = read("tracking").groupBy("gameId").agg(sum("dis").as("sd"))
+    val dblScan = dbl.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(!dblScan.scan.description().contains("PushedAggregates"),
+      dblScan.scan.description())
+    val gotD = dbl.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expD = BdbMini.tracking.groupBy(_.gameId)
+      .view.mapValues(_.map(_.dis).sum).toMap
+    gotD.foreach { case (g, v) => assert(math.abs(v - expD(g)) < 1e-9) }
+  }
+
   test("per-gameId grouped COUNT(*) pushes and composes with the gameId filter") {
     val g = BdbMini.games.head.gameId
     val df = read("tracking").filter(col("gameId") === g).groupBy("gameId").count()
