@@ -38,10 +38,16 @@ object ResampleLerp {
     val wn = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val obsOnly = (c: String) => when(col("is_grid") === 0, col(c))
     obs.unionByName(grid)
-      .withColumn("prev_v", last(obsOnly("value"), ignoreNulls = true).over(wp))
-      .withColumn("prev_t", last(obsOnly("t"), ignoreNulls = true).over(wp))
-      .withColumn("next_v", first(obsOnly("value"), ignoreNulls = true).over(wn))
-      .withColumn("next_t", first(obsOnly("t"), ignoreNulls = true).over(wn))
+      // all four bracketing columns in ONE select: chained withColumn
+      // interposes Projects that defeat CollapseWindow, planning four
+      // stacked Window execs; a single projection collapses them into
+      // one Window exec (same partition+order — WindowExec evaluates
+      // both frame directions in one buffered pass per group)
+      .select(col("*"),
+        last(obsOnly("value"), ignoreNulls = true).over(wp).as("prev_v"),
+        last(obsOnly("t"), ignoreNulls = true).over(wp).as("prev_t"),
+        first(obsOnly("value"), ignoreNulls = true).over(wn).as("next_v"),
+        first(obsOnly("t"), ignoreNulls = true).over(wn).as("next_t"))
       .filter(col("is_grid") === 1)
       .withColumn("v_interp",
         when(col("prev_t").isNull, col("next_v"))
