@@ -50,6 +50,23 @@ class PlanHygieneSpec extends SparkSpec {
     "x37_corpus_diff"       -> "1-row corpus-totals scalar (na, nb)",
   )
 
+  /** Same-spec Window stacks where the later window CONSUMES the
+    * earlier one's output (a genuine data dependency CollapseWindow
+    * must not merge). Currently empty: every registered multi-window
+    * plan carries distinct specs. Round 8's w21 fix is the cautionary
+    * tale this rule encodes — chained withColumn window expressions
+    * interpose Projects that defeat CollapseWindow, silently planning
+    * N buffered passes over one sort where one suffices. */
+  private val stackedWindowAllowed: Map[String, String] = Map(
+    "d7_dup_ngram_spans" -> ("gaps-and-islands: island = running sum of " +
+      "the FIRST window's brk flag — the upper window consumes the " +
+      "lower's output, inexpressible in one Window node (one sort, two " +
+      "passes, no extra exchange)"),
+    "s19_scd2" -> ("SCD2 collapse: eff_to = lead(version) over the rows " +
+      "SURVIVING the change filter, which itself needs lag(price) — the " +
+      "intervening Filter is semantic, not a projection artifact"),
+  )
+
   /** Global windows fed by a constant-bounded input. */
   private val globalWindowAllowed: Map[String, String] = Map(
     "w8_topk_offset"     -> "window input is limit(33) via TakeOrderedAndProject",
@@ -98,6 +115,33 @@ class PlanHygieneSpec extends SparkSpec {
       if (!globalWindowAllowed.contains(name))
         assert(gw.isEmpty,
           s"unpartitioned Window in $name — single-partition sort at scale")
+      // stacked same-spec windows: a Window DIRECTLY over another (only
+      // Project/Filter between) with the same partition+order is a
+      // second buffered pass over one sort. Legitimate when the upper
+      // window consumes the lower's output (gaps-and-islands, rank-
+      // then-dedup) — those are allowlisted with the dependency named;
+      // anything else is CollapseWindow defeated by chained withColumn
+      // projections (round 8's w21: four passes where one sufficed).
+      // Same-spec windows in SEPARATE subtrees (e.g. the two sides of a
+      // join ranking their own inputs) are fine and not flagged.
+      def spec(w: WindowExec) = (w.partitionSpec.map(_.sql), w.orderSpec.map(_.sql))
+      def windowBelow(p: org.apache.spark.sql.execution.SparkPlan)
+          : Option[WindowExec] = p match {
+        case w: WindowExec => Some(w)
+        case pr: org.apache.spark.sql.execution.ProjectExec => windowBelow(pr.child)
+        case f: org.apache.spark.sql.execution.FilterExec => windowBelow(f.child)
+        case _ => None
+      }
+      val stacked = nodes.collect {
+        case w: WindowExec if w.children.headOption.flatMap(windowBelow)
+          .exists(lower => spec(lower) == spec(w)) => spec(w)
+      }
+      if (!stackedWindowAllowed.contains(name))
+        assert(stacked.isEmpty,
+          s"$name stacks Window execs over identical partition+order " +
+          s"specs ($stacked) — CollapseWindow was defeated (usually " +
+          s"chained withColumn window exprs); project them in one select, " +
+          s"or allowlist a genuine inter-window data dependency")
     }
   }
 }
