@@ -68,6 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.withinDistDescriptor)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.mix64Descriptor)
+    ext.injectFunction(GraftExtensions.countMinDescriptor)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }
@@ -106,6 +107,25 @@ object GraftExtensions {
       Mix64(args.head)
     })
 
+  val countMinDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("count_min"),
+    new ExpressionInfo(classOf[CountMinAgg].getName, "count_min"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        "count_min(key, depth, width) takes 3 arguments (depth/width literal ints)")
+      def lit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"count_min $what must be an integer literal, got $other")
+      }
+      val key = args.head.dataType match {
+        case org.apache.spark.sql.types.LongType => args.head
+        case _ => org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.LongType)
+      }
+      CountMinAgg(key, lit(args(1), "depth"), lit(args(2), "width"))
+    })
+
   /** Register on an already-built session (Verify/Bench sessions are
     * constructed without extensions). Idempotent. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -120,6 +140,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mix64",
       args => mix64Descriptor._3(args),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_min",
+      args => countMinDescriptor._3(args),
       "built-in")
     if (!spark.experimental.extraOptimizations.contains(DistancePushdownRule)) {
       spark.experimental.extraOptimizations =

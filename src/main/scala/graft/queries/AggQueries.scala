@@ -600,5 +600,35 @@ object AggQueries {
           qNum = 9, qDen = 10, outName = "wp90")
         .orderBy("l_returnflag")
     },
+
+    // A28 — Count-Min sketch of the l_partkey frequency distribution
+    // (round 8): x21_heavy_hitters' bounded-memory scale twin, built by
+    // the custom `count_min` TypedImperativeAggregate
+    // (plans/CountMinAgg.scala — extension tier (b): a custom Catalyst
+    // aggregate, injected via GraftExtensions). The aggregation state
+    // is ONE 4x64 Long array whatever the key cardinality: partials
+    // combine map-side and the exchange moves one 2 KiB buffer per
+    // partition — the shape that replaces a heavy-tailed full GROUP BY
+    // at 100 TB. Unlike a20/s23's HLL (engine-internal, spec-gated),
+    // the cell hashes are affine maps mod the Mersenne prime 2^31-1, so
+    // DuckDB regenerates the ENTIRE sketch content and this is
+    // hash-checked like any exact query. Point-estimate guarantee
+    // (min over rows >= true count, error <= e/width * N) is asserted
+    // in CountMinSpec against exact counts.
+    q("a28_countmin",
+      s"""SELECT d, ((l_partkey * a + b) % 2147483647) % 64 AS w,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |CROSS JOIN ${graft.plans.CountMinAgg.hashRowsSql(4)}
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s) // bare Verify/Bench sessions
+      Tables.load(s, dir, "lineitem")
+        .agg(expr("count_min(l_partkey, 4, 64)").as("cms"))
+        .select(posexplode(col("cms")).as(Seq("i", "cnt")))
+        .select(expr("CAST(i div 64 AS BIGINT)").as("d"),
+                expr("CAST(i % 64 AS BIGINT)").as("w"), col("cnt"))
+        .filter(col("cnt") > 0) // the oracle GROUP BY emits no empty cells
+        .orderBy("d", "w")
+    },
   )
 }
