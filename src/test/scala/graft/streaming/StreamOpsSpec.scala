@@ -562,4 +562,25 @@ class StreamOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("mixed events.ts parquet vintages"))
   }
+
+  test("streaming Count-Min sketch is BIT-IDENTICAL to the batch sketch") {
+    // the strongest stream≡batch claim in the suite: count_min's merge
+    // is element-wise addition (order-independent), so a complete-mode
+    // streaming aggregate over N micro-batches ends in EXACTLY the
+    // batch buffer — not approximately, not modulo ordering: the same
+    // 256 longs. The standing-sketch ingest monitor shape: heavy-user
+    // tracking with one 2 KiB state whatever the user cardinality.
+    graft.plans.GraftExtensions.install(spark)
+    import org.apache.spark.sql.functions.expr
+    val batch = Tables.load(spark, sfDir, "events")
+      .agg(expr("count_min(user_id, 4, 64)").as("cms"))
+      .head().getSeq[Long](0)
+    val streamed = runStream(
+      StreamOps.eventStream(spark, eventsDir)
+        .agg(expr("count_min(user_id, 4, 64)").as("cms")),
+      "cms_gate", mode = "complete")
+      .head().getSeq[Long](0)
+    assert(streamed == batch,
+      "streaming CMS buffer differs from the batch buffer")
+  }
 }
