@@ -58,11 +58,24 @@ object QBMetrics {
       .join(qbOnPlay, Seq("gameId", "playId"))
       .groupBy("qb_nflId", "displayName")
       .agg(count(lit(1)).as("snaps"),
+           // avg of 0/1 doubles: the sum is integer-valued (exact in
+           // a double), so the pct is one correctly-rounded division —
+           // order-independent
            avg(col("correct_read").cast("double")).as("effective_read_pct"))
+    // grand mean by SORTED sequential fold, not a window avg: a handful
+    // of per-QB doubles summed in partition order could differ by ulps
+    // between runs (and engines); sort_array pins one addition order
+    // that the DuckDB oracle replays with list_reduce(list_sort(...))
+    val grand = perQb.agg(
+      expr("aggregate(sort_array(collect_list(effective_read_pct)), " +
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("pct_sum"),
+      count(lit(1)).as("n_qb"))
     perQb
+      .crossJoin(broadcast(grand))
       .withColumn("PRESS",
         round(col("effective_read_pct")
-          / avg("effective_read_pct").over(Window.partitionBy()) * 100, 2))
+          / (col("pct_sum") / col("n_qb")) * 100, 2))
+      .drop("pct_sum", "n_qb")
   }
 
   /** Situational split: Shannon entropy of each QB's expected-read slot

@@ -14,10 +14,19 @@ import org.apache.spark.sql.functions._
   * Scale notes: the reference's 50k-row chunks on cores−1 worker
   * processes (`radius_model.R:210-255`, K3) vanish — the kernel UDF runs
   * partition-parallel in the executors. The RNG is seeded per row from
-  * the keys (xxhash64), so scores are identical under ANY partitioning,
+  * the keys, so scores are identical under ANY partitioning,
   * repartition, or speculative re-execution — stronger than the
   * reference's per-chunk seeding, which changes results when the chunk
   * boundaries move.
+  *
+  * Round 8: the per-row seed moved from `xxhash64(keys...)` (Spark's
+  * internal binary hashing — no second engine can replay it) to
+  * `mix64` of a *31-folded key (plain signed-long arithmetic, then the
+  * SplitMix64 scramble `OracleU64.mix64Ctes` replays in DuckDB) — the
+  * same portability move that made k2_openness oracle-checkable. That
+  * flipped `bdb_radius_stage` from rows-only+golden to DuckDB
+  * hash-checked: the oracle independently re-runs the ENTIRE MC kernel
+  * over the fixture (every sample, every defender test).
   */
 object RadiusStage {
 
@@ -28,6 +37,8 @@ object RadiusStage {
     Openness.openCount(vs, dir0, px, py, defenders, vb, fx, fy, seed)
   }
 
+  private val mix64Udf = udf { (x: Long) => Openness.mix64(x) }
+
   def apply(cleaned: DataFrame): DataFrame = {
     val scored = cleaned
       .withColumn("dir_rad", radians(col("dir")))
@@ -37,7 +48,8 @@ object RadiusStage {
         transform(col("defenders"), d => d.getField("x")),
         transform(col("defenders"), d => d.getField("y")),
         transform(col("defenders"), d => d.getField("s")),
-        xxhash64(col("gameId"), col("playId"), col("frameId"), col("nflId"))))
+        mix64Udf(((col("gameId") * 31 + col("playId")) * 31
+                   + col("frameId")) * 31 + col("nflId"))))
       .drop("dir_rad")
     scored.withColumn("secondId",
       dense_rank().over(

@@ -3,9 +3,9 @@ package graft.bdb
 import org.apache.spark.sql.DataFrame
 
 /** Committed golden files for the BdbMini pipeline heads (SURVEY §5.3):
-  * `bdb_radius_stage` and `bdb_press_pipeline` are rows-only in the
-  * driver gate (the MC/openness kernels aren't SQL-expressible), so a
-  * kernel regression would otherwise be silent row drift. The fixture
+  * `bdb_radius_stage` is rows-only in the driver gate (the
+  * MC/openness kernels aren't SQL-expressible), so a kernel regression
+  * would otherwise be silent row drift. The fixture
   * and every stage are deterministic (seeded generator, deterministic
   * orderings), so the rendered outputs are committed byte-for-byte and
   * PipelineSpec diffs against them.
@@ -19,10 +19,9 @@ import org.apache.spark.sql.DataFrame
 object Golden {
 
   val queries: Seq[String] =
-    // bdb_mirror_matchups / bdb_coverage_features graduated to DuckDB
-    // oracles (round 8) — goldens retired for those two
-    Seq("bdb_radius_stage", "bdb_press_pipeline", "bdb_disguise",
-        "bdb_coverage_model")
+    // bdb_mirror_matchups / bdb_coverage_features / bdb_press_pipeline
+    // graduated to DuckDB oracles (round 8) — goldens retired
+    Seq("bdb_radius_stage", "bdb_disguise", "bdb_coverage_model")
 
   /** Seeded-but-deterministic rows-only DATA queries, goldened at
     * sf0.001: ML training metrics (m2 LR, m4 RF confusion, m5 MLP), the
