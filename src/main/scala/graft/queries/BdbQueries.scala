@@ -251,7 +251,14 @@ object BdbQueries {
        |              y0 + CAST(xor(ay2, ay2 >> 31) >> 11 AS DOUBLE)
        |                   * 1.1102230246251565e-16 * (y1 - y0) AS sy
        |       FROM u4),
-       |tb1 AS (
+       |tb1 AS MATERIALIZED (
+       |  -- MATERIALIZED is load-bearing: without it DuckDB pushes the
+       |  -- `tr <= tb` filter below the projections by SUBSTITUTING the
+       |  -- column definitions into the predicate — re-expanding the
+       |  -- whole staged scramble as one macro expression (each umul
+       |  -- references its argument 4x, compounding per stage), the
+       |  -- exact no-CSE pathology OracleU64's scaladoc pins. Measured:
+       |  -- 37 min -> 23 s on the same 12.7M samples.
        |  SELECT gameId, playId, frameId, nflId, i, dir0, px, py, sx, sy,
        |         sqrt((sx-fx)*(sx-fx) + (sy-fy)*(sy-fy)) / vb AS tb,
        |         sqrt((sx-px)*(sx-px) + (sy-py)*(sy-py))

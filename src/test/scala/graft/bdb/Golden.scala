@@ -2,11 +2,10 @@ package graft.bdb
 
 import org.apache.spark.sql.DataFrame
 
-/** Committed golden files for the BdbMini pipeline heads (SURVEY §5.3):
-  * `bdb_radius_stage` is rows-only in the driver gate (the
-  * MC/openness kernels aren't SQL-expressible), so a kernel regression
-  * would otherwise be silent row drift. The fixture
-  * and every stage are deterministic (seeded generator, deterministic
+/** Committed golden files for the BdbMini pipeline heads (SURVEY §5.3)
+  * that remain rows-only in the driver gate (ML training heads), so a
+  * regression would otherwise be silent row drift. The fixture and
+  * every stage are deterministic (seeded generator, deterministic
   * orderings), so the rendered outputs are committed byte-for-byte and
   * PipelineSpec diffs against them.
   *
@@ -19,9 +18,11 @@ import org.apache.spark.sql.DataFrame
 object Golden {
 
   val queries: Seq[String] =
-    // bdb_mirror_matchups / bdb_coverage_features / bdb_press_pipeline
-    // graduated to DuckDB oracles (round 8) — goldens retired
-    Seq("bdb_radius_stage", "bdb_disguise", "bdb_coverage_model")
+    // bdb_mirror_matchups / bdb_coverage_features / bdb_press_pipeline /
+    // bdb_radius_stage graduated to DuckDB oracles (round 8: the
+    // portable mix64 seed made even the MC kernel SQL-replayable) —
+    // goldens retired
+    Seq("bdb_disguise", "bdb_coverage_model")
 
   /** Seeded-but-deterministic rows-only DATA queries, goldened at
     * sf0.001: ML training metrics (m2 LR, m4 RF confusion, m5 MLP), the
