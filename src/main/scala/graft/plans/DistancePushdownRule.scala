@@ -69,6 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.mix64Descriptor)
     ext.injectFunction(GraftExtensions.countMinDescriptor)
+    ext.injectFunction(GraftExtensions.hllDescriptor)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }
@@ -126,6 +127,25 @@ object GraftExtensions {
       CountMinAgg(key, lit(args(1), "depth"), lit(args(2), "width"))
     })
 
+  val hllDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hll_sketch"),
+    new ExpressionInfo(classOf[HllAgg].getName, "hll_sketch"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        "hll_sketch(key, p) takes 2 arguments (precision p a literal int)")
+      val p = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"hll_sketch precision must be an integer literal, got $other")
+      }
+      val key = args.head.dataType match {
+        case org.apache.spark.sql.types.LongType => args.head
+        case _ => org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.LongType)
+      }
+      HllAgg(key, p)
+    })
+
   /** Register on an already-built session (Verify/Bench sessions are
     * constructed without extensions). Idempotent. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -144,6 +164,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "count_min",
       args => countMinDescriptor._3(args),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_sketch",
+      args => hllDescriptor._3(args),
       "built-in")
     if (!spark.experimental.extraOptimizations.contains(DistancePushdownRule)) {
       spark.experimental.extraOptimizations =

@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** HyperLogLog distinct-count sketch as a custom Catalyst
+  * `TypedImperativeAggregate` — the bounded-memory scale twin of
+  * `count(DISTINCT key)` (reference analog: the distinct-receiver /
+  * distinct-play tallies in `DefCoverage.ipynb`'s group summaries; at
+  * 100 TB an exact grouped COUNT DISTINCT shuffles every distinct key,
+  * while this sketch moves one m-byte register file per partition).
+  *
+  * State is `m = 2^p` one-byte registers whatever the key cardinality:
+  * `update` hashes the key with the engine's portable SplitMix64
+  * scrambler (`Openness.mix64`, the native `mix64` expression's twin),
+  * takes the low `p` bits as the register index and the leading-zero
+  * rank of the remaining `64-p` bits as the register candidate;
+  * `merge` is element-wise max — idempotent, associative, commutative,
+  * so partials combine map-side, the exchange carries one 64-byte
+  * buffer per partition (p=6), and a streaming complete-mode aggregate
+  * ends in exactly the batch buffer (HllStreamSpec's bit-identical
+  * claim, like the Count-Min twin).
+  *
+  * Portability is the design constraint (the engine's exact-oracle
+  * discipline, same as [[CountMinAgg]]): mix64 replays in DuckDB via
+  * `OracleU64.mix64Ctes`, the rank is `64-p - bitlength(w) + 1`
+  * (`length(bin(w))` in SQL), and the harmonic-mean estimate is exact
+  * integer arithmetic — `floor(alpha_num·2^(64-p+2p) / (alpha_den·S))`
+  * with `S = Σ_j 2^(64-p-M_j)` summed as DECIMAL — so REGISTER CONTENT
+  * AND ESTIMATE are both hash-checked, not spec-gated like the
+  * engine-internal HLL sketches in a20/s23. Raw estimator only: the
+  * paper's small/large-range corrections (linear counting below 5m/2)
+  * are a driver-side branch on the same registers and are asserted
+  * against in HllSpec rather than folded into the query, keeping the
+  * oracle arithmetic integer-exact.
+  */
+case class HllAgg(child: Expression, p: Int,
+                  mutableAggBufferOffset: Int = 0,
+                  inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  require(p >= 4 && p <= 16, "hll_sketch precision must be in [4, 16]")
+  private val m = 1 << p
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = graft.domain.Openness.mix64(v.asInstanceOf[Long])
+      val j = (h & (m - 1)).toInt
+      val w = h >>> p
+      // rank of the first 1-bit in the (64-p)-bit suffix, 1-based;
+      // all-zero suffix ranks 64-p+1 (the paper's convention)
+      val rho = if (w == 0L) 64 - p + 1
+                else java.lang.Long.numberOfLeadingZeros(w) - p + 1
+      if (rho > buf(j)) buf(j) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < b1.length) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Byte]): Any =
+    new GenericArrayData(buf.map(_.toLong))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllAgg =
+    copy(child = newChild)
+  override def prettyName: String = "hll_sketch"
+}
+
+object HllAgg {
+  /** Exact raw-HLL estimate from an m-register rho array: for m = 64
+    * (p = 6), `floor(709·2^71 / (1000·S))` with `S = Σ 2^(59-M_j)` —
+    * alpha_64 = 0.709 from the HLL paper, the 2^59 scale making every
+    * harmonic term an exact integer. BigInt so the floor is exact (the
+    * DuckDB oracle replays it as one HUGEINT integer division). */
+  def estimate(p: Int, scaledHarmonicSum: BigInt): Long = {
+    require(p == 6, "fixed-point constants are tabulated for p=6 (m=64)")
+    (BigInt(709) * BigInt(2).pow(71) / (BigInt(1000) * scaledHarmonicSum)).toLong
+  }
+}

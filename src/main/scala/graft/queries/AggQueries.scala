@@ -17,6 +17,50 @@ import org.apache.spark.sql.functions._
   */
 object AggQueries {
 
+  /** floor(709·2^71 / (1000·S)) numerator — alpha_64·m²·2^59 in exact
+    * fixed point (see plans/HllAgg.scala). */
+  private val HllEstNum = "1674078918177289228255232"
+
+  /** Shared a29/a30 oracle chain: per-returnflag HLL register file —
+    * DISTINCT keys, the portable mix64 scramble (OracleU64.mix64Ctes),
+    * register = low 6 seed bits, rank = 59 − bitlength(suffix), padded
+    * to all 64 registers per group (empty register ⇒ rho 0). Ends in
+    * CTE `regs(l_returnflag, reg, rho)`. */
+  private val hllRegsCtes: String = {
+    import OracleU64.mix64Ctes
+    s"""k AS (
+      |  SELECT DISTINCT l_returnflag, CAST(l_orderkey AS UBIGINT) AS e
+      |  FROM lineitem),
+      |${mix64Ctes("k", "e", "sd", "seed", "hh")},
+      |rr AS (
+      |  SELECT l_returnflag, CAST(seed & CAST(63 AS UBIGINT) AS BIGINT) AS reg,
+      |         CASE WHEN (seed >> 6) = CAST(0 AS UBIGINT) THEN 59
+      |              ELSE 59 - length(bin(seed >> 6)) END AS rho1
+      |  FROM sd),
+      |regs AS (
+      |  SELECT g.l_returnflag, r.reg,
+      |         CAST(coalesce(max(rr.rho1), 0) AS BIGINT) AS rho
+      |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
+      |  CROSS JOIN (SELECT CAST(unnest(range(64)) AS BIGINT) AS reg) r
+      |  LEFT JOIN rr ON rr.l_returnflag = g.l_returnflag AND rr.reg = r.reg
+      |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Exact BigInt floor division for the HLL estimate (Spark decimal
+    * division ROUNDS to the result scale, which can cross an integer
+    * boundary); runs once per group/pair — never on a hot path. */
+  private val hllEst = udf { (sum: java.math.BigDecimal) =>
+    graft.plans.HllAgg.estimate(6, BigInt(sum.toBigInteger))
+  }
+
+  /** S = Σ_j 2^(59−M_j) over a 64-register rho array: per-term BIGINT
+    * shift (≤ 2^59), summed as DECIMAL(38,0) map-side — exact. */
+  private def hllHarmonicSum(regsCol: String): org.apache.spark.sql.Column =
+    expr(
+      s"aggregate($regsCol, CAST(0 AS DECIMAL(38,0)), (acc, r) -> " +
+      "acc + CAST(shiftleft(CAST(1 AS BIGINT), CAST(59 - r AS INT)) " +
+      "AS DECIMAL(38,0)))")
+
   val defs: Seq[QueryDef] = Seq(
 
     // A1 — group-by mean (radius_model.R:265-268)
@@ -629,6 +673,109 @@ object AggQueries {
                 expr("CAST(i % 64 AS BIGINT)").as("w"), col("cnt"))
         .filter(col("cnt") > 0) // the oracle GROUP BY emits no empty cells
         .orderBy("d", "w")
+    },
+
+    // A29 — grouped HyperLogLog distinct-count sketch (plans/HllAgg
+    // .scala, the second custom TypedImperativeAggregate): per
+    // returnflag, 64 one-byte registers estimate count(DISTINCT
+    // l_orderkey) with ~13% standard error — state is 64 BYTES per
+    // group whatever the key cardinality, vs the per-distinct-key
+    // shuffle rows an exact grouped COUNT DISTINCT moves at 100 TB.
+    // Merge is element-wise max (idempotent + commutative), so
+    // partials combine map-side and re-delivery cannot inflate the
+    // estimate (the property Count-Min lacks). Like a28 the ENTIRE
+    // sketch is oracle-checked, not spec-gated: the key hash is the
+    // portable mix64 (OracleU64.mix64Ctes replays it in UBIGINT wrap
+    // arithmetic), the register rank is 59 - bitlength(suffix), and
+    // the harmonic-mean estimate is ONE exact integer division —
+    // floor(709·2^71 / (1000·S)) with S = Σ 2^(59-M_j) summed as
+    // DECIMAL (alpha_64 = 0.709 from the HLL paper, scale 2^59 making
+    // every term integral). Raw estimator by design; the small-range
+    // (linear-counting) branch is asserted against in HllSpec.
+    q("a29_hll_distinct",
+      s"""WITH $hllRegsCtes,
+        |est AS (
+        |  SELECT l_returnflag,
+        |         CAST(CAST('$HllEstNum' AS HUGEINT)
+        |              // (1000 * sum(CAST((CAST(1 AS BIGINT)
+        |                   << CAST(59 - rho AS INT)) AS HUGEINT)))
+        |              AS BIGINT) AS est
+        |  FROM regs GROUP BY 1)
+        |SELECT regs.l_returnflag AS l_returnflag, reg, rho, est
+        |FROM regs JOIN est USING (l_returnflag)
+        |ORDER BY l_returnflag, reg""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s) // bare Verify/Bench sessions
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("hll_sketch(l_orderkey, 6)").as("regs"))
+        // the harmonic fold is map-side over the 64-element array —
+        // no second aggregation or window touches the groups
+        .withColumn("est", hllEst(hllHarmonicSum("regs")))
+        .select(col("l_returnflag"), col("est"),
+          posexplode(col("regs")).as(Seq("reg", "rho")))
+        .select(col("l_returnflag"), col("reg").cast("long").as("reg"),
+          col("rho"), col("est"))
+        .orderBy("l_returnflag", "reg")
+    },
+
+    // A30 — HLL sketch ALGEBRA (a29's real 100 TB payoff): distinct
+    // orderkeys over every UNION of two returnflag groups, computed
+    // by element-wise max of the groups' 64-byte register files —
+    // zip_with(greatest) on the already-aggregated sketches, NO second
+    // scan of the fact table for the union math — plus the
+    // inclusion–exclusion intersection estimate |A∩B| ≈ Ê(A)+Ê(B)−Ê(A∪B).
+    // This is the sketch-rollup shape: per-partition/per-day register
+    // files persist once, and any later union/rollup/overlap question
+    // is answered at register scale (3 pairs × 64 bytes here). The
+    // self-join runs on the 3-row aggregate (broadcast); estimates are
+    // the same exact fixed-point division as a29, so DuckDB replays
+    // every output value. est_inter is signed by construction: raw
+    // estimator noise can push inclusion–exclusion slightly negative
+    // for near-disjoint sets — reported as computed, not clamped.
+    q("a30_hll_union",
+      s"""WITH $hllRegsCtes,
+        |pairs AS (
+        |  SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+        |         a.rho AS rho_a, b.rho AS rho_b,
+        |         greatest(a.rho, b.rho) AS rho_u
+        |  FROM regs a JOIN regs b
+        |    ON a.reg = b.reg AND a.l_returnflag < b.l_returnflag),
+        |sums AS (
+        |  SELECT flag_a, flag_b,
+        |         sum(CAST((CAST(1 AS BIGINT) << CAST(59 - rho_a AS INT))
+        |             AS HUGEINT)) AS sa,
+        |         sum(CAST((CAST(1 AS BIGINT) << CAST(59 - rho_b AS INT))
+        |             AS HUGEINT)) AS sb,
+        |         sum(CAST((CAST(1 AS BIGINT) << CAST(59 - rho_u AS INT))
+        |             AS HUGEINT)) AS su
+        |  FROM pairs GROUP BY 1, 2),
+        |ests AS (
+        |  SELECT flag_a, flag_b,
+        |         CAST(CAST('$HllEstNum' AS HUGEINT) // (1000 * sa) AS BIGINT) AS est_a,
+        |         CAST(CAST('$HllEstNum' AS HUGEINT) // (1000 * sb) AS BIGINT) AS est_b,
+        |         CAST(CAST('$HllEstNum' AS HUGEINT) // (1000 * su) AS BIGINT) AS est_union
+        |  FROM sums)
+        |SELECT flag_a, flag_b, est_a, est_b, est_union,
+        |       est_a + est_b - est_union AS est_inter
+        |FROM ests ORDER BY flag_a, flag_b""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s) // bare Verify/Bench sessions
+      val sk = Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("hll_sketch(l_orderkey, 6)").as("regs"))
+        .cache() // 3 rows × 64 longs — the "persisted sketch table"
+      sk.as("a").join(broadcast(sk.as("b")),
+          col("a.l_returnflag") < col("b.l_returnflag"))
+        .select(
+          col("a.l_returnflag").as("flag_a"),
+          col("b.l_returnflag").as("flag_b"),
+          hllEst(hllHarmonicSum("a.regs")).as("est_a"),
+          hllEst(hllHarmonicSum("b.regs")).as("est_b"),
+          hllEst(hllHarmonicSum(
+            "zip_with(a.regs, b.regs, (x, y) -> greatest(x, y))"))
+            .as("est_union"))
+        .withColumn("est_inter",
+          col("est_a") + col("est_b") - col("est_union"))
+        .orderBy("flag_a", "flag_b")
     },
   )
 }

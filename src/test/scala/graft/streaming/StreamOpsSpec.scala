@@ -583,4 +583,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch,
       "streaming CMS buffer differs from the batch buffer")
   }
+
+  test("streaming HLL sketch is BIT-IDENTICAL to the batch sketch") {
+    // the max-merge twin of the Count-Min claim, with a stronger
+    // delivery property: max is also IDEMPOTENT, so this holds even
+    // under at-least-once replay (a re-delivered micro-batch cannot
+    // inflate the registers the way re-added CMS counts would) — the
+    // standing distinct-visitor monitor shape: one 64-byte state
+    // whatever the user cardinality.
+    graft.plans.GraftExtensions.install(spark)
+    import org.apache.spark.sql.functions.expr
+    val batch = Tables.load(spark, sfDir, "events")
+      .agg(expr("hll_sketch(user_id, 6)").as("regs"))
+      .head().getSeq[Long](0)
+    val streamed = runStream(
+      StreamOps.eventStream(spark, eventsDir)
+        .agg(expr("hll_sketch(user_id, 6)").as("regs")),
+      "hll_gate", mode = "complete")
+      .head().getSeq[Long](0)
+    assert(streamed == batch,
+      "streaming HLL register file differs from the batch registers")
+  }
 }
