@@ -377,22 +377,26 @@ object SimilarityQueries {
     s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
        |  list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y))""".stripMargin
 
+  /** v1's exact brute-force top-5 oracle — also the GROUND TRUTH side
+    * of the v13 recall report. */
+  private lazy val bruteTopkSql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         round(${sqlDot("q.embedding", "c.embedding")}
+       |           / (${sqlNorm("q.embedding")} * ${sqlNorm("c.embedding")}), 6) AS cos
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-k: 8 query vectors × full corpus, top-5 each.
     // Rank on the rounded score (+ vec_id tie-break) so ordering is robust
     // to sub-round float drift between engines.
-    q("v1_cosine_topk",
-      s"""WITH scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |         round(${sqlDot("q.embedding", "c.embedding")}
-         |           / (${sqlNorm("q.embedding")} * ${sqlNorm("c.embedding")}), 6) AS cos
-         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
-         |SELECT query_id, neighbor_id, cos, rnk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |            ORDER BY cos DESC, neighbor_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    q("v1_cosine_topk", bruteTopkSql) { (s, dir) =>
       graft.plans.GraftExtensions.install(s)
       val e = Tables.load(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 8)
@@ -832,6 +836,60 @@ object SimilarityQueries {
           queries = e.filter(col("vec_id") < 8).select("vec_id", "embedding"),
           k = 5, cand = 200)
         .orderBy("query_id", "rnk")
+    },
+
+    // v13 — ANN recall REPORT (round 8): the evaluation harness every
+    // retrieval stack runs before trusting an index — per-query
+    // recall@5 of the IVF-PQ index (v11's exact algorithm) against the
+    // brute-force ground truth (v1's exact top-5), as a first-class
+    // oracle-checked query. recall_bp is exact integer basis points
+    // (n_hit·2000 for k=5): no float division, so DuckDB replays every
+    // value — both sides of the comparison are already deterministic
+    // replays, and the report composes them with one (query, neighbor)
+    // left join. Scale shape: ground truth is the one-pass broadcast
+    // top-k (v1's plan — at 100 TB you'd sample queries, not corpus);
+    // the join/agg run on 8×5 rows. SimilaritySpec's recall floor
+    // (≥ 0.6) is asserted on the SAME numbers this query publishes.
+    q("v13_ann_recall",
+      s"""WITH exact_r AS (
+         |  SELECT query_id, neighbor_id FROM ($bruteTopkSql)),
+         |approx_r AS (
+         |  SELECT query_id, neighbor_id FROM (${ivfpqSql(
+               nCells = graft.operators.IvfPqAnn.NCells,
+               nProbe = graft.operators.IvfPqAnn.NProbe,
+               coarseIters = graft.operators.IvfAnn.LloydIters,
+               m = graft.operators.PqAnn.M, kCents = graft.operators.PqAnn.K,
+               pqIters = graft.operators.PqAnn.PqIters,
+               k = 5, cand = 200)}))
+         |SELECT e.query_id,
+         |       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+         |       CAST(5 AS BIGINT) AS k,
+         |       CAST(count(a.neighbor_id) * 2000 AS BIGINT) AS recall_bp
+         |FROM exact_r e LEFT JOIN approx_r a
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val exact = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                round(cosineSim(col("qe"), col("embedding")), 6).as("cos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+      val approx = graft.operators.IvfPqAnn.topK(
+          corpus = e.select("vec_id", "embedding"),
+          queries = e.filter(col("vec_id") < 8).select("vec_id", "embedding"),
+          k = 5, cand = 200)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(col("query_id"), col("n_hit"), lit(5L).as("k"),
+                (col("n_hit") * 2000).as("recall_bp"))
+        .orderBy("query_id")
     },
 
     // SemDeDup-style semantic dedup: assign every vector to its nearest

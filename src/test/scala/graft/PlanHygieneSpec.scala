@@ -31,6 +31,7 @@ class PlanHygieneSpec extends SparkSpec {
     "v6_semdedup"           -> "k-row centroid table",
     "v7_mmr_topk"           -> "1-row probe vector (greedy rounds are TakeOrdered scans)",
     "v1_cosine_topk"        -> "8-row query-vector table (corpus scanned once map-side)",
+    "v13_ann_recall"        -> "8-row query-vector table (v1's ground-truth side) + 40-row approx top-k table",
     "v9_ann_pq_topk"        -> "8-row prepped-query table with ADC lookup tables (codes scan stays map-side)",
     "v4_ann_ivf_topk"       -> "nCells-row trained-centroid table",
     "v8_ann_ivf_persisted"  -> "nCells-row trained-centroid table (persisted-index probe)",

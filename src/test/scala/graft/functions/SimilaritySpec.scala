@@ -52,6 +52,23 @@ class SimilaritySpec extends SparkSpec {
       assert(ann.forall { case (q, n) => q != n })
     }
 
+    test(s"v13 recall report publishes the IVF-PQ recall this suite asserts at sf$sf") {
+      // the report must agree row-for-row with the set arithmetic the
+      // other tests here do by hand — and its aggregate must clear the
+      // same >= 0.6 floor as the IVF-PQ test below
+      val exact = pairsAt(dir)("v1_cosine_topk")
+      val approx = pairsAt(dir)("v11_ann_ivfpq")
+      val report = graft.SparkEntry.queries("v13_ann_recall")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.groupBy(_._1).foreach { case (q, qexact) =>
+        val hand = (qexact intersect approx).size
+        assert(report(q) == hand.toLong,
+          s"query $q: report says ${report(q)} hits, set arithmetic says $hand")
+      }
+      val mean = report.values.sum.toDouble / (report.size * 5)
+      assert(mean >= 0.6, s"published mean recall $mean below the suite floor")
+    }
+
     test(s"IVF top-k achieves >= 60% recall vs brute force at sf$sf") {
       val pairs = pairsAt(dir) _
       val exact = pairs("v1_cosine_topk")
