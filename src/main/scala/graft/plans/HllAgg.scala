@@ -51,13 +51,7 @@ case class HllAgg(child: Expression, p: Int,
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = graft.domain.Openness.mix64(v.asInstanceOf[Long])
-      val j = (h & (m - 1)).toInt
-      val w = h >>> p
-      // rank of the first 1-bit in the (64-p)-bit suffix, 1-based;
-      // all-zero suffix ranks 64-p+1 (the paper's convention)
-      val rho = if (w == 0L) 64 - p + 1
-                else java.lang.Long.numberOfLeadingZeros(w) - p + 1
+      val (j, rho) = HllAgg.slot(graft.domain.Openness.mix64(v.asInstanceOf[Long]), p)
       if (rho > buf(j)) buf(j) = rho.toByte
     }
     buf
@@ -88,6 +82,30 @@ case class HllAgg(child: Expression, p: Int,
 }
 
 object HllAgg {
+  /** (register index, rank) of one HASHED key: low p bits index the
+    * register; the rank is the position of the first 1-bit in the
+    * (64−p)-bit suffix, 1-based, with the all-zero suffix ranking
+    * 64−p+1 (the paper's convention). Pure — shared by update() and
+    * the ScalaCheck algebra properties so they cannot drift. */
+  def slot(h: Long, p: Int): (Int, Int) = {
+    val j = (h & ((1 << p) - 1)).toInt
+    val w = h >>> p
+    val rho = if (w == 0L) 64 - p + 1
+              else java.lang.Long.numberOfLeadingZeros(w) - p + 1
+    (j, rho)
+  }
+
+  /** Driver-side register fold over raw keys (mix64 applied here) —
+    * the test/property twin of the distributed aggregate. */
+  def sketchOf(keys: Iterable[Long], p: Int): Array[Int] = {
+    val regs = new Array[Int](1 << p)
+    keys.foreach { k =>
+      val (j, rho) = slot(graft.domain.Openness.mix64(k), p)
+      if (rho > regs(j)) regs(j) = rho
+    }
+    regs
+  }
+
   /** Exact raw-HLL estimate from an m-register rho array: for m = 64
     * (p = 6), `floor(709·2^71 / (1000·S))` with `S = Σ 2^(59-M_j)` —
     * alpha_64 = 0.709 from the HLL paper, the 2^59 scale making every

@@ -37,6 +37,43 @@ object WelfordProps extends Properties("WelfordCV") {
   }
 }
 
+object HllProps extends Properties("HllAgg") {
+  import graft.plans.HllAgg
+
+  private val P = 6
+  private val keys = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+
+  private def merged(a: Array[Int], b: Array[Int]): Array[Int] =
+    a.zip(b).map { case (x, y) => math.max(x, y) }
+
+  private def est(r: Array[Int]): Long =
+    HllAgg.estimate(P, r.map(m => BigInt(1) << (59 - m)).sum)
+
+  property("merge is split-invariant (any partitioning, same sketch)") =
+    forAll(keys, Gen.choose(0, 1000)) { (xs, cut) =>
+      val k = if (xs.isEmpty) 0 else cut % (xs.length + 1)
+      val (a, b) = xs.splitAt(k)
+      merged(HllAgg.sketchOf(a, P), HllAgg.sketchOf(b, P)).toSeq ==
+        HllAgg.sketchOf(xs, P).toSeq
+    }
+
+  property("idempotent under re-delivery (xs ++ xs sketches like xs)") =
+    forAll(keys) { xs =>
+      HllAgg.sketchOf(xs ++ xs, P).toSeq == HllAgg.sketchOf(xs, P).toSeq
+    }
+
+  property("permutation-invariant (shuffle order never changes registers)") =
+    forAll(keys) { xs =>
+      HllAgg.sketchOf(xs.reverse, P).toSeq == HllAgg.sketchOf(xs, P).toSeq
+    }
+
+  property("union estimate dominates both sides (registers only grow)") =
+    forAll(keys, keys) { (a, b) =>
+      val u = est(merged(HllAgg.sketchOf(a, P), HllAgg.sketchOf(b, P)))
+      u >= est(HllAgg.sketchOf(a, P)) && u >= est(HllAgg.sketchOf(b, P))
+    }
+}
+
 object InterceptionProps extends Properties("Interception") {
 
   private val state = for {
