@@ -70,6 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.mix64Descriptor)
     ext.injectFunction(GraftExtensions.countMinDescriptor)
     ext.injectFunction(GraftExtensions.hllDescriptor)
+    ext.injectFunction(GraftExtensions.amsDescriptor)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }
@@ -146,6 +147,25 @@ object GraftExtensions {
       HllAgg(key, p)
     })
 
+  val amsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ams_sketch"),
+    new ExpressionInfo(classOf[AmsAgg].getName, "ams_sketch"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        "ams_sketch(key, depth, width) takes 3 arguments (depth/width literal ints)")
+      def lit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"ams_sketch $what must be an integer literal, got $other")
+      }
+      val key = args.head.dataType match {
+        case org.apache.spark.sql.types.LongType => args.head
+        case _ => org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.LongType)
+      }
+      AmsAgg(key, lit(args(1), "depth"), lit(args(2), "width"))
+    })
+
   /** Register on an already-built session (Verify/Bench sessions are
     * constructed without extensions). Idempotent. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -168,6 +188,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_sketch",
       args => hllDescriptor._3(args),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ams_sketch",
+      args => amsDescriptor._3(args),
       "built-in")
     if (!spark.experimental.extraOptimizations.contains(DistancePushdownRule)) {
       spark.experimental.extraOptimizations =

@@ -777,5 +777,69 @@ object AggQueries {
           col("est_a") + col("est_b") - col("est_union"))
         .orderBy("flag_a", "flag_b")
     },
+
+    // A31 — join-SIZE estimation from AMS/AGMS signed sketches
+    // (plans/AmsAgg.scala, the third sketch in the family): the
+    // query-planning primitive that prices |lineitem ⋈ orders| from
+    // two 320 KiB register files WITHOUT touching either table again —
+    // at 100 TB the sketches ride the same scan as any per-partition
+    // stat, and every later join-size question is a 5×8192 dot
+    // product + median. The SIGNS are the design decision: Count-Min's
+    // unsigned inner product was built first and REJECTED — its
+    // additive N₁N₂/width collision term measured 1.9×/18×/183× over
+    // the true size across sf0.01/0.1/1 at this width, while AMS's
+    // sign cancellation leaves variance ≈ F₂·F₂/width (within ~1% on
+    // the same data; CountMinSpec asserts the band). Estimate = exact
+    // median (3rd of 5 per-row dots, both engines take the same order
+    // statistic); everything replays in DuckDB via the affine hash
+    // family.
+    q("a31_ams_joinsize",
+      s"""WITH c1 AS (
+        |  SELECT d, ((l_orderkey * a + b) % 2147483647) % 8192 AS w,
+        |         sum((((s3 * (l_orderkey % 2147483647) + s2) % 2147483647
+        |              * (l_orderkey % 2147483647) + s1) % 2147483647
+        |              * (l_orderkey % 2147483647) + s0) % 2147483647 % 2 * 2 - 1) AS n
+        |  FROM lineitem CROSS JOIN ${graft.plans.AmsAgg.hashRowsSql(5)}
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT d, ((o_orderkey * a + b) % 2147483647) % 8192 AS w,
+        |         sum((((s3 * (o_orderkey % 2147483647) + s2) % 2147483647
+        |              * (o_orderkey % 2147483647) + s1) % 2147483647
+        |              * (o_orderkey % 2147483647) + s0) % 2147483647 % 2 * 2 - 1) AS n
+        |  FROM orders CROSS JOIN ${graft.plans.AmsAgg.hashRowsSql(5)}
+        |  GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT c1.d, CAST(sum(c1.n * c2.n) AS BIGINT) AS dot
+        |  FROM c1 JOIN c2 ON c1.d = c2.d AND c1.w = c2.w
+        |  GROUP BY c1.d),
+        |es AS (SELECT dot AS est_join_size FROM dots
+        |       ORDER BY dot LIMIT 1 OFFSET 2),
+        |tr AS (SELECT count(*) AS true_join_size
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT est_join_size, true_join_size,
+        |       est_join_size - true_join_size AS err
+        |FROM es CROSS JOIN tr""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s) // bare Verify/Bench sessions
+      val amsL = Tables.load(s, dir, "lineitem")
+        .agg(expr("ams_sketch(l_orderkey, 5, 8192)").as("c1"))
+      val amsO = Tables.load(s, dir, "orders")
+        .agg(expr("ams_sketch(o_orderkey, 5, 8192)").as("c2"))
+      val est = amsL.join(broadcast(amsO)) // 1 row × 1 row
+        .select(posexplode(expr("zip_with(c1, c2, (x, y) -> x * y)"))
+          .as(Seq("i", "prod")))
+        .groupBy(expr("i div 8192").as("d"))
+        .agg(sum("prod").as("dot"))
+        // exact median: 3rd of the 5 sorted per-row dots (odd depth ⇒
+        // a real order statistic, no averaging to drift on)
+        .agg(element_at(sort_array(collect_list("dot")), 3)
+          .as("est_join_size"))
+      val exact = Tables.load(s, dir, "lineitem").select("l_orderkey")
+        .join(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+        .agg(count(lit(1)).as("true_join_size"))
+      est.join(broadcast(exact)) // 1 row × 1 row
+        .select(col("est_join_size"), col("true_join_size"),
+          (col("est_join_size") - col("true_join_size")).as("err"))
+    },
   )
 }
