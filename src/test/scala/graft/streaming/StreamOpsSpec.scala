@@ -604,4 +604,23 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch,
       "streaming HLL register file differs from the batch registers")
   }
+
+  test("streaming AMS signed sketch is BIT-IDENTICAL to the batch sketch") {
+    // completes the sketch-family trio (count_min / hll_sketch /
+    // ams_sketch): signed-sum merge is order-independent, so the
+    // drained complete-mode stream ends in exactly the batch buffer —
+    // the standing join-size/self-join-moment monitor shape.
+    graft.plans.GraftExtensions.install(spark)
+    import org.apache.spark.sql.functions.expr
+    val batch = Tables.load(spark, sfDir, "events")
+      .agg(expr("ams_sketch(user_id, 5, 64)").as("ams"))
+      .head().getSeq[Long](0)
+    val streamed = runStream(
+      StreamOps.eventStream(spark, eventsDir)
+        .agg(expr("ams_sketch(user_id, 5, 64)").as("ams")),
+      "ams_gate", mode = "complete")
+      .head().getSeq[Long](0)
+    assert(streamed == batch,
+      "streaming AMS buffer differs from the batch buffer")
+  }
 }
