@@ -113,6 +113,11 @@ object HllAgg {
     * DuckDB oracle replays it as one HUGEINT integer division). */
   def estimate(p: Int, scaledHarmonicSum: BigInt): Long = {
     require(p == 6, "fixed-point constants are tabulated for p=6 (m=64)")
-    (BigInt(709) * BigInt(2).pow(71) / (BigInt(1000) * scaledHarmonicSum)).toLong
+    val e = BigInt(709) * BigInt(2).pow(71) / (BigInt(1000) * scaledHarmonicSum)
+    // only reachable when nearly all 64 registers sit at rank >= 53 —
+    // impossible from real hashing (P ~ 2^-3000) but a corrupted buffer
+    // must fail loudly, not wrap negative through toLong
+    require(e.isValidLong, s"HLL estimate overflows Long (S=$scaledHarmonicSum)")
+    e.toLong
   }
 }
