@@ -1,6 +1,6 @@
 package graft.bdb
 
-import graft.domain.Openness
+import graft.domain.{Kernels, Openness}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   * flipped `bdb_radius_stage` from rows-only+golden to DuckDB
   * hash-checked: the oracle independently re-runs the ENTIRE MC kernel
   * over the fixture (every sample, every defender test).
+  *
+  * Round 9: the oracle-parity move above had a silent cost — reading
+  * the `coalesce(1)` parquet replica (1,450 rows, one file) handed the
+  * ~12.7M-sample kernel to ~1 task (2.9 s → 22.1 s in the driver
+  * bench; the DuckDB side hit the SAME ≤2-thread pathology and fixed
+  * it with MATERIALIZED — BdbQueries radius oracle). The kernel
+  * projection now routes through [[graft.domain.Kernels.spread]] on
+  * the seed keys — exactly the reference's chunked parallel map
+  * (`radius_model.R:210-255`, SURVEY §2.8 K3) — which is
+  * hash-invariant because scores are seeded per row. KernelSpreadSpec
+  * makes the single-partition regression a failing test.
   */
 object RadiusStage {
 
@@ -35,12 +46,15 @@ object RadiusStage {
     val Seq(vs, dir0, px, py, vb, fx, fy) = params
     val defenders = dxs.indices.map(i => Openness.Defender(dxs(i), dys(i), dss(i)))
     Openness.openCount(vs, dir0, px, py, defenders, vb, fx, fy, seed)
-  }
+  }.withName(Kernels.K2Name)
 
   private val mix64Udf = udf { (x: Long) => Openness.mix64(x) }
 
-  def apply(cleaned: DataFrame): DataFrame = {
-    val scored = cleaned
+  /** The kernel projection alone (pre-`secondId`) — public so
+    * KernelSpreadSpec can assert its runtime partition spread. */
+  def scored(cleaned: DataFrame): DataFrame = {
+    Kernels.spread(cleaned,
+        col("gameId"), col("playId"), col("frameId"), col("nflId"))
       .withColumn("dir_rad", radians(col("dir")))
       .withColumn("open_count", openUdf(
         array(col("s"), col("dir_rad"), col("x"), col("y"),
@@ -51,8 +65,10 @@ object RadiusStage {
         mix64Udf(((col("gameId") * 31 + col("playId")) * 31
                    + col("frameId")) * 31 + col("nflId"))))
       .drop("dir_rad")
-    scored.withColumn("secondId",
+  }
+
+  def apply(cleaned: DataFrame): DataFrame =
+    scored(cleaned).withColumn("secondId",
       dense_rank().over(
         Window.partitionBy("gameId", "playId").orderBy("frameId")) - 1)
-  }
 }

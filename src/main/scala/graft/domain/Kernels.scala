@@ -1,0 +1,53 @@
+package graft.domain
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Mandatory entry point for feeding rows into a compute-dense kernel
+  * UDF (K1 interception radius, K2 MC openness) — SURVEY.md §2.8 K3's
+  * "chunked parallel map", done the Spark way.
+  *
+  * Why this exists (round-8 regression, VERDICT r8 "What's wrong"):
+  * kernel inputs are TINY row counts carrying HUGE per-row compute
+  * (`bdb_radius_stage`: 1,450 rows × ~10⁴ MC samples each). Every
+  * row-count-based partitioning heuristic in the stack works against
+  * them — a `coalesce(1)` parquet fixture scans as one task, and AQE's
+  * size-based shuffle coalescing folds a few-KB shuffle back to ~1
+  * partition — so the ~12.7M-sample kernel silently serialized
+  * (2.9 s → 22.1 s in the driver bench). Rows-per-partition is the
+  * wrong balance signal when cost lives in the UDF, not the row.
+  *
+  * `spread` repartitions on the kernel's seed keys to
+  * `defaultParallelism` with an EXPLICIT partition count:
+  * `repartition(n, keys…)` plans a `REPARTITION_BY_NUM` shuffle, which
+  * AQE's `CoalesceShufflePartitions` never touches (only
+  * ENSURE_REQUIREMENTS / REPARTITION_BY_COL / REBALANCE origins are
+  * coalescible) — the spread survives adaptive re-planning by
+  * construction, where a bare `repartition(keys…)` would be coalesced
+  * right back. Hashing on the per-row seed keys spreads compute
+  * ~uniformly (each key carries one kernel invocation) and is
+  * result-invariant: every kernel RNG is seeded from the row keys
+  * (RadiusStage / KernelQueries scaladoc), so scores are identical
+  * under ANY partitioning and the oracle hash cannot move.
+  *
+  * Enforcement: kernel UDFs are NAMED (`markers`), and
+  * KernelSpreadSpec fails any registered query that plans a marked
+  * kernel UDF without a multi-partition REPARTITION_BY_NUM exchange
+  * below it — re-introducing a single-partition kernel input is a red
+  * test, not a bench surprise.
+  */
+object Kernels {
+
+  /** Physical-plan names of the compute-dense kernel UDFs; every udf
+    * wrapping Interception.partialRadius / Openness.openCount must be
+    * `.withName`d with one of these so the spec can see it. */
+  val K1Name = "graft_k1_kernel"
+  val K2Name = "graft_k2_kernel"
+  val markers: Set[String] = Set(K1Name, K2Name)
+
+  /** Spread `df` across the cluster on the kernel's per-row seed keys
+    * before a kernel-UDF projection. One tiny shuffle (the kernel's
+    * input rows are small by definition — the compute is in the UDF)
+    * buys full-width execution of the expensive stage. */
+  def spread(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+}

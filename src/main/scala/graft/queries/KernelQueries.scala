@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.q
-import graft.domain.{Interception, Kinematics, Openness}
+import graft.domain.{Interception, Kernels, Kinematics, Openness}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -33,7 +33,7 @@ object KernelQueries {
   private val k1Udf = udf { (vp: Double, px: Double, py: Double,
                              vb: Double, bx: Double, by: Double) =>
     Interception.partialRadius(vp, px, py, vb, bx, by)
-  }
+  }.withName(Kernels.K1Name)
 
   /** params = [vs, dir, px, py, vb, fx, fy] packed to stay within the
     * 10-argument Scala-UDF limit. */
@@ -42,7 +42,7 @@ object KernelQueries {
     val Seq(vs, dir0, px, py, vb, fx, fy) = params
     val defenders = dxs.indices.map(i => Openness.Defender(dxs(i), dys(i), dss(i)))
     Openness.openCount(vs, dir0, px, py, defenders, vb, fx, fy, seed)
-  }
+  }.withName(Kernels.K2Name)
 
   private val mix64Udf = udf { (x: Long) => Openness.mix64(x) }
 
@@ -147,7 +147,11 @@ object KernelQueries {
         |       round(list_max(radii), 4) AS r_max,
         |       round(list_aggregate(radii, 'sum') / 360, 4) AS r_mean
         |FROM r ORDER BY event_id""".stripMargin) { (s, dir) =>
-      kin(Tables.load(s, dir, "events").filter(col("event_id") < 2000))
+      // Kernels.spread: the filtered single-file scan would feed the
+      // 360-heading kernel to 1-2 tasks (the r8 radius pathology)
+      Kernels.spread(
+          kin(Tables.load(s, dir, "events").filter(col("event_id") < 2000)),
+          col("event_id"))
         .withColumn("radii", k1Udf(col("vp"), col("px"), col("py"),
                                    col("vb"), col("bx"), col("by")))
         .select(col("event_id"),
@@ -166,7 +170,12 @@ object KernelQueries {
     // integer-fifths scores hash-match. Partitioning-invariance stays
     // asserted in OpennessSpec.
     q("k2_openness", k2OracleSql) { (s, dir) =>
-      kin(Tables.load(s, dir, "events").filter(col("event_id") < 1000))
+      // Kernels.spread: ~5M MC samples behind a 1000-row single-file
+      // scan — the same compute-dense-UDF starvation bdb_radius_stage
+      // hit at r8, guarded here before it crosses the visibility bar
+      Kernels.spread(
+          kin(Tables.load(s, dir, "events").filter(col("event_id") < 1000)),
+          col("event_id"))
         .withColumn("vs", lit(2.0) + col("value") % 3) // small reach box
         .withColumn("dir0", (col("value") % lit(6.28)))
         .withColumn("dxs", array(col("px") + 3, col("px") - 4, col("px") + 1))
