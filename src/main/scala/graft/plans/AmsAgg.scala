@@ -99,9 +99,13 @@ object AmsAgg {
     * measurement: on the dense consecutive orderkeys the sign deltas
     * s(k)·s(k+δ) are near-deterministic per δ, and the estimator
     * landed 42% under the true join size at sf0.01; the cubic signs
-    * bring it to 0.8% on the same data. Key is reduced mod P first so
-    * every Horner step stays in 62 bits for ANY long key. Fixed so the
-    * DuckDB oracle regenerates every signed cell. */
+    * bring it to 0.8% on the same data. The key is reduced mod P
+    * first — in BOTH cell() and sign() (round-9 advisory closed the
+    * cell() gap) — so every multiply-add stays below 2^62 for ANY
+    * long key, where an unreduced `k * A_d` would silently wrap in
+    * the JVM while the oracle's BIGINT raises overflow. Values are
+    * unchanged for keys in [0, P). Fixed so the DuckDB oracle
+    * regenerates every signed cell. */
   val P: Long = 2147483647L
   val HashA: Array[Long] = Array(1103515245L, 69069L, 1664525L, 22695477L, 1566083941L)
   val HashB: Array[Long] = Array(12345L, 1L, 1013904223L, 1L, 3L)
@@ -113,8 +117,10 @@ object AmsAgg {
     (16843009L, 826366247L, 22695477L, 1L),
     (48271L, 16807L, 69621L, 7L))
 
-  def cell(k: Long, d: Int, width: Int): Int =
-    ((((k * HashA(d) + HashB(d)) % P) + P) % P % width).toInt
+  def cell(k: Long, d: Int, width: Int): Int = {
+    val kk = ((k % P) + P) % P
+    ((kk * HashA(d) + HashB(d)) % P % width).toInt
+  }
 
   /** ±1 from the low bit of a degree-3 polynomial mod P (Horner with
     * a mod after every multiply-add; k pre-reduced into [0, P)). */

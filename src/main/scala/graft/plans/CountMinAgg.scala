@@ -89,13 +89,22 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
 object CountMinAgg {
   /** Affine hash-row constants (classic LCG multipliers/increments —
     * public-domain numerical-recipes values) and the Mersenne prime
-    * modulus. Fixed so the DuckDB oracle regenerates every cell. */
+    * modulus. Fixed so the DuckDB oracle regenerates every cell.
+    *
+    * The key is reduced mod P BEFORE the multiply (round-9 advisory
+    * fix, same as [[AmsAgg.sign]] always did): `k * A_d` on a raw key
+    * > ~2^32 silently wraps in JVM long arithmetic while the oracle's
+    * identical BIGINT expression raises an overflow error — the
+    * pre-reduction keeps every intermediate below 2^62 for ANY long
+    * key on both engines. Values are unchanged for keys in [0, P). */
   val P: Long = 2147483647L
   val HashA: Array[Long] = Array(1103515245L, 69069L, 1664525L, 22695477L)
   val HashB: Array[Long] = Array(12345L, 1L, 1013904223L, 1L)
 
-  def cell(k: Long, d: Int, width: Int): Int =
-    ((((k * HashA(d) + HashB(d)) % P) + P) % P % width).toInt
+  def cell(k: Long, d: Int, width: Int): Int = {
+    val kk = ((k % P) + P) % P
+    ((kk * HashA(d) + HashB(d)) % P % width).toInt
+  }
 
   /** The SQL VALUES clause replaying the hash rows (oracle building block). */
   def hashRowsSql(depth: Int): String =

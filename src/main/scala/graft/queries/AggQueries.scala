@@ -46,6 +46,31 @@ object AggQueries {
       |  GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Second register chain over the LOW-cardinality key l_linenumber
+    * (~7 distinct): the sketch whose raw estimator sits inside the
+    * small-range band, so a29's published correction branch actually
+    * FIRES in the oracle gate instead of being dead code at this SF.
+    * Ends in CTE `regs_low(l_returnflag, reg, rho)`. */
+  private val hllRegsLowCtes: String = {
+    import OracleU64.mix64Ctes
+    s"""kl AS (
+      |  SELECT DISTINCT l_returnflag, CAST(l_linenumber AS UBIGINT) AS e
+      |  FROM lineitem),
+      |${mix64Ctes("kl", "e", "sdl", "seed", "hl")},
+      |rrl AS (
+      |  SELECT l_returnflag, CAST(seed & CAST(63 AS UBIGINT) AS BIGINT) AS reg,
+      |         CASE WHEN (seed >> 6) = CAST(0 AS UBIGINT) THEN 59
+      |              ELSE 59 - length(bin(seed >> 6)) END AS rho1
+      |  FROM sdl),
+      |regs_low AS (
+      |  SELECT g.l_returnflag, r.reg,
+      |         CAST(coalesce(max(rrl.rho1), 0) AS BIGINT) AS rho
+      |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
+      |  CROSS JOIN (SELECT CAST(unnest(range(64)) AS BIGINT) AS reg) r
+      |  LEFT JOIN rrl ON rrl.l_returnflag = g.l_returnflag AND rrl.reg = r.reg
+      |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Exact BigInt floor division for the HLL estimate (Spark decimal
     * division ROUNDS to the result scale, which can cross an integer
     * boundary); runs once per group/pair — never on a hot path. */
@@ -60,6 +85,43 @@ object AggQueries {
       s"aggregate($regsCol, CAST(0 AS DECIMAL(38,0)), (acc, r) -> " +
       "acc + CAST(shiftleft(CAST(1 AS BIGINT), CAST(59 - r AS INT)) " +
       "AS DECIMAL(38,0)))")
+
+  // ---- HLL range correction (round 9, verdict ask #5): the paper's
+  // small-range branch published as query output, oracle-exactly.
+  // V = #zero registers has only 64 possible values, so floor(m·ln(m/V))
+  // is a fixed table BOTH engines consume as literals (HllAgg
+  // .linearCountTable — no engine-resident ln). Cutoff 5m/2 = 160.
+
+  private val HllLcThreshold: Long = graft.plans.HllAgg.lcThreshold(6)
+  private val hllLcTable: IndexedSeq[Long] = graft.plans.HllAgg.linearCountTable(6)
+  /** The table as a DuckDB list literal (1-indexed by V via list_extract). */
+  private val hllLcSqlList: String = hllLcTable.mkString("[", ", ", "]")
+  private def hllLcArr = array(hllLcTable.map(lit(_)): _*)
+
+  /** Zero-register count V over a rho array (any SQL array expr). */
+  private def hllNZero(regsExpr: String): org.apache.spark.sql.Column =
+    expr(s"aggregate($regsExpr, CAST(0 AS BIGINT), (acc, r) -> " +
+         "acc + IF(r = 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))")
+
+  private def hllCorrected(est: org.apache.spark.sql.Column,
+                           nZero: org.apache.spark.sql.Column) =
+    when(est <= HllLcThreshold && nZero > 0,
+         element_at(hllLcArr, nZero.cast("int"))).otherwise(est)
+
+  private def hllBand(est: org.apache.spark.sql.Column,
+                      nZero: org.apache.spark.sql.Column) =
+    when(est <= HllLcThreshold && nZero > 0, lit("linear_counting"))
+      .otherwise(lit("raw"))
+
+  /** Same branch in oracle SQL over (estCol, nZeroCol). */
+  private def hllCorrectedSql(estCol: String, nZeroCol: String): String =
+    s"CASE WHEN $estCol <= $HllLcThreshold AND $nZeroCol > 0 " +
+    s"THEN list_extract($hllLcSqlList, CAST($nZeroCol AS INT)) " +
+    s"ELSE $estCol END"
+
+  private def hllBandSql(estCol: String, nZeroCol: String): String =
+    s"CASE WHEN $estCol <= $HllLcThreshold AND $nZeroCol > 0 " +
+    s"THEN 'linear_counting' ELSE 'raw' END"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -660,7 +722,7 @@ object AggQueries {
     // (min over rows >= true count, error <= e/width * N) is asserted
     // in CountMinSpec against exact counts.
     q("a28_countmin",
-      s"""SELECT d, ((l_partkey * a + b) % 2147483647) % 64 AS w,
+      s"""SELECT d, (((l_partkey % 2147483647) * a + b) % 2147483647) % 64 AS w,
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem
         |CROSS JOIN ${graft.plans.CountMinAgg.hashRowsSql(4)}
@@ -690,31 +752,70 @@ object AggQueries {
     // the harmonic-mean estimate is ONE exact integer division —
     // floor(709·2^71 / (1000·S)) with S = Σ 2^(59-M_j) summed as
     // DECIMAL (alpha_64 = 0.709 from the HLL paper, scale 2^59 making
-    // every term integral). Raw estimator by design; the small-range
-    // (linear-counting) branch is asserted against in HllSpec.
+    // every term integral).
+    //
+    // Round 9 (verdict ask #5): the paper's SMALL-RANGE correction is
+    // now published as output — `est_corrected`/`band` switch to
+    // linear counting floor(m·ln(m/V)) when est ≤ 5m/2 and V (zero
+    // registers) > 0, via the fixed 64-entry integer table both
+    // engines consume as literals (HllAgg.linearCountTable — oracle-
+    // exact, no engine ln). The orderkey sketch sits in the 'raw' band
+    // at every tested SF, so a SECOND sketch over l_linenumber (~7
+    // distinct) is published alongside: its raw estimator lands inside
+    // the band and the linear-counting branch FIRES in this very
+    // oracle gate (est_low_raw ~6x over truth, est_low lands on it) —
+    // the correction is live code, not a spec-only assertion. The
+    // large-range branch has no 64-bit-hash analog (HllAgg scaladoc).
     q("a29_hll_distinct",
       s"""WITH $hllRegsCtes,
+        |$hllRegsLowCtes,
         |est AS (
         |  SELECT l_returnflag,
         |         CAST(CAST('$HllEstNum' AS HUGEINT)
         |              // (1000 * sum(CAST((CAST(1 AS BIGINT)
         |                   << CAST(59 - rho AS INT)) AS HUGEINT)))
-        |              AS BIGINT) AS est
-        |  FROM regs GROUP BY 1)
-        |SELECT regs.l_returnflag AS l_returnflag, reg, rho, est
+        |              AS BIGINT) AS est,
+        |         CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM regs GROUP BY 1),
+        |est_low AS (
+        |  SELECT l_returnflag,
+        |         CAST(CAST('$HllEstNum' AS HUGEINT)
+        |              // (1000 * sum(CAST((CAST(1 AS BIGINT)
+        |                   << CAST(59 - rho AS INT)) AS HUGEINT)))
+        |              AS BIGINT) AS est_low_raw,
+        |         CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS low_n_zero
+        |  FROM regs_low GROUP BY 1)
+        |SELECT regs.l_returnflag AS l_returnflag, reg, rho, est, n_zero,
+        |       ${hllCorrectedSql("est", "n_zero")} AS est_corrected,
+        |       ${hllBandSql("est", "n_zero")} AS band,
+        |       est_low_raw, low_n_zero,
+        |       ${hllCorrectedSql("est_low_raw", "low_n_zero")} AS est_low,
+        |       ${hllBandSql("est_low_raw", "low_n_zero")} AS band_low
         |FROM regs JOIN est USING (l_returnflag)
+        |JOIN est_low USING (l_returnflag)
         |ORDER BY l_returnflag, reg""".stripMargin) { (s, dir) =>
       graft.plans.GraftExtensions.install(s) // bare Verify/Bench sessions
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("hll_sketch(l_orderkey, 6)").as("regs"))
-        // the harmonic fold is map-side over the 64-element array —
-        // no second aggregation or window touches the groups
+        .agg(expr("hll_sketch(l_orderkey, 6)").as("regs"),
+             expr("hll_sketch(l_linenumber, 6)").as("regs_low"))
+        // the harmonic/zero folds are map-side over the 64-element
+        // arrays — no second aggregation or window touches the groups
         .withColumn("est", hllEst(hllHarmonicSum("regs")))
-        .select(col("l_returnflag"), col("est"),
+        .withColumn("n_zero", hllNZero("regs"))
+        .withColumn("est_low_raw", hllEst(hllHarmonicSum("regs_low")))
+        .withColumn("low_n_zero", hllNZero("regs_low"))
+        .select(col("l_returnflag"), col("est"), col("n_zero"),
+          hllCorrected(col("est"), col("n_zero")).as("est_corrected"),
+          hllBand(col("est"), col("n_zero")).as("band"),
+          col("est_low_raw"), col("low_n_zero"),
+          hllCorrected(col("est_low_raw"), col("low_n_zero")).as("est_low"),
+          hllBand(col("est_low_raw"), col("low_n_zero")).as("band_low"),
           posexplode(col("regs")).as(Seq("reg", "rho")))
         .select(col("l_returnflag"), col("reg").cast("long").as("reg"),
-          col("rho"), col("est"))
+          col("rho"), col("est"), col("n_zero"), col("est_corrected"),
+          col("band"), col("est_low_raw"), col("low_n_zero"),
+          col("est_low"), col("band_low"))
         .orderBy("l_returnflag", "reg")
     },
 
@@ -747,22 +848,26 @@ object AggQueries {
         |         sum(CAST((CAST(1 AS BIGINT) << CAST(59 - rho_b AS INT))
         |             AS HUGEINT)) AS sb,
         |         sum(CAST((CAST(1 AS BIGINT) << CAST(59 - rho_u AS INT))
-        |             AS HUGEINT)) AS su
+        |             AS HUGEINT)) AS su,
+        |         CAST(sum(CASE WHEN rho_u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vu
         |  FROM pairs GROUP BY 1, 2),
         |ests AS (
-        |  SELECT flag_a, flag_b,
+        |  SELECT flag_a, flag_b, vu,
         |         CAST(CAST('$HllEstNum' AS HUGEINT) // (1000 * sa) AS BIGINT) AS est_a,
         |         CAST(CAST('$HllEstNum' AS HUGEINT) // (1000 * sb) AS BIGINT) AS est_b,
         |         CAST(CAST('$HllEstNum' AS HUGEINT) // (1000 * su) AS BIGINT) AS est_union
         |  FROM sums)
         |SELECT flag_a, flag_b, est_a, est_b, est_union,
-        |       est_a + est_b - est_union AS est_inter
+        |       est_a + est_b - est_union AS est_inter,
+        |       ${hllCorrectedSql("est_union", "vu")} AS est_union_corrected,
+        |       ${hllBandSql("est_union", "vu")} AS band_union
         |FROM ests ORDER BY flag_a, flag_b""".stripMargin) { (s, dir) =>
       graft.plans.GraftExtensions.install(s) // bare Verify/Bench sessions
       val sk = Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(expr("hll_sketch(l_orderkey, 6)").as("regs"))
         .cache() // 3 rows × 64 longs — the "persisted sketch table"
+      val unionRegs = "zip_with(a.regs, b.regs, (x, y) -> greatest(x, y))"
       sk.as("a").join(broadcast(sk.as("b")),
           col("a.l_returnflag") < col("b.l_returnflag"))
         .select(
@@ -770,11 +875,18 @@ object AggQueries {
           col("b.l_returnflag").as("flag_b"),
           hllEst(hllHarmonicSum("a.regs")).as("est_a"),
           hllEst(hllHarmonicSum("b.regs")).as("est_b"),
-          hllEst(hllHarmonicSum(
-            "zip_with(a.regs, b.regs, (x, y) -> greatest(x, y))"))
-            .as("est_union"))
+          hllEst(hllHarmonicSum(unionRegs)).as("est_union"),
+          hllNZero(unionRegs).as("vu"))
         .withColumn("est_inter",
           col("est_a") + col("est_b") - col("est_union"))
+        // round-9 range correction on the DERIVED union sketch — the
+        // rollup consumer reads the corrected number, not the raw
+        // estimator ('raw' band at this SF; the firing branch is
+        // oracle-gated in a29's low-cardinality sketch)
+        .withColumn("est_union_corrected",
+          hllCorrected(col("est_union"), col("vu")))
+        .withColumn("band_union", hllBand(col("est_union"), col("vu")))
+        .drop("vu")
         .orderBy("flag_a", "flag_b")
     },
 
@@ -795,14 +907,14 @@ object AggQueries {
     // family.
     q("a31_ams_joinsize",
       s"""WITH c1 AS (
-        |  SELECT d, ((l_orderkey * a + b) % 2147483647) % 8192 AS w,
+        |  SELECT d, (((l_orderkey % 2147483647) * a + b) % 2147483647) % 8192 AS w,
         |         sum((((s3 * (l_orderkey % 2147483647) + s2) % 2147483647
         |              * (l_orderkey % 2147483647) + s1) % 2147483647
         |              * (l_orderkey % 2147483647) + s0) % 2147483647 % 2 * 2 - 1) AS n
         |  FROM lineitem CROSS JOIN ${graft.plans.AmsAgg.hashRowsSql(5)}
         |  GROUP BY 1, 2),
         |c2 AS (
-        |  SELECT d, ((o_orderkey * a + b) % 2147483647) % 8192 AS w,
+        |  SELECT d, (((o_orderkey % 2147483647) * a + b) % 2147483647) % 8192 AS w,
         |         sum((((s3 * (o_orderkey % 2147483647) + s2) % 2147483647
         |              * (o_orderkey % 2147483647) + s1) % 2147483647
         |              * (o_orderkey % 2147483647) + s0) % 2147483647 % 2 * 2 - 1) AS n
@@ -853,7 +965,7 @@ object AggQueries {
     // family as a31, fully DuckDB-replayed.
     q("a32_ams_f2",
       s"""WITH c1 AS (
-        |  SELECT d, ((l_partkey * a + b) % 2147483647) % 8192 AS w,
+        |  SELECT d, (((l_partkey % 2147483647) * a + b) % 2147483647) % 8192 AS w,
         |         sum((((s3 * (l_partkey % 2147483647) + s2) % 2147483647
         |              * (l_partkey % 2147483647) + s1) % 2147483647
         |              * (l_partkey % 2147483647) + s0) % 2147483647 % 2 * 2 - 1) AS n

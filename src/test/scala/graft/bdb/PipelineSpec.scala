@@ -146,10 +146,12 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("pipeline heads match the committed goldens byte-for-byte") {
-    // bdb_radius_stage / bdb_press_pipeline are rows-only in the driver
-    // gate; these committed goldens turn a kernel regression into a test
-    // diff instead of silent drift. Regenerate ONLY for an intended
-    // kernel change: sbt "Test/runMain graft.bdb.Golden"
+    // Only the ML-training heads remain golden-backed (Golden.queries =
+    // bdb_coverage_model / bdb_disguise — model metrics DuckDB cannot
+    // replay); the relational/kernel stages all graduated to DuckDB
+    // oracles in round 8. The goldens turn a training regression into a
+    // test diff instead of silent drift. Regenerate ONLY for an intended
+    // model change: sbt "Test/runMain graft.bdb.Golden"
     Golden.queries.foreach { name =>
       val got = Golden.render(graft.SparkEntry.queries(name)(spark, "unused"))
       val want = {

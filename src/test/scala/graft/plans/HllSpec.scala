@@ -85,6 +85,27 @@ class HllSpec extends SparkSpec {
     assert(math.abs(estimate(merged).toDouble - n) / n < 0.39)
   }
 
+  test("range correction: linear counting fires inside the band, lands near truth") {
+    // the published est_corrected/band columns (a29/a30) in miniature:
+    // 7 distinct keys put the raw estimator deep in the small-range
+    // band; the table-driven linear-counting branch must fire and land
+    // at ~the true cardinality where the raw estimator is ~6x over
+    val regs7 = HllAgg.sketchOf(1L to 7L, P)
+    val raw = estimate(regs7.map(_.toLong))
+    val v = regs7.count(_ == 0)
+    assert(raw <= HllAgg.lcThreshold(P) && v > 0,
+      s"fixture drifted out of the small-range band (raw=$raw, V=$v)")
+    val corr = HllAgg.corrected(P, raw, v)
+    assert(corr == math.floor(M * math.log(M.toDouble / v)).toLong,
+      "corrected estimate != the table's floor(m*ln(m/V))")
+    assert(math.abs(corr - 7L) <= 2, s"linear counting missed truth: $corr vs 7")
+    assert(raw > 3 * corr, s"raw estimator unexpectedly unbiased here ($raw)")
+    // outside the band, raw passes through untouched
+    assert(HllAgg.corrected(P, 1000L, 3) == 1000L)
+    // empty sketch: V = m, table gives ln(1) = 0
+    assert(HllAgg.corrected(P, estimate(new Array[Long](M)), M) == 0L)
+  }
+
   test("serde roundtrip preserves the buffer bit-for-bit") {
     val agg = HllAgg(org.apache.spark.sql.catalyst.expressions.Literal(1L), P)
     val buf = regs.map(_.toByte)
