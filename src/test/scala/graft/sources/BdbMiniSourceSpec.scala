@@ -190,6 +190,43 @@ class BdbMiniSourceSpec extends SparkSpec {
     gotD.foreach { case (g, v) => assert(math.abs(v - expD(g)) < 1e-9) }
   }
 
+  test("per-gameId AVG pushes via (sum,count) partials; double AVG declines whole") {
+    // Spark's V2ScanRelationPushDown rewrites a partial-pushdown AVG
+    // into SUM + COUNT before translating (the exact decomposition the
+    // round-8 integral partials support), then divides in the final
+    // aggregate — so avg(integral) rides the existing partials with no
+    // new source surface. The scan must show BOTH decomposed partials.
+    val df = read("tracking").groupBy("gameId").agg(avg("frameId").as("af"))
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    val desc = scan.scan.description()
+    assert(desc.contains("SUM(frameId)") && desc.contains("COUNT(frameId)"),
+      s"AVG should decompose into pushed SUM+COUNT partials: $desc")
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = BdbMini.tracking.groupBy(_.gameId).map { case (g, rows) =>
+      g -> rows.map(_.frameId.toDouble).sum / rows.size
+    }
+    // exact: the division runs once per group on exact Long partials,
+    // the same single IEEE op the row-level plan ends in
+    got.foreach { case (g, v) => assert(v == expected(g), s"game $g") }
+    // float-exactness decline rule: avg(double) decomposes into
+    // sum(double) + count, the double SUM partial declines (per-split
+    // accumulation order could differ from the row plan by ulps), and
+    // aggs.exists(_.isEmpty) fails the WHOLE pushAggregation — ordinary
+    // scan, still-correct result
+    val dbl = read("tracking").groupBy("gameId").agg(avg("dis").as("ad"))
+    val dblScan = dbl.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(!dblScan.scan.description().contains("PushedAggregates"),
+      dblScan.scan.description())
+    val gotD = dbl.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expD = BdbMini.tracking.groupBy(_.gameId)
+      .view.mapValues(rs => rs.map(_.dis).sum / rs.size).toMap
+    gotD.foreach { case (g, v) => assert(math.abs(v - expD(g)) < 1e-9) }
+  }
+
   test("per-gameId grouped COUNT(*) pushes and composes with the gameId filter") {
     val g = BdbMini.games.head.gameId
     val df = read("tracking").filter(col("gameId") === g).groupBy("gameId").count()

@@ -54,6 +54,58 @@ class BdbMiniSpjSpec extends IsolatedSparkSpec {
     }
   }
 
+  test("grouped agg over the SPJ join plans no Exchange; pushed-agg partitioning drop is pinned") {
+    // round-9 verdict ask #8: s12's KeyGroupedPartitioning and the
+    // grouped partials were spec'd separately — assert they COMPOSE.
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      // (a) grouped partials DIRECTLY over the scan: the partials push,
+      // but Spark's V2ScanPartitioningAndOrdering then DROPS the
+      // reported KeyGroupedPartitioning — aggregate pushdown synthesizes
+      // fresh output attribute IDs, and the rule requires the resolved
+      // partitioning refs to be a subset of the scan relation's output
+      // (they resolve against the RELATION's originals). Upstream
+      // behavior, not this source: the residual exchange is harmless
+      // (it moves one partial row per split, not the row stream), and
+      // this canary assert flips when a Spark upgrade starts composing
+      // the two — at which point drop the exchange expectation below.
+      val agg = read("tracking").groupBy("gameId")
+        .agg(count(lit(1)).as("n"), sum("frameId").as("sf"))
+      agg.queryExecution.optimizedPlan.foreach {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          assert(r.keyGroupedPartitioning.isEmpty,
+            "Spark now keeps KeyGroupedPartitioning on pushed-agg scans — " +
+            "strengthen this test to assert NO exchange here")
+        case _ =>
+      }
+      val aplan = agg.queryExecution.executedPlan.toString
+      assert(aplan.contains("PushedAggregates"), aplan)
+      val gotA = agg.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expA = BdbMini.tracking.groupBy(_.gameId).map { case (g, rows) =>
+        (g, rows.size.toLong, rows.map(_.frameId.toLong).sum)
+      }.toSet
+      assert(gotA == expA)
+      // (b) grouped agg ABOVE the storage-partitioned join: the SPJ
+      // output keeps KeyGroupedPartitioning(gameId), which satisfies
+      // the aggregate's clustering too — zero exchanges end to end
+      val joined = read("tracking").join(read("plays"), Seq("gameId"))
+        .groupBy("gameId").agg(count(lit(1)).as("n"))
+      val jplan = joined.queryExecution.executedPlan.toString
+      assert(!jplan.contains("Exchange hashpartitioning"),
+        s"agg over SPJ join should reuse the join's partitioning:\n$jplan")
+      val gotJ = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val playsPerGame = BdbMini.plays.groupBy(_.gameId)
+        .view.mapValues(_.size).toMap
+      val expJ = BdbMini.tracking.groupBy(_.gameId).map { case (g, rows) =>
+        g -> rows.size.toLong * playsPerGame(g)
+      }.toMap
+      assert(gotJ == expJ)
+    }
+  }
+
   test("without v2 bucketing the same join shuffles (SPJ is load-bearing)") {
     withConfs(
       "spark.sql.sources.v2.bucketing.enabled" -> "false",
