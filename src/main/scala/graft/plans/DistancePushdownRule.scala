@@ -71,6 +71,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.countMinDescriptor)
     ext.injectFunction(GraftExtensions.hllDescriptor)
     ext.injectFunction(GraftExtensions.amsDescriptor)
+    ext.injectFunction(GraftExtensions.kmvDescriptor)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }
@@ -166,6 +167,25 @@ object GraftExtensions {
       AmsAgg(key, lit(args(1), "depth"), lit(args(2), "width"))
     })
 
+  val kmvDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_sketch"),
+    new ExpressionInfo(classOf[KmvAgg].getName, "kmv_sketch"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        "kmv_sketch(key, k) takes 2 arguments (k a literal int)")
+      val k = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"kmv_sketch k must be an integer literal, got $other")
+      }
+      val key = args.head.dataType match {
+        case org.apache.spark.sql.types.LongType => args.head
+        case _ => org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.LongType)
+      }
+      KmvAgg(key, k)
+    })
+
   /** Register on an already-built session (Verify/Bench sessions are
     * constructed without extensions). Idempotent. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -192,6 +212,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ams_sketch",
       args => amsDescriptor._3(args),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch",
+      args => kmvDescriptor._3(args),
       "built-in")
     if (!spark.experimental.extraOptimizations.contains(DistancePushdownRule)) {
       spark.experimental.extraOptimizations =

@@ -123,6 +123,50 @@ object AggQueries {
     s"CASE WHEN $estCol <= $HllLcThreshold AND $nZeroCol > 0 " +
     s"THEN 'linear_counting' ELSE 'raw' END"
 
+  // ---- KMV / theta sketch (a33/a34, round 9): bottom-k minima over
+  // the portable mix64 hash. K fixed at 64 to match the HLL register
+  // budget (512 bytes vs 64 — the price of supporting set algebra).
+
+  private val KmvK = 64
+  /** 2^64 as a DuckDB HUGEINT expression. */
+  private val Two64Sql = "(CAST(18446744073709551615 AS HUGEINT) + 1)"
+
+  private val kmvEst = udf { (kept: Seq[Long]) =>
+    graft.plans.KmvAgg.estimate(kept, KmvK)
+  }
+  /** (est_union, est_inter, jaccard_bp) from two kept-minima arrays —
+    * bounded work (≤ 2k values), runs once per pair row. */
+  private val kmvAlgebra = udf { (a: Seq[Long], b: Seq[Long]) =>
+    graft.plans.KmvAgg.setAlgebra(a, b, KmvK)
+  }
+
+  /** Shared a33/a34 oracle chain: per-returnflag k-minimum mix64 values
+    * over DISTINCT orderkeys (mix64 is a bijection, so DISTINCT keys ⇒
+    * DISTINCT seeds and `row_number` needs no tie policy). Ends in
+    * `kept(l_returnflag, seed, rn)` (UBIGINT seed, rn 1-based) and
+    * `kstats(l_returnflag, n_kept, vk, est, band)` — the classic
+    * bottom-k estimator (k-1)·2^64/v_k, exact-count branch when the
+    * sketch never filled. */
+  private val kmvKeptCtes: String = {
+    import OracleU64.mix64Ctes
+    s"""k AS (
+      |  SELECT DISTINCT l_returnflag, CAST(l_orderkey AS UBIGINT) AS e
+      |  FROM lineitem),
+      |${mix64Ctes("k", "e", "sd", "seed", "km")},
+      |kept AS (
+      |  SELECT l_returnflag, seed,
+      |         row_number() OVER (PARTITION BY l_returnflag ORDER BY seed) AS rn
+      |  FROM sd QUALIFY rn <= $KmvK),
+      |kstats AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+      |         max(seed) AS vk,
+      |         CASE WHEN count(*) < $KmvK THEN CAST(count(*) AS BIGINT)
+      |              ELSE CAST(CAST(${KmvK - 1} AS HUGEINT) * $Two64Sql
+      |                        // CAST(max(seed) AS HUGEINT) AS BIGINT) END AS est,
+      |         CASE WHEN count(*) < $KmvK THEN 'exact' ELSE 'estimate' END AS band
+      |  FROM kept GROUP BY 1)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // A1 — group-by mean (radius_model.R:265-268)
@@ -993,6 +1037,111 @@ object AggQueries {
       est.join(broadcast(exact)) // 1 row × 1 row
         .select(col("est_f2"), col("true_f2"),
           (col("est_f2") - col("true_f2")).as("err"))
+    },
+
+    // A33 — KMV / bottom-k "theta" distinct sketch (plans/KmvAgg.scala,
+    // the fourth sketch in the family): the k = 64 unsigned-smallest
+    // mix64 values of the DISTINCT keys per group. State is k longs
+    // whatever the cardinality; merge is set-union-then-truncate —
+    // idempotent like HLL's max, so re-delivery is harmless and
+    // partials combine map-side. Why keep it next to a29: the kept
+    // minima are a uniform SAMPLE of the key space, which is what
+    // makes a34's DIRECT intersection/Jaccard estimates possible
+    // (HLL only subtracts two noisy estimates). Like the rest of the
+    // family the ENTIRE sketch is oracle-checked: register content =
+    // the k minima bit-for-bit (row_number over the replayed mix64
+    // chain), estimate = one HUGEINT floor division of the classic
+    // unbiased bottom-k form (k-1)·2^64/v_k, and the exact-count
+    // branch (sketch never filled) is published via `band` — the a29
+    // est_corrected lesson applied from birth.
+    q("a33_kmv_distinct",
+      s"""WITH $kmvKeptCtes
+        |SELECT kept.l_returnflag AS l_returnflag,
+        |       CAST(rn - 1 AS INT) AS pos,
+        |       ${OracleU64.toSigned("seed")} AS hval,
+        |       n_kept, est, band
+        |FROM kept JOIN kstats USING (l_returnflag)
+        |ORDER BY l_returnflag, pos""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s) // bare Verify/Bench sessions
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr(s"kmv_sketch(l_orderkey, $KmvK)").as("kept"))
+        .select(col("l_returnflag"),
+          size(col("kept")).cast("long").as("n_kept"),
+          kmvEst(col("kept")).as("est"),
+          when(size(col("kept")) < KmvK, lit("exact"))
+            .otherwise(lit("estimate")).as("band"),
+          posexplode(col("kept")).as(Seq("pos", "hval")))
+        .select(col("l_returnflag"), col("pos"), col("hval"),
+          col("n_kept"), col("est"), col("band"))
+        .orderBy("l_returnflag", "pos")
+    },
+
+    // A34 — KMV SET ALGEBRA (why the fourth sketch earns its place):
+    // per returnflag pair, DIRECT |A∪B| / |A∩B| / Jaccard estimates
+    // from the two 512-byte register files alone. Theta-sketch rule:
+    // T = min over the pair of (v_k when full, 2^64 when exact); every
+    // kept value unsigned-< T is a uniform sample with inclusion
+    // probability T/2^64, so each estimate is count·2^64/T — ONE
+    // integer division with RELATIVE error ~1/√k, where a30's HLL
+    // inclusion–exclusion subtracts two absolute-error estimates (and
+    // can go negative on near-disjoint sets; jaccard_bp here is exact
+    // integer basis points of the SAMPLE ratio, never negative). The
+    // pair join runs on the 3-row cached aggregate (broadcast); the
+    // algebra is a bounded ≤2k-value fold per pair. Oracle replays
+    // every kept value, threshold, count, and division in UBIGINT /
+    // HUGEINT arithmetic.
+    q("a34_kmv_intersect",
+      s"""WITH $kmvKeptCtes,
+        |th AS (
+        |  SELECT l_returnflag, n_kept, est,
+        |         CASE WHEN n_kept < $KmvK THEN $Two64Sql
+        |              ELSE CAST(vk AS HUGEINT) END AS theta
+        |  FROM kstats),
+        |pairs AS (
+        |  SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+        |         a.est AS est_a, b.est AS est_b,
+        |         least(a.theta, b.theta) AS t
+        |  FROM th a JOIN th b ON a.l_returnflag < b.l_returnflag),
+        |pairseeds AS (
+        |  SELECT p.flag_a, p.flag_b, p.t, s.seed,
+        |         max(CASE WHEN s.l_returnflag = p.flag_a THEN 1 ELSE 0 END) AS in_a,
+        |         max(CASE WHEN s.l_returnflag = p.flag_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN kept s
+        |    ON s.l_returnflag IN (p.flag_a, p.flag_b)
+        |   AND CAST(s.seed AS HUGEINT) < p.t
+        |  GROUP BY p.flag_a, p.flag_b, p.t, s.seed),
+        |cnts AS (
+        |  SELECT flag_a, flag_b, t,
+        |         CAST(count(*) AS HUGEINT) AS n_union,
+        |         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |              AS HUGEINT) AS n_inter
+        |  FROM pairseeds GROUP BY 1, 2, 3)
+        |SELECT c.flag_a, c.flag_b, p.est_a, p.est_b,
+        |       CAST(c.n_union * $Two64Sql // c.t AS BIGINT) AS est_union,
+        |       CAST(c.n_inter * $Two64Sql // c.t AS BIGINT) AS est_inter,
+        |       CAST(CASE WHEN c.n_union = 0 THEN 0
+        |                 ELSE c.n_inter * 10000 // c.n_union END AS BIGINT) AS jaccard_bp
+        |FROM cnts c JOIN pairs p
+        |  ON p.flag_a = c.flag_a AND p.flag_b = c.flag_b
+        |ORDER BY c.flag_a, c.flag_b""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s) // bare Verify/Bench sessions
+      val sk = Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr(s"kmv_sketch(l_orderkey, $KmvK)").as("kept"))
+        .cache() // 3 rows × ≤64 longs — the persisted sketch table
+      sk.as("a").join(broadcast(sk.as("b")),
+          col("a.l_returnflag") < col("b.l_returnflag"))
+        .select(
+          col("a.l_returnflag").as("flag_a"),
+          col("b.l_returnflag").as("flag_b"),
+          kmvEst(col("a.kept")).as("est_a"),
+          kmvEst(col("b.kept")).as("est_b"),
+          kmvAlgebra(col("a.kept"), col("b.kept")).as("alg"))
+        .select(col("flag_a"), col("flag_b"), col("est_a"), col("est_b"),
+          col("alg._1").as("est_union"), col("alg._2").as("est_inter"),
+          col("alg._3").as("jaccard_bp"))
+        .orderBy("flag_a", "flag_b")
     },
   )
 }

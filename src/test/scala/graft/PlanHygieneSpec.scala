@@ -27,6 +27,7 @@ class PlanHygieneSpec extends SparkSpec {
     "x12_negative_sampling" -> "1-row corpus-count scalar",
     "a30_hll_union"         -> "#groups-row (3) sketch table self-paired on an inequality — register files, not data",
     "a31_ams_joinsize"      -> "two 1-row sketch/scalar frames crossed (est × true-size) — register files, not data",
+    "a34_kmv_intersect"     -> "#groups-row (3) sketch table self-paired on an inequality — register files, not data (a30's shape)",
     "a32_ams_f2"            -> "two 1-row sketch/scalar frames crossed (est × true-F2) — register files, not data",
     "x13_bm25"              -> "1-row corpus-stats scalar",
     "x15_domain_mix"        -> "1-row budget/weight scalar",

@@ -623,4 +623,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch,
       "streaming AMS buffer differs from the batch buffer")
   }
+
+  test("streaming KMV sketch is BIT-IDENTICAL to the batch sketch") {
+    // the fourth sketch's twin (round 9): union-then-truncate merge is
+    // order-independent AND idempotent (set semantics — HLL's replay
+    // tolerance with sample-carrying state), so the drained
+    // complete-mode stream holds exactly the batch k-minima — the
+    // standing overlap/Jaccard monitor shape: two live KMV states
+    // answer "how much do these streams' key sets overlap" at any
+    // moment via a34's algebra, no rescan.
+    graft.plans.GraftExtensions.install(spark)
+    import org.apache.spark.sql.functions.expr
+    val batch = Tables.load(spark, sfDir, "events")
+      .agg(expr("kmv_sketch(user_id, 64)").as("kept"))
+      .head().getSeq[Long](0)
+    val streamed = runStream(
+      StreamOps.eventStream(spark, eventsDir)
+        .agg(expr("kmv_sketch(user_id, 64)").as("kept")),
+      "kmv_gate", mode = "complete")
+      .head().getSeq[Long](0)
+    assert(streamed == batch,
+      "streaming KMV kept-minima differ from the batch sketch")
+  }
 }
