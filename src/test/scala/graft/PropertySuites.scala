@@ -74,6 +74,55 @@ object HllProps extends Properties("HllAgg") {
     }
 }
 
+object KmvProps extends Properties("KmvAgg") {
+  import graft.plans.KmvAgg
+  import scala.jdk.CollectionConverters._
+
+  // small k so generated lists actually exercise the truncation branch
+  private val K = 16
+  private val keys = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+
+  private def sketch(xs: Seq[Long]): Seq[Long] = {
+    val s = new java.util.TreeSet[java.lang.Long](KmvAgg.UnsignedOrder)
+    xs.foreach(k => KmvAgg.insert(s, graft.domain.Openness.mix64(k), K))
+    s.iterator().asScala.map(Long.unbox).toSeq
+  }
+
+  private def mergeKept(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+    val s = new java.util.TreeSet[java.lang.Long](KmvAgg.UnsignedOrder)
+    (a ++ b).foreach(h => KmvAgg.insert(s, h, K))
+    s.iterator().asScala.map(Long.unbox).toSeq
+  }
+
+  property("merge is split-invariant (any partitioning, same minima)") =
+    forAll(keys, Gen.choose(0, 1000)) { (xs, cut) =>
+      val k = if (xs.isEmpty) 0 else cut % (xs.length + 1)
+      val (a, b) = xs.splitAt(k)
+      mergeKept(sketch(a), sketch(b)) == sketch(xs)
+    }
+
+  property("idempotent under re-delivery (xs ++ xs sketches like xs)") =
+    forAll(keys)(xs => sketch(xs ++ xs) == sketch(xs))
+
+  property("permutation-invariant (arrival order never changes minima)") =
+    forAll(keys)(xs => sketch(xs.reverse) == sketch(xs))
+
+  property("exact below k: estimate == distinct count for unfilled sketches") =
+    forAll(Gen.listOf(Gen.choose(-1000L, 1000L))) { xs =>
+      val d = xs.distinct
+      d.size >= K || KmvAgg.estimate(sketch(d), K) == d.size.toLong
+    }
+
+  property("set algebra is exact when neither sketch filled") =
+    forAll(Gen.listOf(Gen.choose(0L, 12L)), Gen.listOf(Gen.choose(0L, 12L))) {
+      (a, b) =>
+        val (u, i, jbp) = KmvAgg.setAlgebra(sketch(a), sketch(b), K)
+        val (sa, sb) = (a.toSet, b.toSet)
+        val (tu, ti) = ((sa ++ sb).size.toLong, (sa & sb).size.toLong)
+        u == tu && i == ti && jbp == (if (tu == 0) 0L else ti * 10000 / tu)
+    }
+}
+
 object InterceptionProps extends Properties("Interception") {
 
   private val state = for {
