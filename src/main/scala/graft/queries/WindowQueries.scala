@@ -600,5 +600,91 @@ object WindowQueries {
         .select("user_id", "event_type", "streak_len", "started", "ended")
         .orderBy("user_id", "started", "event_type")
     },
+
+    // W25 — EWMA + threshold anomaly scan (round 9): per user, the
+    // exponentially-weighted moving average of the value stream in
+    // (ts, event_id) order with α = 1/4, counting events whose
+    // deviation from the RUNNING ewma exceeds the threshold — the
+    // monitoring primitive behind drift/anomaly gates on ingest
+    // telemetry. A recursive recurrence is inexpressible as a Spark
+    // Window (each output feeds the next input), so it runs as the
+    // engine's established sorted-sequential-fold shape (BdbQueries
+    // PRESS mean, x25's LM folds): one hash agg collects each user's
+    // (tus, event_id, x) triples, `aggregate` folds them in sorted
+    // order. EXACTNESS is why α = 1/4: both α·x (scaling by 2⁻²,
+    // exact) and the single correctly-rounded multiply (3/4)·ewma +
+    // add run in the identical sequential order in DuckDB's
+    // list_reduce∘list_sort, so ewma/max_dev hash-match without a
+    // tolerance. Scale shape: state per user is ONE struct; per-user
+    // event counts bound the collected arrays (the d9/x25 argument);
+    // the streaming twin of this fold is the flatMapGroupsWithState
+    // shape StreamOps.resampleLerp already implements — O(1) state,
+    // no per-key array at all.
+    q("w25_ewma_anomaly",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |         CAST(value % 100 AS DOUBLE) AS x
+        |  FROM events),
+        |seqs AS (
+        |  SELECT user_id,
+        |         list_transform(
+        |           list_sort(list(struct_pack(tus := tus,
+        |                                      event_id := event_id, x := x))),
+        |           s -> struct_pack(anoms := 0::BIGINT, maxdev := 0.0::DOUBLE,
+        |                            n := 1::BIGINT, ewma := s.x)) AS st
+        |  FROM e GROUP BY user_id),
+        |-- field order is LOAD-BEARING: DuckDB's list_reduce updates a
+        |-- struct accumulator field-by-field IN ORDER (measured: a field
+        |-- reading acc.ewma after ewma's slot sees the NEW value — the
+        |-- first cut had maxdev land on 0.75x the true deviation).
+        |-- Writing ewma LAST makes every acc.ewma read see the previous
+        |-- state under both in-place and snapshot semantics.
+        |folded AS (
+        |  SELECT user_id,
+        |         list_reduce(st, (acc, el) -> struct_pack(
+        |           anoms := acc.anoms + CASE WHEN abs(el.ewma - acc.ewma) > 30.0
+        |                                     THEN 1 ELSE 0 END,
+        |           maxdev := greatest(acc.maxdev, abs(el.ewma - acc.ewma)),
+        |           n := acc.n + 1,
+        |           ewma := 0.25 * el.ewma + 0.75 * acc.ewma)) AS f
+        |  FROM seqs)
+        |-- RAW doubles, deliberately un-rounded: the fold is bit-exact
+        |-- across engines, and round(x, 6) is the only non-portable op
+        |-- here (a half-way binary double rounded through Spark's
+        |-- BigDecimal HALF_UP vs DuckDB's round disagreed in the last
+        |-- digit at sf0.1) — with exact values the exact compare is
+        |-- strictly stronger than a rounded one
+        |SELECT user_id, f.n AS n_events, f.ewma AS ewma_final,
+        |       f.anoms AS anomalies, f.maxdev AS max_dev
+        |FROM folded ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+                col("event_id"), (col("value") % 100).cast("double").as("x"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("tus"), col("event_id"),
+                                            col("x")))).as("seq"))
+        // same fold as the oracle: the first element seeds the state
+        // (DuckDB list_reduce semantics), replicated here with an
+        // explicit init flag — after element 1 both engines hold
+        // (ewma=x₁, anoms=0, maxdev=0, n=1), then identical steps
+        .select(col("user_id"), expr(
+          """aggregate(seq,
+            |  named_struct('ewma', CAST(0.0 AS DOUBLE), 'anoms', CAST(0 AS BIGINT),
+            |               'maxdev', CAST(0.0 AS DOUBLE), 'n', CAST(0 AS BIGINT)),
+            |  (acc, e) -> IF(acc.n = 0,
+            |    named_struct('ewma', e.x, 'anoms', CAST(0 AS BIGINT),
+            |                 'maxdev', CAST(0.0 AS DOUBLE), 'n', CAST(1 AS BIGINT)),
+            |    named_struct(
+            |      'ewma', 0.25D * e.x + 0.75D * acc.ewma,
+            |      'anoms', acc.anoms + IF(abs(e.x - acc.ewma) > 30.0D,
+            |                              CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+            |      'maxdev', greatest(acc.maxdev, abs(e.x - acc.ewma)),
+            |      'n', acc.n + CAST(1 AS BIGINT))))""".stripMargin).as("f"))
+        .select(col("user_id"), col("f.n").as("n_events"),
+          col("f.ewma").as("ewma_final"),
+          col("f.anoms").as("anomalies"),
+          col("f.maxdev").as("max_dev"))
+        .orderBy("user_id")
+    },
   )
 }
