@@ -730,4 +730,50 @@ object StreamOps {
           out.result().iterator
       }
   }
+
+  case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                       value: Double)
+  /** O(1)-per-user EWMA monitor state: the running average, the anomaly
+    * tally, the max deviation, and the event count. */
+  case class EwmaState(ewma: Double, anoms: Long, maxdev: Double, n: Long)
+  case class EwmaRow(user_id: Long, n_events: Long, ewma_final: Double,
+                     anomalies: Long, max_dev: Double)
+
+  /** Online EWMA + anomaly monitor — the streaming twin of
+    * `w25_ewma_anomaly`, and the scale path its scaladoc names: the
+    * batch query collects each user's events into one sorted array;
+    * the stream folds them through FOUR SCALARS of state per user
+    * (mapGroupsWithState, Update mode), emitting the user's current
+    * monitor row each trigger. The fold is the identical IEEE
+    * expression sequence (α = 1/4: exact scaling + one
+    * correctly-rounded multiply-add per step), so after draining a
+    * time-ordered file replay the final per-user rows are
+    * BIT-IDENTICAL to the batch query's — asserted in StreamOpsSpec.
+    * Ordering contract (same as funnelMatches/resampleLerp): events
+    * for one user must not arrive in an earlier micro-batch than an
+    * older event — true for time-partitioned file replay and any
+    * log-structured source. */
+  def ewmaAnomaly(events: DataFrame): Dataset[EwmaRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        (col("value") % 100).cast("double").as("value"))
+      .as[EwmaEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0L, 0.0, 0L))
+          it.toVector.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
+            st = if (st.n == 0L) EwmaState(e.value, 0L, 0.0, 1L)
+            else {
+              val dev = math.abs(e.value - st.ewma)
+              EwmaState(0.25 * e.value + 0.75 * st.ewma,
+                st.anoms + (if (dev > 30.0) 1L else 0L),
+                math.max(st.maxdev, dev), st.n + 1L)
+            }
+          }
+          state.update(st)
+          EwmaRow(uid, st.n, st.ewma, st.anoms, st.maxdev)
+      }
+  }
 }

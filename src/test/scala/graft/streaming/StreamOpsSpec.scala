@@ -410,6 +410,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.size > 10000, "expected the full interpolated grid (~10.5k at sf0.001)")
   }
 
+  test("online EWMA monitor across micro-batches is bit-identical to w25") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sfDir, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma_ev")
+    val slices = Seq(
+      ev.filter(dayofmonth(col("ts")) <= 10),
+      ev.filter(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20),
+      ev.filter(dayofmonth(col("ts")) > 20))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      stageSlice(s, dir, f"slice_$i%02d", 1000000L * (i + 1))
+    }
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    // Update mode: the memory sink accumulates one monitor row per
+    // (user, trigger); the LIVE row is the one with the highest
+    // n_events (monotone) — that final snapshot must equal batch w25
+    val all = runStream(StreamOps.ewmaAnomaly(src).toDF(),
+      "ewma_stream", mode = "update")
+    val finalRows = all
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(desc("n_events"))))
+      .filter(col("rn") === 1).drop("rn")
+    val batch = graft.SparkEntry.queries("w25_ewma_anomaly")(spark, sfDir)
+    assert(canon(finalRows) == canon(batch),
+      "drained EWMA stream != batch w25 (bit-exact claim)")
+    assert(finalRows.count() > 0)
+  }
+
   test("funnel DFA state survives a checkpoint restart mid-pattern") {
     import org.apache.spark.sql.functions._
     val ev = Tables.load(spark, sfDir, "events")
