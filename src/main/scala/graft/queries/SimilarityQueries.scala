@@ -903,6 +903,60 @@ object SimilarityQueries {
         .orderBy("query_id")
     },
 
+    // v14 — HARD-NEGATIVE MINING (round 9): the contrastive-training
+    // data op every retrieval/embedding pipeline runs — for each query,
+    // mine the most-confusable NON-positive candidates as training
+    // negatives. Composition of standing machinery, no new plumbing:
+    // candidates come from v12's persisted IVF-PQ index (probe + pruned
+    // code scan + exact top-25 re-rank), then the POSITIVE BAND is
+    // dropped — the top-1 and anything within 2% of it (cos > 0.98 x
+    // top1: near-ties are the same answer restated, not negatives; the
+    // band is data-relative because absolute near-dup cutoffs are dead
+    // code on corpora whose max cosine sits at ~0.4) — and the hardest
+    // 5 survivors per query are emitted rank-ordered. Every arithmetic
+    // step (ADC candidates, exact rounded cosine, the 0.98 multiply,
+    // ranking) replays in DuckDB, so the mined negative SET is
+    // hash-checked, not spot-checked. Scale shape: mining rides the
+    // standing index like any query batch (the x12 random-negative
+    // sampler is the cheap contrast; this is the ANN-mined hard tier).
+    q("v14_hard_negatives",
+      s"""WITH cands AS (
+         |  SELECT query_id, neighbor_id AS neg_id, cos
+         |  FROM (${ivfpqSql(
+               nCells = graft.operators.IvfPqAnn.NCells,
+               nProbe = graft.operators.IvfPqAnn.NProbe,
+               coarseIters = graft.operators.IvfAnn.LloydIters,
+               m = graft.operators.PqAnn.M, kCents = graft.operators.PqAnn.K,
+               pqIters = graft.operators.PqAnn.PqIters,
+               k = 25, cand = 200)})),
+         |t1 AS (SELECT query_id, max(cos) AS top1 FROM cands GROUP BY 1),
+         |hard AS (
+         |  SELECT c.query_id, c.neg_id, c.cos,
+         |         row_number() OVER (PARTITION BY c.query_id
+         |                            ORDER BY c.cos DESC, c.neg_id) AS rnk
+         |  FROM cands c JOIN t1 USING (query_id)
+         |  WHERE c.cos <= 0.98 * t1.top1)
+         |SELECT query_id, neg_id, cos, rnk
+         |FROM hard WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_${dir.hashCode.toHexString}"
+      graft.operators.IvfPqAnn.ensureIndex(e.select("vec_id", "embedding"), idxPath)
+      val cands = graft.operators.IvfPqAnn.topKFromIndex(s, idxPath,
+          queries = e.filter(col("vec_id") < 8).select("vec_id", "embedding"),
+          k = 25, cand = 200)
+        .select(col("query_id"), col("neighbor_id").as("neg_id"), col("cos"))
+      val wq = Window.partitionBy("query_id")
+      cands
+        .withColumn("top1", max("cos").over(wq))
+        .filter(col("cos") <= col("top1") * 0.98)
+        .withColumn("rnk", row_number().over(
+          wq.orderBy(desc("cos"), col("neg_id"))).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neg_id", "cos", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+
     // SemDeDup-style semantic dedup: assign every vector to its nearest
     // centroid by cosine, then drop any vector that has a smaller-id
     // within-cluster neighbor with cosine >= 0.35, reporting the kept
