@@ -72,6 +72,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hllDescriptor)
     ext.injectFunction(GraftExtensions.amsDescriptor)
     ext.injectFunction(GraftExtensions.kmvDescriptor)
+    ext.injectFunction(GraftExtensions.bloomDescriptor)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }
@@ -186,6 +187,25 @@ object GraftExtensions {
       KmvAgg(key, k)
     })
 
+  val bloomDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_agg"),
+    new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        "bloom_agg(key, bits, depth) takes 3 arguments (bits/depth literal ints)")
+      def lit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"bloom_agg $what must be an integer literal, got $other")
+      }
+      val key = args.head.dataType match {
+        case org.apache.spark.sql.types.LongType => args.head
+        case _ => org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.LongType)
+      }
+      BloomAgg(key, lit(args(1), "bits"), lit(args(2), "depth"))
+    })
+
   /** Register on an already-built session (Verify/Bench sessions are
     * constructed without extensions). Idempotent. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -216,6 +236,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch",
       args => kmvDescriptor._3(args),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg",
+      args => bloomDescriptor._3(args),
       "built-in")
     if (!spark.experimental.extraOptimizations.contains(DistancePushdownRule)) {
       spark.experimental.extraOptimizations =

@@ -167,6 +167,24 @@ object AggQueries {
       |  FROM kept GROUP BY 1)""".stripMargin
   }
 
+  /** a35's bitmap geometry: 2^17 bits = 2048 words = 16 KiB, sized for
+    * the sf0.01 build side (~15k orderkeys × 3 hashes ⇒ ~29% fill,
+    * ~2.5% FPR) and DELIBERATELY held fixed across decades so the
+    * saturation behavior is itself measured output. */
+  private val BloomBits = 131072
+
+  /** Membership of SQL column `k` in a35's broadcast `words` bitmap —
+    * the same affine positions as BloomAgg.update, as pure column
+    * arithmetic (codegen'd; no UDF on the probe path). */
+  private def bloomMemberSql(k: String): String =
+    (0 until 3).map { d =>
+      val a = graft.plans.CountMinAgg.HashA(d)
+      val b = graft.plans.CountMinAgg.HashB(d)
+      val pos = s"(((($k % 2147483647) * $a + $b) % 2147483647) % $BloomBits)"
+      s"((shiftright(element_at(words, CAST($pos div 64 AS INT) + 1), " +
+      s"CAST($pos % 64 AS INT)) & 1) = 1)"
+    }.mkString(" AND ")
+
   val defs: Seq[QueryDef] = Seq(
 
     // A1 — group-by mean (radius_model.R:265-268)
@@ -1143,5 +1161,95 @@ object AggQueries {
           col("alg._3").as("jaccard_bp"))
         .orderBy("flag_a", "flag_b")
     },
+
+    // A35 — Bloom filter as a mergeable aggregate (plans/BloomAgg
+    // .scala, the fifth sketch): the membership structure behind every
+    // "does this key exist on the other side" prune — j16's semi-join
+    // bloom, d10's containment bloom — as first-class oracle-checked
+    // state. Bit positions are CountMinAgg.cell's affine maps (shared
+    // code), so DuckDB regenerates the ENTIRE 16 KiB bitmap; merge is
+    // element-wise OR (idempotent — re-delivery safe). The output is
+    // the engineering contract made measurable, per row of the word
+    // table: (a) the no-false-negative invariant as data —
+    // member_hits = member_probes over every distinct build key —
+    // and (b) the measured false-positive rate of disjoint probe keys
+    // in exact basis points, next to the fill ratio that predicts it.
+    // Fixed bits across scale factors is deliberate: at 10x the keys
+    // the same filter visibly saturates toward fpr_bp -> 10000 (never
+    // losing a member) — the sizing lesson (bits ~ 1.44 d n) as
+    // hash-checked output instead of a doc footnote.
+    q("a35_bloom_filter",
+      s"""WITH h AS (SELECT * FROM ${graft.plans.CountMinAgg.hashRowsSql(3)}),
+        |pos AS (
+        |  SELECT DISTINCT (((o_orderkey % 2147483647) * a + b) % 2147483647)
+        |                  % $BloomBits AS p
+        |  FROM orders CROSS JOIN h),
+        |wbits AS (
+        |  SELECT p // 64 AS word_idx,
+        |         bit_or(CAST(1 AS UBIGINT) << CAST(p % 64 AS INT)) AS ub
+        |  FROM pos GROUP BY 1),
+        |widx AS (SELECT CAST(unnest(range(${BloomBits / 64})) AS BIGINT) AS word_idx),
+        |words AS (
+        |  SELECT widx.word_idx,
+        |         ${OracleU64.toSigned("coalesce(wb.ub, CAST(0 AS UBIGINT))")} AS bits
+        |  FROM widx LEFT JOIN wbits wb USING (word_idx)),
+        |bset AS (SELECT CAST(coalesce(sum(bit_count(ub)), 0) AS BIGINT) AS bits_set
+        |         FROM wbits),
+        |mk AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+        |fk AS (SELECT DISTINCT l_orderkey + 1000000000 AS k FROM lineitem),
+        |mq AS (SELECT k, (((k % 2147483647) * a + b) % 2147483647) % $BloomBits AS p
+        |       FROM mk CROSS JOIN h),
+        |fq AS (SELECT k, (((k % 2147483647) * a + b) % 2147483647) % $BloomBits AS p
+        |       FROM fk CROSS JOIN h),
+        |mh AS (SELECT mq.k, count(*) AS nbits
+        |       FROM mq JOIN wbits wb ON wb.word_idx = mq.p // 64
+        |        AND (wb.ub >> CAST(mq.p % 64 AS INT)) & CAST(1 AS UBIGINT)
+        |            = CAST(1 AS UBIGINT)
+        |       GROUP BY mq.k),
+        |fh AS (SELECT fq.k, count(*) AS nbits
+        |       FROM fq JOIN wbits wb ON wb.word_idx = fq.p // 64
+        |        AND (wb.ub >> CAST(fq.p % 64 AS INT)) & CAST(1 AS UBIGINT)
+        |            = CAST(1 AS UBIGINT)
+        |       GROUP BY fq.k),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM mk) AS member_probes,
+        |         (SELECT count(*) FROM mh WHERE nbits = 3) AS member_hits,
+        |         (SELECT count(*) FROM fk) AS fp_probes,
+        |         (SELECT count(*) FROM fh WHERE nbits = 3) AS fp_hits)
+        |SELECT CAST(word_idx AS INT) AS word_idx, bits, bits_set,
+        |       bits_set * 10000 // $BloomBits AS fill_bp,
+        |       member_probes, member_hits, fp_probes, fp_hits,
+        |       fp_hits * 10000 // fp_probes AS fpr_bp
+        |FROM words CROSS JOIN bset CROSS JOIN stats
+        |ORDER BY word_idx""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s) // bare Verify/Bench sessions
+      val bf = Tables.load(s, dir, "orders")
+        .agg(expr(s"bloom_agg(o_orderkey, $BloomBits, 3)").as("words"))
+        .withColumn("bits_set",
+          expr("aggregate(transform(words, w -> bit_count(w)), 0, (a, b) -> a + b)")
+            .cast("long"))
+        .cache() // one row: the 16 KiB bitmap + its popcount
+      val members = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k")).distinct()
+      val nonMembers = Tables.load(s, dir, "lineitem")
+        .select((col("l_orderkey") + 1000000000L).as("k")).distinct()
+      def probeStats(probes: org.apache.spark.sql.DataFrame,
+                     pCol: String, hCol: String) =
+        probes.crossJoin(broadcast(bf.select("words")))
+          .agg(count(lit(1)).as(pCol),
+               sum(when(expr(bloomMemberSql("k")), 1L).otherwise(0L)).as(hCol))
+      val m = probeStats(members, "member_probes", "member_hits")
+      val f = probeStats(nonMembers, "fp_probes", "fp_hits")
+      bf.select(col("bits_set"),
+          posexplode(col("words")).as(Seq("word_idx", "bits")))
+        .crossJoin(broadcast(m)).crossJoin(broadcast(f))
+        .select(col("word_idx"), col("bits"), col("bits_set"),
+          expr(s"bits_set * 10000 div $BloomBits").as("fill_bp"),
+          col("member_probes"), col("member_hits"),
+          col("fp_probes"), col("fp_hits"),
+          expr("fp_hits * 10000 div fp_probes").as("fpr_bp"))
+        .orderBy("word_idx")
+    },
   )
+
 }

@@ -28,6 +28,7 @@ class PlanHygieneSpec extends SparkSpec {
     "a30_hll_union"         -> "#groups-row (3) sketch table self-paired on an inequality — register files, not data",
     "a31_ams_joinsize"      -> "two 1-row sketch/scalar frames crossed (est × true-size) — register files, not data",
     "a34_kmv_intersect"     -> "#groups-row (3) sketch table self-paired on an inequality — register files, not data (a30's shape)",
+    "a35_bloom_filter"      -> "1-row bloom-bitmap aggregate broadcast against the probe sets + the 1-row stats scalars crossed back onto the word table",
     "a32_ams_f2"            -> "two 1-row sketch/scalar frames crossed (est × true-F2) — register files, not data",
     "x13_bm25"              -> "1-row corpus-stats scalar",
     "x15_domain_mix"        -> "1-row budget/weight scalar",

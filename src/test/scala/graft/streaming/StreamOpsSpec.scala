@@ -653,6 +653,25 @@ class StreamOpsSpec extends SparkSpec {
       "streaming AMS buffer differs from the batch buffer")
   }
 
+  test("streaming Bloom bitmap is BIT-IDENTICAL to the batch bitmap") {
+    // the fifth sketch's twin: OR-merge is order-independent and
+    // idempotent, so the drained complete-mode stream holds exactly
+    // the batch words — the standing membership gate shape (e.g. a
+    // live "seen this key?" prune on an ingest stream).
+    graft.plans.GraftExtensions.install(spark)
+    import org.apache.spark.sql.functions.expr
+    val batch = Tables.load(spark, sfDir, "events")
+      .agg(expr("bloom_agg(user_id, 16384, 3)").as("words"))
+      .head().getSeq[Long](0)
+    val streamed = runStream(
+      StreamOps.eventStream(spark, eventsDir)
+        .agg(expr("bloom_agg(user_id, 16384, 3)").as("words")),
+      "bloom_gate", mode = "complete")
+      .head().getSeq[Long](0)
+    assert(streamed == batch,
+      "streaming Bloom words differ from the batch bitmap")
+  }
+
   test("streaming KMV sketch is BIT-IDENTICAL to the batch sketch") {
     // the fourth sketch's twin (round 9): union-then-truncate merge is
     // order-independent AND idempotent (set semantics — HLL's replay
