@@ -439,6 +439,43 @@ class StreamOpsSpec extends SparkSpec {
     assert(finalRows.count() > 0)
   }
 
+  test("sketch aggregate state survives a checkpoint restart (HLL + KMV + Bloom)") {
+    // the serde path the unit roundtrip tests CAN'T reach: a custom
+    // TypedImperativeAggregate's buffer written to the streaming state
+    // store by run 1, reloaded from disk by run 2, and MERGED with new
+    // partials — a broken serialize/deserialize or a non-commutative
+    // merge shows up here as a drifted register file, not a crash
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.install(spark)
+    val ev = Tables.load(spark, sfDir, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_recov")
+    stageSlice(ev.filter(dayofmonth(col("ts")) <= 15), dir, "h1", 1000000L)
+    val ck = java.nio.file.Files.createTempDirectory("graft_sketch_ck").toString
+    def runOnce(name: String): Unit = {
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .agg(expr("hll_sketch(user_id, 6)").as("regs"),
+             expr("kmv_sketch(user_id, 64)").as("kept"),
+             expr("bloom_agg(user_id, 16384, 3)").as("words"))
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+    }
+    runOnce("sketch_recov_r1")
+    stageSlice(ev.filter(dayofmonth(col("ts")) > 15), dir, "h2", 2000000L)
+    runOnce("sketch_recov_r2") // same checkpoint: h1 state reloaded, h2 merged
+    val row = spark.table("sketch_recov_r2").head()
+    val batch = ev.agg(expr("hll_sketch(user_id, 6)").as("regs"),
+                       expr("kmv_sketch(user_id, 64)").as("kept"),
+                       expr("bloom_agg(user_id, 16384, 3)").as("words")).head()
+    Seq(0, 1, 2).foreach { i =>
+      assert(row.getSeq[Long](i) == batch.getSeq[Long](i),
+        s"sketch column $i drifted across the checkpoint restart")
+    }
+  }
+
   test("funnel DFA state survives a checkpoint restart mid-pattern") {
     import org.apache.spark.sql.functions._
     val ev = Tables.load(spark, sfDir, "events")
