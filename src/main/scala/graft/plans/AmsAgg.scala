@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
-import java.nio.ByteBuffer
 
 /** AMS/AGMS (Alon-Matias-Szegedy) SIGNED frequency sketch as a custom
   * Catalyst `TypedImperativeAggregate` — the third sketch in the family
@@ -66,17 +65,14 @@ case class AmsAgg(child: Expression, depth: Int, width: Int,
 
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(buf.length * 8)
-    bb.asLongBuffer().put(buf)
-    bb.array()
-  }
+  // versioned via SketchWire (round-9 ADVICE): the streaming state store
+  // persists this serialized buffer across restarts, and the round-9
+  // mod-P hash change altered cell semantics without changing layout —
+  // the version byte makes a cross-version restore fail loudly.
+  override def serialize(buf: Array[Long]): Array[Byte] = SketchWire.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](bytes.length / 8)
-    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
-    out
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    SketchWire.fromBytes(bytes, prettyName)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

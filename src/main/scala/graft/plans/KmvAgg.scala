@@ -156,9 +156,13 @@ object KmvAgg {
     val sb = b.filter(unsigned(_) < t).toSet
     val nU = BigInt((sa ++ sb).size)
     val nI = BigInt((sa & sb).size)
-    val estU = (nU * Two64 / t).toLong
-    val estI = (nI * Two64 / t).toLong
+    val estU = nU * Two64 / t
+    val estI = nI * Two64 / t
+    // same guard as estimate(): a corrupted/adversarial buffer with a
+    // tiny v_k must fail loudly, not wrap (round-9 ADVICE)
+    require(estU.isValidLong && estI.isValidLong,
+      s"KMV set-algebra estimate overflows Long (theta=$t, nU=$nU, nI=$nI)")
     val jbp = if (nU == 0) 0L else (nI * 10000 / nU).toLong
-    (estU, estI, jbp)
+    (estU.toLong, estI.toLong, jbp)
   }
 }

@@ -151,20 +151,25 @@ object PipelineQueries {
     * eviction. */
   private val stageCache =
     scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), (Seq[(String, DataFrame)], Seq[DataFrame])]
+      .empty[(SparkSession, String), (Seq[(String, DataFrame)], DataFrame, Seq[DataFrame])]
 
   private def stages(s: SparkSession, dir: String): Seq[(String, DataFrame)] =
     stageCache.getOrElseUpdate((s, dir), buildStages(s, dir))._1
+
+  /** One row per RAW doc with `stage_reached` = index of the last stage
+    * the doc survives (0_raw=0 .. 5_decon=5) — x19's single-pass input. */
+  private def labeled(s: SparkSession, dir: String): DataFrame =
+    stageCache.getOrElseUpdate((s, dir), buildStages(s, dir))._2
 
   /** Drop the memoized stage frames for `session` and unpersist the cached
     * frames they pin (raw-features + shingled survivors). */
   def evictStages(session: SparkSession): Unit =
     stageCache.keys.filter(_._1 eq session).foreach { k =>
-      stageCache.remove(k).foreach(_._2.foreach(_.unpersist(blocking = false)))
+      stageCache.remove(k).foreach(_._3.foreach(_.unpersist(blocking = false)))
     }
 
   private def buildStages(s: SparkSession, dir: String)
-      : (Seq[(String, DataFrame)], Seq[DataFrame]) = {
+      : (Seq[(String, DataFrame)], DataFrame, Seq[DataFrame]) = {
     val docs = Tables.load(s, dir, "documents")
     val feat = docs
       .select(col("doc_id"), col("source"), col("text"), docFeatUdf(col("text")).as("ft"))
@@ -204,8 +209,50 @@ object PipelineQueries {
     val overlap = overlapCounterHashed(s, evalSh) // broadcast set, O(|s|)/row
     val s5 = s4.filter(overlap(transform(col("s"), xxhash64(_))) < 3)
       .select("doc_id", "source", "n_tokens")
+
+    // x19 single-pass input (round-9 verdict ask #1b): label every RAW
+    // doc with the LAST stage it survives, so the funnel is ONE
+    // aggregate job over this frame instead of six over the nested
+    // stage frames. Semantics are identical to the nested filters
+    // because the stages are strictly nested as doc_id sets:
+    //   stage 0 fail: language gate (null-safe — null text ⇒ null pred
+    //     ⇒ stopped here, matching feat's null n_tokens row surviving
+    //     only the raw count);
+    //   stage 1 fail: quality predicate (all columns non-null once the
+    //     language gate passed);
+    //   stage 2 fail: not the min-doc_id keeper of its md5(text) group
+    //     among quality survivors (left-join marker on `keepers`);
+    //   stage 3 fail: greedy-by-id near-dup drop (marker on `nd`);
+    //   stage 4 fail: benchmark-overlap ≥ 3. Every doc reaching the
+    //     stage-3/4 branches is in sh3 by construction (s3 = sh3 rows),
+    //     so the ndFlags left join can only be null for docs already
+    //     stopped by an earlier branch.
+    val qualOk =
+      col("n_tokens") >= 10 &&
+      col("n_stop") * 50 >= col("n_tokens") &&
+      col("sum_len") >= col("n_tokens") * 3 &&
+      col("sum_len") <= col("n_tokens") * 12 &&
+      (col("n_bg") - col("n_bg_distinct")) * 10 <= col("n_bg") * 3
+    val ndFlags = sh3
+      .join(nd.withColumn("nd_drop", lit(true)), Seq("doc_id"), "left")
+      .withColumn("decon_ok", overlap(transform(col("s"), xxhash64(_))) < 3)
+      .select(col("doc_id"),
+        coalesce(col("nd_drop"), lit(false)).as("nd_drop"), col("decon_ok"))
+    val labeledDf = feat
+      .join(keepers.withColumn("exact_keep", lit(true)), Seq("doc_id"), "left")
+      .join(ndFlags, Seq("doc_id"), "left")
+      .withColumn("stage_reached",
+        when(not(col("pred") <=> lit("en")), lit(0))
+          .when(not(qualOk), lit(1))
+          .when(col("exact_keep").isNull, lit(2))
+          .when(col("nd_drop"), lit(3))
+          .when(not(col("decon_ok")), lit(4))
+          .otherwise(lit(5)))
+      .select("doc_id", "n_tokens", "stage_reached")
+
     (Seq("0_raw" -> feat, "1_lang" -> s1, "2_quality" -> s2,
          "3_exact" -> s3, "4_neardup" -> s4, "5_decon" -> s5),
+     labeledDf,
      Seq(feat, sh3))
   }
 
@@ -242,10 +289,26 @@ object PipelineQueries {
          |  UNION ALL SELECT '4_neardup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s4
          |  UNION ALL SELECT '5_decon', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s5)
          |ORDER BY stage""".stripMargin) { (s, dir) =>
-      stages(s, dir).map { case (name, df) =>
-        df.agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-      }.reduce(_ unionByName _).orderBy("stage")
+      // Single-pass funnel (round-9 verdict ask #1b): a doc whose last
+      // surviving stage is r is counted in stages 0..r, so exploding
+      // sequence(0, stage_reached) (≤ 6 tiny ints per doc) and grouping
+      // once replaces the previous SIX aggregate jobs over the nested
+      // stage frames — one job, 6× smaller ambient-noise cross-section.
+      // The 6-row literal scaffold keeps empty trailing stages present
+      // (count 0, null token sum) exactly as the oracle's UNION ALL does;
+      // the equi-join on k broadcasts, no BNLJ.
+      val perStage = labeled(s, dir)
+        .select(explode(sequence(lit(0), col("stage_reached"))).as("k"),
+          col("n_tokens"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("d"), sum("n_tokens").as("t"))
+      val scaffold = s.createDataFrame(
+        Seq("0_raw", "1_lang", "2_quality", "3_exact", "4_neardup", "5_decon")
+          .zipWithIndex).toDF("stage", "k")
+      scaffold.join(perStage, Seq("k"), "left")
+        .select(col("stage"), coalesce(col("d"), lit(0L)).as("n_docs"),
+          col("t").as("n_tokens"))
+        .orderBy("stage")
     },
   )
 }
