@@ -489,20 +489,72 @@ object AggQueries {
              round(avg("l_discount"), 6).as("avg_disc"))
     },
 
-    // A20 (added, scale path) — sketch aggregates next to their exact
-    // twins: HyperLogLog++ distinct counts and approximate percentiles
-    // are the 100 TB form of A13/A2 (exact count-distinct shuffles every
-    // key; exact median needs a full sort — the sketches are one-pass,
-    // mergeable, fixed-size state). rows-only: sketch internals are
-    // engine-specific; SketchSpec bounds the relative error vs exact.
-    QueryDef.qRowsOnly("a20_approx_sketches") { (s, dir) =>
+    // A20 (added, scale path; re-pointed round 10, verdict ask #4) —
+    // the approximate-sketch vs exact-twin comparison, now ORACLE-EXACT
+    // instead of rows-only: the estimator is graft's own hll_sketch
+    // (plans/HllAgg.scala, the same DuckDB-replayable aggregate behind
+    // a29/a30) over events.user_id per event_type, published NEXT TO
+    // the exact count-distinct with the measured error in basis points
+    // — the v13-recall-harness shape for cardinality sketches. The
+    // exact twin exists here only as the harness (at 100 TB you ship
+    // the 64-byte register file, not the per-key shuffle); err_bp is
+    // exact integer arithmetic (abs diff ·10⁴ floor-div exact) so both
+    // engines agree to the bit. Bonus of the user_id key: its per-type
+    // cardinality (~150 at sf0.01) straddles the small-range cutoff
+    // 5m/2 = 160, so the linear-counting branch FIRES at sf0.01 and
+    // the raw branch takes over at sf0.1 — this one gate exercises
+    // both correction branches across the scale decades. Quantile
+    // sketching has its exact-twin gates at a23/a26/a27.
+    q("a20_approx_sketches", {
+      import OracleU64.mix64Ctes
+      s"""WITH k AS (
+        |  SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS e
+        |  FROM events),
+        |${mix64Ctes("k", "e", "sd", "seed", "hh")},
+        |rr AS (
+        |  SELECT event_type, CAST(seed & CAST(63 AS UBIGINT) AS BIGINT) AS reg,
+        |         CASE WHEN (seed >> 6) = CAST(0 AS UBIGINT) THEN 59
+        |              ELSE 59 - length(bin(seed >> 6)) END AS rho1
+        |  FROM sd),
+        |regs AS (
+        |  SELECT g.event_type, r.reg,
+        |         CAST(coalesce(max(rr.rho1), 0) AS BIGINT) AS rho
+        |  FROM (SELECT DISTINCT event_type FROM events) g
+        |  CROSS JOIN (SELECT CAST(unnest(range(64)) AS BIGINT) AS reg) r
+        |  LEFT JOIN rr ON rr.event_type = g.event_type AND rr.reg = r.reg
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT event_type,
+        |         CAST(CAST('$HllEstNum' AS HUGEINT)
+        |              // (1000 * sum(CAST((CAST(1 AS BIGINT)
+        |                   << CAST(59 - rho AS INT)) AS HUGEINT)))
+        |              AS BIGINT) AS est_raw,
+        |         CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM regs GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |  FROM events GROUP BY 1)
+        |SELECT ex.event_type, exact_users, est_raw, n_zero,
+        |       ${hllCorrectedSql("est_raw", "n_zero")} AS est_users,
+        |       ${hllBandSql("est_raw", "n_zero")} AS band,
+        |       abs(${hllCorrectedSql("est_raw", "n_zero")} - exact_users)
+        |         * 10000 // exact_users AS err_bp
+        |FROM ex JOIN est USING (event_type)
+        |ORDER BY event_type""".stripMargin
+    }) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s) // bare Verify/Bench sessions
       Tables.load(s, dir, "events")
         .groupBy("event_type")
-        .agg(
-          countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          expr("percentile(value, 0.5)").as("exact_median"),
-          expr("approx_percentile(value, 0.5, 1000)").as("approx_median"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+             expr("hll_sketch(user_id, 6)").as("regs"))
+        .withColumn("est_raw", hllEst(hllHarmonicSum("regs")))
+        .withColumn("n_zero", hllNZero("regs"))
+        .withColumn("est_users", hllCorrected(col("est_raw"), col("n_zero")))
+        .withColumn("band", hllBand(col("est_raw"), col("n_zero")))
+        .select(col("event_type"), col("exact_users"), col("est_raw"),
+                col("n_zero"), col("est_users"), col("band"),
+                expr("abs(est_users - exact_users) * 10000L div exact_users")
+                  .as("err_bp"))
         .orderBy("event_type")
     },
 

@@ -1,11 +1,15 @@
 package graft.queries
 
+import scala.collection.concurrent.TrieMap
+
 import graft.{QueryDef, Tables}
 import graft.QueryDef.q
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** BPE merge-rule TRAINING as a distributed operator (x20 only counts
-  * symbol pairs; this learns the actual merge table a byte-pair-encoding
+/** BPE merge-rule TRAINING (x34) and corpus ENCODING with the trained
+  * table (x38) as distributed operators (x20 only counts symbol pairs;
+  * these learn and APPLY the actual merge table a byte-pair-encoding
   * tokenizer ships with).
   *
   * Algorithm (classic Sennrich et al. BPE, word-level):
@@ -24,6 +28,18 @@ import org.apache.spark.sql.functions._
   * encoding gets that wrong, this one can't). Words containing control
   * chars are excluded by the same guard on both sides.
   *
+  * ENCODING equivalence (x38): the tokenizer-standard encode loop picks
+  * the LOWEST-RANK pair present anywhere in the word and merges it,
+  * repeating until no known pair remains. Applying the merge table
+  * SEQUENTIALLY in rank order is the same function: after merge r is
+  * applied everywhere, any newly created adjacency involves the new
+  * symbol_r, and every merge whose operand is symbol_r has rank > r —
+  * so a sequential pass can never skip a lower-rank merge that the
+  * iterative loop would have taken (operands of rank i < r exist before
+  * rank r by construction of a valid BPE table). That makes encode a
+  * FIXED chain of R `replace` calls — pure codegen'd string ops, no
+  * iteration state — which is what lets DuckDB replay it exactly.
+  *
   * 100 TB shape: this is how industrial BPE trainers scale — ONE pass over
   * the corpus builds the (word, freq) table (a single shuffle on word,
   * uniform keys), and all R merge rounds iterate over that vocabulary
@@ -32,7 +48,10 @@ import org.apache.spark.sql.functions._
   * transform + a tiny agg; only the single best (pattern, count) row ever
   * reaches the driver per round — the d5/IvfAnn bounded-collect pattern.
   * `localCheckpoint` truncates lineage across rounds exactly like d5's
-  * label propagation.
+  * label propagation. ENCODING is map-only over the corpus: the trained
+  * table rides into every task as R pattern literals (it IS the model —
+  * bytes, not a DataFrame), so the only exchange in x38 is the final
+  * token-frequency groupBy.
   */
 object BpeQueries {
 
@@ -40,54 +59,21 @@ object BpeQueries {
   private val S = "\u0001" // symbol-open delimiter
   private val E = "\u0002" // symbol-close delimiter
 
-  /** DuckDB replay: the same rounds unrolled as CTEs (the d5 precedent). */
-  private def oracle: String = {
-    val sb = new StringBuilder
-    sb.append(
-      s"""WITH w0 AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS freq,
-         |         regexp_replace(word, '(.)', '$S\\1$E', 'g') AS enc
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE length(word) >= 2 AND NOT regexp_matches(word, '[\\x00-\\x1f]')
-         |  GROUP BY word),
-         |""".stripMargin)
-    for (r <- 1 to Rounds) {
-      val prev = s"w${r - 1}"
-      sb.append(
-        s"""p$r AS (
-           |  SELECT pat, CAST(sum(freq) AS BIGINT) AS cnt
-           |  FROM (SELECT freq,
-           |               unnest(['$S' || ss[i] || '$E$S' || ss[i+1] || '$E'
-           |                       for i in range(1, len(ss))]) AS pat
-           |        FROM (SELECT freq,
-           |                     string_split(substring(enc, 2, length(enc) - 2),
-           |                                  '$E$S') AS ss
-           |              FROM $prev))
-           |  GROUP BY pat),
-           |b$r AS (SELECT pat, cnt FROM p$r ORDER BY cnt DESC, pat LIMIT 1),
-           |w$r AS (
-           |  SELECT freq,
-           |         replace(enc, b.pat,
-           |                 '$S' || replace(replace(b.pat, '$S', ''), '$E', '') || '$E') AS enc
-           |  FROM $prev, b$r b),
-           |""".stripMargin)
-    }
-    val rows = (1 to Rounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS round,
-         |       string_split(substring(pat, 2, length(pat) - 2), '$E$S')[1] AS left_sym,
-         |       string_split(substring(pat, 2, length(pat) - 2), '$E$S')[2] AS right_sym,
-         |       cnt AS freq
-         |FROM b$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    sb.append(s"merges AS (\n$rows)\n")
-    sb.append("SELECT round, left_sym, right_sym, freq FROM merges ORDER BY round")
-    sb.toString
-  }
+  /** Trained merge table, memoized per (session, dir) like
+    * PipelineQueries' stage frames: x34 and x38 share one training run
+    * within a session; Caches.reset evicts so the bench never hands a
+    * query a model another query paid for. */
+  private val mergeCache =
+    TrieMap.empty[(SparkSession, String), Seq[(Long, String, String, Long)]]
 
-  val defs: Seq[QueryDef] = Seq(
+  def evictMerges(session: SparkSession): Unit =
+    mergeCache.keys.filter(_._1 eq session).foreach(mergeCache.remove)
 
-    q("x34_bpe_train", oracle) { (s, dir) =>
-      import s.implicits._
+  /** One driver-side training loop; per round only the argmax (pattern,
+    * count) row crosses to the driver (bounded collect). */
+  private def trainMerges(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, Long)] =
+    mergeCache.getOrElseUpdate((s, dir), {
       val words0 = Tables.load(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) >= 2 &&
@@ -126,8 +112,130 @@ object BpeQueries {
           r += 1
         }
       }
-      merges.result().toDF("round", "left_sym", "right_sym", "freq")
+      merges.result()
+    })
+
+  /** Shared training CTE chain (w0..b$Rounds + merges); reused verbatim
+    * by both oracles so the two gates replay ONE model. */
+  private def trainCtes: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""w0 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS freq,
+         |         regexp_replace(word, '(.)', '$S\\1$E', 'g') AS enc
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) >= 2 AND NOT regexp_matches(word, '[\\x00-\\x1f]')
+         |  GROUP BY word),
+         |""".stripMargin)
+    for (r <- 1 to Rounds) {
+      val prev = s"w${r - 1}"
+      sb.append(
+        s"""p$r AS (
+           |  SELECT pat, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq,
+           |               unnest(['$S' || ss[i] || '$E$S' || ss[i+1] || '$E'
+           |                       for i in range(1, len(ss))]) AS pat
+           |        FROM (SELECT freq,
+           |                     string_split(substring(enc, 2, length(enc) - 2),
+           |                                  '$E$S') AS ss
+           |              FROM $prev))
+           |  GROUP BY pat),
+           |b$r AS (SELECT pat, cnt FROM p$r ORDER BY cnt DESC, pat LIMIT 1),
+           |w$r AS (
+           |  SELECT freq,
+           |         replace(enc, b.pat,
+           |                 '$S' || replace(replace(b.pat, '$S', ''), '$E', '') || '$E') AS enc
+           |  FROM $prev, b$r b),
+           |""".stripMargin)
+    }
+    val rows = (1 to Rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |       string_split(substring(pat, 2, length(pat) - 2), '$E$S')[1] AS left_sym,
+         |       string_split(substring(pat, 2, length(pat) - 2), '$E$S')[2] AS right_sym,
+         |       cnt AS freq
+         |FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb.append(s"merges AS (\n$rows)")
+    sb.toString
+  }
+
+  /** DuckDB replay of x34: the training rounds unrolled as CTEs (the d5
+    * precedent). */
+  private def trainOracle: String =
+    s"WITH $trainCtes\nSELECT round, left_sym, right_sym, freq FROM merges ORDER BY round"
+
+  /** DuckDB replay of x38: train (same CTEs), then encode every corpus
+    * word through the R replaces in rank order. A round whose b$r is
+    * empty (training exhausted early) no-ops via a sentinel pattern
+    * '$S$E' — an empty symbol, which the wrapping can never produce. */
+  private def encodeOracle: String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $trainCtes,\n")
+    sb.append(
+      s"""e0 AS (
+         |  SELECT doc_id, regexp_replace(word, '(.)', '$S\\1$E', 'g') AS enc
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  WHERE length(word) >= 1 AND NOT regexp_matches(word, '[\\x00-\\x1f]')),
+         |""".stripMargin)
+    for (r <- 1 to Rounds) {
+      sb.append(
+        s"""e$r AS (
+           |  SELECT doc_id,
+           |         replace(enc,
+           |                 coalesce((SELECT pat FROM b$r), '$S$E'),
+           |                 coalesce((SELECT '$S' || replace(replace(pat, '$S', ''), '$E', '') || '$E'
+           |                           FROM b$r), '')) AS enc
+           |  FROM e${r - 1}),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""toks AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(substring(enc, 2, length(enc) - 2), '$E$S')) AS token
+         |  FROM e$Rounds)
+         |SELECT token, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM toks GROUP BY token
+         |ORDER BY n_tokens DESC, token LIMIT 100""".stripMargin)
+    sb.toString
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("x34_bpe_train", trainOracle) { (s, dir) =>
+      import s.implicits._
+      trainMerges(s, dir).toDF("round", "left_sym", "right_sym", "freq")
         .orderBy("round")
+    },
+
+    // x38 (round 10, verdict ask #3) — ENCODE the corpus with the table
+    // x34 trained: the single most common LLM-pipeline step (tokenize a
+    // crawl with a shipped tokenizer). Output is the token-frequency
+    // head (count + document frequency), the corpus-level fingerprint a
+    // tokenizer change is audited by. Map-only over the corpus — the
+    // merge table rides as R pattern literals — one groupBy(token)
+    // exchange, TakeOrdered 100.
+    q("x38_bpe_encode", encodeOracle) { (s, dir) =>
+      val merges = trainMerges(s, dir)
+      val enc0 = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1 &&
+                !col("word").rlike("[\\x00-\\x1f]"))
+        .withColumn("enc", regexp_replace(col("word"), "(.)", S + "$1" + E))
+      val encoded = merges.foldLeft(enc0) { case (df, (_, l, r, _)) =>
+        df.withColumn("enc",
+          call_function("replace", col("enc"),
+            lit(S + l + E + S + r + E), lit(S + l + r + E)))
+      }
+      encoded
+        .select(col("doc_id"), explode(
+          split(expr("substring(enc, 2, length(enc) - 2)"), s"$E$S")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_tokens"),
+             countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(desc("n_tokens"), col("token"))
+        .limit(100)
     },
   )
 }

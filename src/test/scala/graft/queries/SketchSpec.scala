@@ -3,19 +3,44 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Error bounds for the a20 sketch aggregates: HLL++ at rsd=0.02 and
-  * approx_percentile at accuracy=1000 must track their exact twins. */
+/** Error bounds for the sketch estimates the engine publishes: a20's
+  * graft hll_sketch estimate vs its exact twin (the oracle gate checks
+  * VALUES; this spec checks the statistical CONTRACT — the published
+  * band label and basis-point error are mutually consistent and within
+  * the m=64 error envelope), plus the Spark built-ins used as scale
+  * references (approx_count_distinct mergeability, approx_percentile
+  * rank error, countMinSketch bounds). */
 class SketchSpec extends SparkSpec {
 
-  test("sketch aggregates stay within error bounds of their exact twins") {
+  test("a20: published band/err_bp are self-consistent and within envelope") {
     val rows = graft.SparkEntry.queries("a20_approx_sketches")(spark, sfDir)
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val exactU = r.getAs[Long]("exact_users").toDouble
-      val approxU = r.getAs[Long]("approx_users").toDouble
-      assert(math.abs(approxU - exactU) / exactU <= 0.10,
-        s"${r.getString(0)}: HLL $approxU vs exact $exactU")
+      val exact = r.getAs[Long]("exact_users")
+      val est = r.getAs[Long]("est_users")
+      val errBp = r.getAs[Long]("err_bp")
+      val band = r.getAs[String]("band")
+      assert(Set("raw", "linear_counting").contains(band))
+      assert(errBp == math.abs(est - exact) * 10000L / exact,
+        s"${r.getString(0)}: err_bp $errBp inconsistent with |$est - $exact|")
+      // m=64 → ~13% standard error on the raw branch; 30% ≈ 2.3σ. The
+      // linear-counting branch is tighter on average but NOISY right at
+      // the 5m/2 cutoff (V is small, so ±1 zero register moves the
+      // estimate ~m/V ≈ 10%) — one envelope covers both branches.
+      assert(math.abs(est - exact).toDouble / exact <= 0.30,
+        s"${r.getString(0)}: HLL $est vs exact $exact outside the 30% band")
+    }
+  }
+
+  test("approx_percentile tracks the exact median (scale-reference built-in)") {
+    val rows = graft.Tables.load(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("exact_median"),
+           expr("approx_percentile(value, 0.5, 1000)").as("approx_median"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
       val exactM = r.getAs[Double]("exact_median")
       val approxM = r.getAs[Double]("approx_median")
       // approx_percentile returns a true element near the requested rank;
