@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering, Statistics}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering, Statistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,7 +52,20 @@ import scala.jdk.CollectionConverters._
   *    limit/sort over ≤ N·splits survivors instead of every row).
   *    The TopN accept rule is conservative: one atomic-orderable sort
   *    column, else decline and let Spark run the ordinary sort — the
-  *    same mergeable-top-k argument as `operators.GroupTopN`.
+  *    same mergeable-top-k argument as `operators.GroupTopN`. On a
+  *    provably SINGLE-split scan (players, or a gameId-pruned game
+  *    table) both upgrade to COMPLETE pushdown (`isPartiallyPushed` =
+  *    false): the one split's cut is the global answer, so Spark drops
+  *    its own Sort/Limit.
+  *  - `SupportsPushDownOffset` (round 10): OFFSET — and the W8
+  *    ORDER BY + LIMIT + OFFSET pagination shape — pushes ONLY on a
+  *    single-split scan, because the V2 offset contract is
+  *    all-or-nothing (Spark deletes its Offset operator on accept; a
+  *    per-split skip on a multi-split scan would drop offset·splits
+  *    rows). Multi-split scans decline and Spark keeps the Offset over
+  *    the still-TopN-pushed scan; the unsorted accept additionally
+  *    leans on this reader's deterministic row order (documented at
+  *    `pushOffset`).
   *  - `SupportsReportStatistics` (round 7): the scan reports exact
   *    row counts / sizes, so the STATIC planner already knows the
   *    games dimension is broadcast-sized — without stats every V2
@@ -154,7 +167,7 @@ case class BdbPushedAgg(kind: String, column: String)
 class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN with SupportsPushDownOffset {
 
   private var requiredSchema: StructType = BdbMiniSource.schemaOf(tableName)
   private var gameFilter: Option[Long] = None
@@ -163,6 +176,16 @@ class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
   private var groupedAggs: Option[Seq[BdbPushedAgg]] = None
   private var limitPushed: Option[Int] = None
   private var topNPushed: Option[(String, Boolean, Boolean, Int)] = None
+  private var offsetPushed: Option[Int] = None
+
+  /** True iff this scan is provably ONE split at build time: the
+    * unpartitioned players table, or a game table with the EqualTo
+    * (gameId) filter already consumed (filters push before limits in
+    * V2ScanRelationPushDown, so gameFilter is final here). Single-split
+    * is what upgrades the limit/TopN pushdowns from partial to COMPLETE
+    * and is the only shape that may accept OFFSET at all. */
+  private def singleSplit: Boolean =
+    tableName == "players" || gameFilter.isDefined
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (!countPushed && groupedAggs.isEmpty) this.requiredSchema = requiredSchema
@@ -248,15 +271,35 @@ class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
     true
   }
 
-  // Partial-pushdown contract for both: each split emits at most N
-  // rows; Spark still applies the global limit (and for TopN the final
-  // merge sort) over the per-split survivors.
+  // Pushdown contract for both limit and TopN: PARTIAL on a multi-split
+  // scan (each split emits at most N rows; Spark applies the final global
+  // limit / merge sort over the per-split survivors) and COMPLETE on a
+  // single-split scan (the one split's cut IS the global answer, so Spark
+  // deletes its own limit/sort — which is also what unlocks OFFSET: Spark
+  // only attempts pushOffset after the limit was FULLY pushed).
   override def pushLimit(limit: Int): Boolean = {
     if (countPushed || groupedAggs.isDefined) false
     else { limitPushed = Some(limit); true }
   }
 
-  override def isPartiallyPushed(): Boolean = true
+  override def isPartiallyPushed(): Boolean = !singleSplit
+
+  /** OFFSET is all-or-nothing — Spark DELETES the Offset operator when
+    * this returns true, there is no partial contract — and a per-split
+    * offset on a multi-split scan would drop offset·splits rows. So the
+    * DECLINE RULE is: accept only a provably single-split scan (players,
+    * or a gameId-pruned game table) with no aggregate pushed; every other
+    * shape returns false and Spark keeps its own Offset over the
+    * (possibly still limit/TopN-pushed) scan. The unsorted case is
+    * accepted under the same rule: a bare OFFSET without ORDER BY is
+    * row-order-dependent on ANY source, and this reader's split order is
+    * deterministic (the fixture generator), so skip-first-N is
+    * well-defined — sources without a deterministic row order must also
+    * decline here. */
+  override def pushOffset(offset: Int): Boolean = {
+    if (countPushed || groupedAggs.isDefined || !singleSplit) false
+    else { offsetPushed = Some(offset); true }
+  }
 
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
     if (countPushed || groupedAggs.isDefined || orders.length != 1) return false
@@ -290,7 +333,7 @@ class BdbMiniScanBuilder(tableName: String) extends ScanBuilder
 
   override def build(): Scan =
     new BdbMiniScan(tableName, requiredSchema, gameFilter, countPushed,
-      limitPushed, topNPushed, groupedAggs)
+      limitPushed, topNPushed, groupedAggs, offsetPushed)
 }
 
 case class BdbMiniSplit(table: String, gameId: Option[Long])
@@ -305,7 +348,8 @@ class BdbMiniScan(tableName: String, requiredSchema: StructType,
                   countPushed: Boolean = false,
                   limitPushed: Option[Int] = None,
                   topNPushed: Option[(String, Boolean, Boolean, Int)] = None,
-                  groupedAggs: Option[Seq[BdbPushedAgg]] = None)
+                  groupedAggs: Option[Seq[BdbPushedAgg]] = None,
+                  offsetPushed: Option[Int] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics with SupportsReportPartitioning {
 
@@ -364,7 +408,8 @@ class BdbMiniScan(tableName: String, requiredSchema: StructType,
       topNPushed.map { case (c, d, nf, n) =>
         s" PushedTopN=[$c ${if (d) "DESC" else "ASC"} " +
           s"NULLS ${if (nf) "FIRST" else "LAST"} LIMIT $n]"
-      }.getOrElse("")
+      }.getOrElse("") +
+      offsetPushed.map(o => s" PushedOffset=$o").getOrElse("")
 
   /** One split per surviving game — EqualTo(gameId) pushdown prunes
     * splits HERE, before any row exists. */
@@ -379,14 +424,15 @@ class BdbMiniScan(tableName: String, requiredSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BdbMiniReaderFactory(tableName, requiredSchema, countPushed,
-      limitPushed, topNPushed, groupedAggs)
+      limitPushed, topNPushed, groupedAggs, offsetPushed)
 }
 
 class BdbMiniReaderFactory(tableName: String, requiredSchema: StructType,
                            countPushed: Boolean = false,
                            limitPushed: Option[Int] = None,
                            topNPushed: Option[(String, Boolean, Boolean, Int)] = None,
-                           groupedAggs: Option[Seq[BdbPushedAgg]] = None)
+                           groupedAggs: Option[Seq[BdbPushedAgg]] = None,
+                           offsetPushed: Option[Int] = None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -468,7 +514,13 @@ class BdbMiniReaderFactory(tableName: String, requiredSchema: StructType,
             case None =>
               limitPushed.map(base.take).getOrElse(base)
           }
-          cut.map { r =>
+          // pushed OFFSET applies after the (limit-inclusive) cut: Spark
+          // pushed TopN/limit as (n + offset) and offset separately, so
+          // the window is rows [offset, n + offset) of the sorted/raw
+          // stream — only reachable on single-split scans (see
+          // pushOffset's decline rule)
+          val window = offsetPushed.map(cut.drop).getOrElse(cut)
+          window.map { r =>
             // project to the pruned schema only
             InternalRow.fromSeq(indices.map(i => r.get(i, full(i).dataType)).toSeq)
           }

@@ -255,4 +255,51 @@ class BdbMiniSourceSpec extends SparkSpec {
     val first = read("tracking").orderBy(col("jerseyNumber")).limit(3)
     assert(first.collect().forall(_.isNullAt(first.schema.fieldIndex("jerseyNumber"))))
   }
+
+  test("OFFSET pushes on a single-split scan; composes with TopN (W8 shape)") {
+    // round 10 (verdict ask #7): ORDER BY x DESC LIMIT 3 OFFSET 2 on a
+    // gameId-pruned scan = ONE split, so the TopN upgrades from partial
+    // to COMPLETE and Spark hands the offset down too — the scan itself
+    // returns rows [2, 5) of the sorted stream and the plan keeps no
+    // Sort/Limit/Offset of its own.
+    val g = BdbMini.games.head.gameId
+    val df = read("tracking").filter(col("gameId") === g)
+      .orderBy(desc("x")).offset(2).limit(3)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    val d = scan.scan.description()
+    assert(d.contains("PushedTopN=[x DESC NULLS LAST LIMIT 5]"), d)
+    assert(d.contains("PushedOffset=2"), d)
+    val got = df.collect().map(_.getAs[Double]("x")).toSeq
+    val expected = BdbMini.tracking.filter(_.gameId == g)
+      .map(_.x).sorted.reverse.slice(2, 5)
+    assert(got == expected)
+  }
+
+  test("bare OFFSET pushes on the single-split players table") {
+    val df = read("players").offset(4)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.scan.description().contains("PushedOffset=4"),
+      scan.scan.description())
+    assert(df.count() == BdbMini.players.size - 4)
+  }
+
+  test("OFFSET declines on a multi-split scan; result still correct") {
+    // the decline rule: no gameId prune ⇒ 2 splits ⇒ a per-split offset
+    // would drop 2·offset rows, so the source refuses and Spark keeps
+    // its own Offset (the TopN stays pushed, but only PARTIALLY — the
+    // pushed cut must therefore be limit+offset deep)
+    val df = read("tracking").orderBy(desc("x")).offset(2).limit(3)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    val d = scan.scan.description()
+    assert(!d.contains("PushedOffset"), d)
+    val got = df.collect().map(_.getAs[Double]("x")).toSeq
+    val expected = BdbMini.tracking.map(_.x).sorted.reverse.slice(2, 5)
+    assert(got == expected)
+  }
 }

@@ -439,6 +439,69 @@ class StreamOpsSpec extends SparkSpec {
     assert(finalRows.count() > 0)
   }
 
+  test("EWMA monitor state survives a mid-stream crash + checkpoint restart") {
+    // round 10 (verdict ask #5): w25's streaming twin is the one stateful
+    // fold whose state is four raw scalars — exactly what a checkpoint
+    // restore could corrupt SILENTLY (a drifted ewma double still "works").
+    // Both halves are staged up front; the query CRASHES mid-stream after
+    // micro-batch 0's append is durable but before its offset commit, so
+    // the restart must (a) roll the state store back to the version batch
+    // 0 started from, (b) redeliver batch 0 idempotently, and (c) fold
+    // batch 1 on top of restored state. The final per-user monitor rows
+    // must be BIT-identical to batch w25 — any restore drift in the IEEE
+    // fold sequence shows up as a hash mismatch, not a crash.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    val ev = Tables.load(spark, sfDir, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma_recov")
+    stageSlice(ev.filter(dayofmonth(col("ts")) <= 15), dir, "h1", 1000000L)
+    stageSlice(ev.filter(dayofmonth(col("ts")) > 15), dir, "h2", 2000000L)
+    val ck = java.nio.file.Files.createTempDirectory("graft_ewma_recov_ck").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_ewma_recov_sink").toString + "/t"
+
+    def runOnce(crashAfterFirstAppend: Boolean): Unit = {
+      @volatile var crashed = false
+      val q = StreamOps.ewmaAnomaly(
+          spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(dir.toString))
+        .toDF().writeStream.outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // idempotent per batch id: redelivery overwrites, never doubles
+          batch.write.mode("overwrite").parquet(s"$sink/batch=$id")
+          if (crashAfterFirstAppend && !crashed) {
+            crashed = true
+            throw new RuntimeException("injected post-append failure")
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: StreamingQueryException
+          if e.getMessage.contains("injected post-append failure") => ()
+      }
+    }
+
+    runOnce(crashAfterFirstAppend = true)
+    val afterCrash = spark.read.parquet(sink)
+    assert(afterCrash.count() > 0, "pre-crash append must be durable")
+    assert(afterCrash.agg(max("n_events")).head().getLong(0) <
+           ev.groupBy("user_id").count().agg(max("count")).head().getLong(0),
+      "the crash must land BEFORE the stream drained (else nothing restarts)")
+
+    runOnce(crashAfterFirstAppend = false) // same checkpoint: resume + fold h2
+    val finalRows = spark.read.parquet(sink)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(desc("n_events"))))
+      .filter(col("rn") === 1).drop("rn", "batch")
+    val batch = graft.SparkEntry.queries("w25_ewma_anomaly")(spark, sfDir)
+    assert(canon(finalRows) == canon(batch),
+      "post-restart EWMA rows != batch w25 (bit-exact restore claim)")
+    assert(finalRows.count() > 0)
+  }
+
   test("sketch aggregate state survives a checkpoint restart (HLL + KMV + Bloom)") {
     // the serde path the unit roundtrip tests CAN'T reach: a custom
     // TypedImperativeAggregate's buffer written to the streaming state
