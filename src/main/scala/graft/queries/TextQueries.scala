@@ -1203,5 +1203,92 @@ object TextQueries {
                 col("b").as("n_in"), col("a").as("n_out"), col("odds"))
       sideA.unionByName(sideB).orderBy(col("side"), desc("odds"), col("term"))
     },
+
+    // x39 (round 10) — overlapping sliding-window chunking: the
+    // embedding-prep / RAG-ingest operator (split every document into
+    // W-token windows advancing by stride S < W, so context is never
+    // cut at a hard boundary). MAP-ONLY: size + explode(sequence) +
+    // slice are all codegen'd collection expressions, no shuffle
+    // anywhere except the terminal determinism sort (stripped by the
+    // bench) — the shape that tokenize-and-chunk keeps at 100 TB,
+    // where this runs as a pure scan-side transform feeding the
+    // embedding batch scorer (mm*/K4). Chunk count is exact integer
+    // arithmetic — ceil((n−W)/S)+1, floor-div form — so both engines
+    // agree on every boundary; the last chunk is the short tail.
+    q("x39_chunk_overlap",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |         unnest(range(0, CASE WHEN n <= 64 THEN 1
+        |                             ELSE (n - 64 + 47) // 48 + 1 END)) AS chunk_idx,
+        |         toks
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS chunk_len,
+        |       array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+        |         AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val W = 64
+      val S = 48
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("n_chunks",
+          when(col("n") <= W, lit(1L))
+            .otherwise(expr(s"(n - $W + ${S - 1}) div $S + 1")))
+        .select(col("doc_id"), col("n"), col("toks"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(W.toLong), col("n") - col("chunk_idx") * S).as("chunk_len"),
+          array_join(slice(col("toks"),
+            (col("chunk_idx") * S + 1).cast("int"), lit(W)), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // x40 (round 10) — deterministic stratified sampling with EXACT
+    // per-stratum quotas: the train/eval carve-out operator (take
+    // exactly ceil(20% · n_source) docs per source, chosen by the
+    // portable mix64 order so the sample is reproducible across
+    // engines, runs, and partitionings — no rand(), no seed state).
+    // Shape: one count agg broadcast back + one window per stratum for
+    // the rank. At 100 TB the per-stratum window is the same
+    // low-cardinality skew as x33 and swaps for the GlobalRank
+    // two-pass under the same semantics; the HASH-THRESHOLD twin
+    // (keep iff mix64(key) < frac · 2⁶⁴ — map-only, no window, quota
+    // approximate) is the fully shuffle-free variant noted for
+    // quota-tolerant pipelines.
+    q("x40_stratified_sample", {
+      import OracleU64.{mix64Ctes, toSigned}
+      s"""WITH d0 AS (
+        |  SELECT doc_id, source, CAST(doc_id AS UBIGINT) AS mkin
+        |  FROM documents),
+        |${mix64Ctes("d0", "mkin", "mk", "mkout", "sx")},
+        |keyed AS (
+        |  SELECT doc_id, source, ${toSigned("mkout")} AS skey FROM mk),
+        |n AS (SELECT source, count(*) AS n_src FROM keyed GROUP BY source),
+        |r AS (
+        |  SELECT k.source, k.doc_id, k.skey, n.n_src,
+        |         row_number() OVER (PARTITION BY k.source
+        |                            ORDER BY k.skey, k.doc_id) AS rk
+        |  FROM keyed k JOIN n USING (source))
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= (n_src + 4) // 5
+        |ORDER BY source, rk""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftExtensions.install(s)
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+                expr("mix64(doc_id)").as("skey"))
+      val n = broadcast(d.groupBy("source").agg(count(lit(1)).as("n_src")))
+      val w = Window.partitionBy("source").orderBy(col("skey"), col("doc_id"))
+      d.join(n, "source")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= expr("(n_src + 4) div 5"))
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    },
   )
 }

@@ -30,7 +30,9 @@ import duckdb
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-COPIES = 10
+# copy count: 10 = sf1; 30 = sf3 (the graph-family growth decade,
+# round-10 verdict ask #6). Same construction either way.
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 OFF = 100_000_000  # > every key in sf0.1
 
 os.makedirs(DST, exist_ok=True)
