@@ -73,8 +73,14 @@ object NearDupPairs {
     val ex = shingled
       .select(col("doc_id"), explode(col("s")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
-    val freq = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    val sh = ex.join(freq, "h")
+    // df via a count window partitioned by h, NOT a groupBy+join-back:
+    // the join form computes the corpus explode TWICE (the agg's partial
+    // exchange and the probe side never reuse) and shuffles three times;
+    // the window computes ex once and shuffles twice (h, then doc_id) —
+    // same values, one less corpus pass (round 10; ~0.4 s at sf0.1).
+    val withDf = ex.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("h")))
+    val sh = withDf
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("fh"))
       .select(col("doc_id"), transform(col("fh"), _.getField("h")).as("hs"))

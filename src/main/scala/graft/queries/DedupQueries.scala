@@ -496,5 +496,98 @@ object DedupQueries {
           "doc_id", "s", tNum = 1, tDen = 4)
         .orderBy("a_id", "b_id")
     },
+
+    // d12 (round 10) — MinHash Jaccard-ESTIMATION fidelity harness: the
+    // a20/v13 shape applied to similarity sketches. d3 trusts 64-hash
+    // signatures to band near-dups; this query PUBLISHES what those
+    // signatures actually estimate — for every exact J ≥ 0.7 pair, the
+    // matching-coordinate count, the estimate in basis points (exact
+    // integer arithmetic, n·10⁴ div 64), and the error vs exact J. The
+    // signature is fully engine-portable, so the whole estimate is
+    // hash-gated, not spec-gated: shingle → 60-bit int via the md5-hex
+    // prefix (both engines parse identical hex), permutation i ∈ [0,64)
+    // is the portable mix64(x + i), coordinate = min over the doc's
+    // shingles. Signature build is MAP-ONLY (nested codegen HOFs — no
+    // explode, no shuffle; 64·|s| mix64 calls per doc); the only wide
+    // ops are the memoized exact-pairs builder (shared with d2/d5/x18)
+    // and the broadcast-size signature joins. At 100 TB signatures
+    // persist once and d3's banding consumes them; this harness is the
+    // recall bound you quote for that index.
+    //
+    // The 64-coordinate min fold runs as ONE COMPILED UDF pass (the x18
+    // featurization precedent): a nested transform/array_min HOF chain
+    // evaluates interpreted per lambda call — ~10⁸ interpreted mix64
+    // evals at sf0.1, measured 13.6 s vs 1-2 s compiled. The per-shingle
+    // md5-hex base stays a codegen'd SQL transform (string ops, one
+    // pass); only the hot numeric loop drops into the UDF.
+    q("d12_minhash_estimate", {
+      import OracleU64.{mix64Ctes, toSigned}
+      s"""WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+        |           for i in range(1, greatest(len(string_split(text,' ')) - 1, 2))]) AS s
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |hx AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS x
+        |  FROM ex),
+        |xi AS (
+        |  SELECT doc_id, i, CAST(x + i AS UBIGINT) AS mkin
+        |  FROM hx CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |${mix64Ctes("xi", "mkin", "mk", "mkout", "mh")},
+        |sig AS (
+        |  SELECT doc_id, i, min(${toSigned("mkout")}) AS sv
+        |  FROM mk GROUP BY doc_id, i),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.s, b.s)) * 1.0
+        |           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jraw
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+        |m AS (
+        |  SELECT p.doc_a, p.doc_b, round(p.jraw, 4) AS j_exact, p.jraw,
+        |         CAST(sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_match
+        |  FROM p
+        |  JOIN sig sa ON sa.doc_id = p.doc_a
+        |  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, j_exact, n_match,
+        |       n_match * 10000 // 64 AS j_est_bp,
+        |       abs(n_match * 10000 // 64
+        |           - CAST(round(jraw * 10000, 0) AS BIGINT)) AS err_bp
+        |FROM m ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+      val sigUdf = udf { (hx: Seq[Long]) =>
+        val out = Array.fill(64)(Long.MaxValue)
+        hx.foreach { x =>
+          var k = 0
+          while (k < 64) {
+            val v = graft.domain.Openness.mix64(x + k)
+            if (v < out(k)) out(k) = v
+            k += 1
+          }
+        }
+        out
+      }
+      val sigs = shingled(s, dir)
+        .withColumn("hx", expr(
+          "transform(s, g -> CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))"))
+        .select(col("doc_id"), sigUdf(col("hx")).as("sig"))
+      jaccardPairs(s, dir)
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+        .withColumn("n_match", expr(
+          "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("long"))
+        .select(col("doc_a"), col("doc_b"), round(col("jraw"), 4).as("j_exact"),
+          col("n_match"),
+          expr("n_match * 10000L div 64").as("j_est_bp"),
+          expr("abs(n_match * 10000L div 64 " +
+               "- CAST(round(jraw * 10000, 0) AS BIGINT))").as("err_bp"))
+        .orderBy("doc_a", "doc_b")
+    },
   )
 }

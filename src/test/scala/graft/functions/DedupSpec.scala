@@ -192,4 +192,25 @@ class DedupSpec extends SparkSpec {
     }
     assert(spanCover.nonEmpty, "no spans at this SF — invariant vacuous")
   }
+
+  test("d12 minhash estimates sit in the k=64 binomial envelope of exact J") {
+    // the oracle gate checks VALUES; this checks the statistical
+    // CONTRACT — each pair's matching-coordinate count is a Binomial
+    // (64, J) draw, so |est − J| ≤ 4·σ with σ = √(J(1−J)/64), and the
+    // published err_bp must be the exact integer recomputation.
+    val rows = graft.SparkEntry.queries("d12_minhash_estimate")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("j_exact")
+      val n = r.getAs[Long]("n_match")
+      val estBp = r.getAs[Long]("j_est_bp")
+      assert(n >= 0 && n <= 64, s"n_match $n outside [0, 64]")
+      assert(estBp == n * 10000L / 64)
+      val sigma = math.sqrt(j * (1 - j) / 64)
+      assert(math.abs(estBp / 10000.0 - j) <= math.max(4 * sigma, 1.0 / 64),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}): est $estBp bp vs exact $j " +
+          s"outside 4σ (σ=$sigma)")
+    }
+  }
 }
