@@ -1290,5 +1290,66 @@ object TextQueries {
         .select("source", "doc_id", "rk")
         .orderBy("source", "rk")
     },
+
+    // x41 (round 10) — intra-document REPETITION quality gate (the
+    // Gopher data-rules family x3's surface ratios don't cover):
+    // duplicate-bigram fraction and most-common-token share, published
+    // in exact integer basis points with the gate verdict. Repetitive
+    // machine-generated or boilerplate text scores high on BOTH while
+    // length/stopword ratios (x3) stay normal — this is the standard
+    // LLM-corpus filter those rules add. Thresholds (800 / 1600 bp)
+    // sit at ~p95 of the synthetic corpus so the gate actually fires
+    // in every gate decade. Shape: the bigram stats are MAP-ONLY
+    // codegen'd collection ops; the top-token count is the one honest
+    // shuffle — (doc_id, token)-keyed, uniform, partial-aggregated —
+    // NOT a per-doc O(n²) HOF scan, which would die on 10k-token docs.
+    q("x41_repetition_ratio",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |         CAST(len([ts[i] || ' ' || ts[i+1]
+        |                   for i in range(1, len(ts))]) AS BIGINT) AS nbg,
+        |         CAST(len(list_distinct([ts[i] || ' ' || ts[i+1]
+        |                   for i in range(1, len(ts))])) AS BIGINT) AS nbgd
+        |  FROM d),
+        |t AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok
+        |  FROM (SELECT doc_id, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(ts) AS tok FROM d)
+        |        GROUP BY doc_id, tok)
+        |  GROUP BY doc_id)
+        |SELECT m.doc_id, n_tokens,
+        |       CASE WHEN nbg > 0 THEN (nbg - nbgd) * 10000 // nbg
+        |            ELSE 0 END AS rep2_bp,
+        |       max_tok * 10000 // n_tokens AS top_tok_bp,
+        |       (CASE WHEN nbg > 0 THEN (nbg - nbgd) * 10000 // nbg
+        |             ELSE 0 END) >= 800
+        |         OR max_tok * 10000 // n_tokens >= 1600 AS flagged
+        |FROM m JOIN t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val top = base.select(col("doc_id"), explode(col("ts")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("max_tok"))
+      val bg = base.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+          when(size(col("ts")) >= 2, expr(
+            "transform(sequence(1, size(ts) - 1), " +
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+            .otherwise(expr("array()")).as("bg"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("bg")).cast("long").as("nbg"),
+          size(array_distinct(col("bg"))).cast("long").as("nbgd"))
+      bg.join(top, "doc_id")
+        .withColumn("rep2_bp",
+          when(col("nbg") > 0, expr("(nbg - nbgd) * 10000L div nbg"))
+            .otherwise(lit(0L)))
+        .withColumn("top_tok_bp", expr("max_tok * 10000L div n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("rep2_bp"),
+          col("top_tok_bp"),
+          (col("rep2_bp") >= 800 || col("top_tok_bp") >= 1600).as("flagged"))
+        .orderBy("doc_id")
+    },
   )
 }
