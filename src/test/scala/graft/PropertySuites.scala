@@ -197,3 +197,98 @@ object InterceptionProps extends Properties("Interception") {
       math.abs(r1 - r2) <= 1e-6 * math.max(1.0, r1)
     }
 }
+
+/** The x38 oracle-equivalence claim as a law: applying a VALID BPE merge
+  * table sequentially in rank order equals the tokenizer-standard
+  * iterative lowest-rank-pair encode loop. Valid = each merge's operands
+  * are base symbols or outputs of strictly earlier merges — which is
+  * what training produces; the suite trains tables on random corpora and
+  * then encodes UNSEEN random words both ways. (The proof sketch in
+  * BpeQueries' scaladoc: applying merge r everywhere only creates
+  * adjacencies involving symbol_r, and every merge consuming symbol_r
+  * has rank > r, so the sequential pass can never skip a lower-rank
+  * merge the iterative loop would have taken.)
+  */
+object BpeEncodeProps extends Properties("BpeEncode") {
+
+  private type Merge = (String, String)
+
+  /** Reference trainer (pure model of BpeQueries.trainMerges). */
+  private def train(corpus: Seq[String], rounds: Int): Seq[Merge] = {
+    var words: Map[Vector[String], Int] = corpus
+      .flatMap(_.split(" ").filter(_.length >= 2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+      .map { case (w, f) => w.map(_.toString).toVector -> f }
+    val out = Vector.newBuilder[Merge]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[Merge, Long]
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          val k = (p(0), p(1)); counts(k) = counts.getOrElse(k, 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((l, rr), c) => (-c, l, rr) }._1
+        out += best
+        words = words.groupBy { case (syms, _) => mergeOnce(syms, best) }
+          .map { case (k, vs) => k -> vs.values.sum }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Left-to-right non-overlapping merge of one pair (what `replace`
+    * does under the delimiter encoding). */
+  private def mergeOnce(syms: Vector[String], m: Merge): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == m._1 && syms(i + 1) == m._2) {
+        out += (m._1 + m._2); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** x38's form: apply the table sequentially in rank order. */
+  private def encodeSeq(word: String, merges: Seq[Merge]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector)(mergeOnce)
+
+  /** Tokenizer-standard form: repeatedly merge the LOWEST-RANK pair
+    * present anywhere in the word. */
+  private def encodeIter(word: String, merges: Seq[Merge]): Vector[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toVector
+    var continue = true
+    while (continue && syms.length >= 2) {
+      val present = syms.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).filter(rank.contains).toSeq
+      if (present.isEmpty) continue = false
+      else syms = mergeOnce(syms, present.minBy(rank))
+    }
+    syms
+  }
+
+  private val corpusGen: Gen[Seq[String]] = for {
+    n <- Gen.choose(1, 12)
+    ws <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+  } yield ws.map(_.take(8))
+  private val wordGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.take(12).mkString)
+
+  property("sequential rank-order apply == iterative lowest-rank encode") =
+    forAll(corpusGen, wordGen, Gen.choose(1, 8)) { (corpus, word, rounds) =>
+      val merges = train(corpus.map(_.mkString), rounds)
+      encodeSeq(word, merges) == encodeIter(word, merges)
+    }
+
+  property("encode round-trips: concatenating tokens restores the word") =
+    forAll(corpusGen, wordGen, Gen.choose(1, 8)) { (corpus, word, rounds) =>
+      val merges = train(corpus.map(_.mkString), rounds)
+      encodeSeq(word, merges).mkString == word
+    }
+}
