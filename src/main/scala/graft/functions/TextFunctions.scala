@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Result of [[TextFunctions.bigramStats]]: bigram count + distinct
@@ -399,5 +399,36 @@ object TextFunctions {
     val p = lit(1000000007L)
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * 31L + ascii(t) + length(t)) % p)
+  }
+
+  /** x41's per-document repetition metrics over a (doc_id, text, ...)
+    * frame — duplicate-bigram fraction and most-common-token share in
+    * exact integer basis points plus the gate verdict. DOC-LOCAL (no
+    * cross-document state), which is what makes the streaming gate
+    * (`StreamOps.repetitionGateBatch`) the same code path: bigram stats
+    * are map-only collection expressions; the top-token count is one
+    * uniform (doc_id, token)-keyed shuffle within whatever frame it is
+    * handed (a micro-batch streams it unchanged). */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val top = base.select(col("doc_id"), explode(col("ts")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max_tok"))
+    val bg = base.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+        when(size(col("ts")) >= 2, expr(
+          "transform(sequence(1, size(ts) - 1), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+          .otherwise(expr("array()")).as("bg"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("bg")).cast("long").as("nbg"),
+        size(array_distinct(col("bg"))).cast("long").as("nbgd"))
+    bg.join(top, "doc_id")
+      .withColumn("rep2_bp",
+        when(col("nbg") > 0, expr("(nbg - nbgd) * 10000L div nbg"))
+          .otherwise(lit(0L)))
+      .withColumn("top_tok_bp", expr("max_tok * 10000L div n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("rep2_bp"),
+        col("top_tok_bp"),
+        (col("rep2_bp") >= 800 || col("top_tok_bp") >= 1600).as("flagged"))
   }
 }

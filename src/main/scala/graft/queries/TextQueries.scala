@@ -1328,27 +1328,8 @@ object TextQueries {
         |         OR max_tok * 10000 // n_tokens >= 1600 AS flagged
         |FROM m JOIN t USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val base = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      val top = base.select(col("doc_id"), explode(col("ts")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("max_tok"))
-      val bg = base.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
-          when(size(col("ts")) >= 2, expr(
-            "transform(sequence(1, size(ts) - 1), " +
-            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
-            .otherwise(expr("array()")).as("bg"))
-        .select(col("doc_id"), col("n_tokens"),
-          size(col("bg")).cast("long").as("nbg"),
-          size(array_distinct(col("bg"))).cast("long").as("nbgd"))
-      bg.join(top, "doc_id")
-        .withColumn("rep2_bp",
-          when(col("nbg") > 0, expr("(nbg - nbgd) * 10000L div nbg"))
-            .otherwise(lit(0L)))
-        .withColumn("top_tok_bp", expr("max_tok * 10000L div n_tokens"))
-        .select(col("doc_id"), col("n_tokens"), col("rep2_bp"),
-          col("top_tok_bp"),
-          (col("rep2_bp") >= 800 || col("top_tok_bp") >= 1600).as("flagged"))
+      graft.functions.TextFunctions
+        .repetitionMetrics(Tables.load(s, dir, "documents"))
         .orderBy("doc_id")
     },
   )

@@ -376,6 +376,35 @@ object StreamOps {
     ()
   }
 
+  /** x41's streaming twin: the repetition quality gate applied on
+    * ingest. The metrics are DOC-LOCAL (duplicate-bigram fraction +
+    * top-token share never look across documents), so the micro-batch
+    * body IS the batch operator over the batch's rows — zero
+    * cross-batch state, trivially stream≡batch, and the idempotency
+    * story is the lm/containment/ann gates' (scoring read-only per
+    * batch; a redelivered batch finds its keepers landed and appends
+    * nothing). Kept = NOT flagged: repetitive machine/boilerplate text
+    * never reaches the sink. */
+  def repetitionGateBatch(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val landed =
+      (try Some(spark.read.parquet(path))
+       catch {
+         case e: org.apache.spark.sql.AnalysisException
+           if e.getErrorClass == "PATH_NOT_FOUND" => None
+       })
+        .map(_.select(col("doc_id").as("landed_id")))
+        .getOrElse(batch.select(col("doc_id").as("landed_id")).limit(0))
+    val kept = graft.functions.TextFunctions.repetitionMetrics(batch)
+      .filter(!col("flagged"))
+      .join(landed, col("doc_id") <=> col("landed_id"), "left_anti")
+      .persist()
+    kept.count() // materialize before the append lands new files
+    kept.write.mode("append").parquet(path)
+    kept.unpersist()
+    ()
+  }
+
   /** d10's streaming twin (the d8 pattern): containment / near-dup
     * GATING on ingest. Each arriving micro-batch of documents is
     * shingled and PROBED against a standing shingle index

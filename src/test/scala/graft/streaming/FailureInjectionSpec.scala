@@ -204,6 +204,60 @@ class FailureInjectionSpec extends SparkSpec {
       "landed pairs must equal the batch probe join exactly")
   }
 
+  test("repetition gate: post-append crash + redelivery lands x41's kept set once") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_repfail_src")
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_repfail_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/p")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/p"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(name))
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "a_evens.parquet")
+    stage(docs.filter(col("doc_id") % 2 =!= 0), "b_odds.parquet")
+
+    val sink = java.nio.file.Files.createTempDirectory("graft_repfail_sink").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_repfail_ck").toString
+
+    def runOnce(failAfterFirstAppend: Boolean): Unit = {
+      @volatile var failed = false
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          StreamOps.repetitionGateBatch(batch, sink)
+          if (failAfterFirstAppend && !failed) {
+            failed = true
+            throw new RuntimeException("injected post-append failure")
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: StreamingQueryException
+          if e.getMessage.contains("injected post-append failure") => ()
+      }
+    }
+
+    runOnce(failAfterFirstAppend = true)
+    assert(spark.read.parquet(sink).count() > 0, "pre-crash append must be durable")
+    runOnce(failAfterFirstAppend = false)
+
+    val landed = spark.read.parquet(sink)
+    val batchKept = graft.SparkEntry.queries("x41_repetition_ratio")(spark, sfDir)
+      .filter(!col("flagged"))
+    assert(landed.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "no doc may land twice across crash + redelivery")
+    assert(landed.collect().map(_.toString).toSet ==
+           batchKept.collect().map(_.toString).toSet,
+      "landed rows must equal batch x41's unflagged set exactly")
+  }
+
   test("ANN gate: post-append crash + redelivery lands each query's top-k once") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_agfail_${System.nanoTime()}"
