@@ -73,14 +73,16 @@ object NearDupPairs {
     val ex = shingled
       .select(col("doc_id"), explode(col("s")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
-    // df via a count window partitioned by h, NOT a groupBy+join-back:
-    // the join form computes the corpus explode TWICE (the agg's partial
-    // exchange and the probe side never reuse) and shuffles three times;
-    // the window computes ex once and shuffles twice (h, then doc_id) —
-    // same values, one less corpus pass (round 10; ~0.4 s at sf0.1).
-    val withDf = ex.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("h")))
-    val sh = withDf
+    // df via groupBy + join-back, NOT a count window partitioned by h.
+    // Round 10 tried the window (one less corpus pass, ~0.3 s at
+    // sf0.1) and SkewStressSpec rejected it: a window moves FULL ROWS
+    // through the h-exchange with no map-side combine, so a dominant
+    // shingle serializes into one task — the groupBy's partial
+    // aggregation collapses the hot key per map partition before the
+    // exchange, and the join-back broadcasts (or AQE-skew-splits) the
+    // tiny df side. Skew robustness beats the saved pass at 10⁹ docs.
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val sh = ex.join(freq, "h")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("fh"))
       .select(col("doc_id"), transform(col("fh"), _.getField("h")).as("hs"))
