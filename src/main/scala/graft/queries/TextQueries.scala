@@ -1252,13 +1252,19 @@ object TextQueries {
     // exactly ceil(20% · n_source) docs per source, chosen by the
     // portable mix64 order so the sample is reproducible across
     // engines, runs, and partitionings — no rand(), no seed state).
-    // Shape: one count agg broadcast back + one window per stratum for
-    // the rank. At 100 TB the per-stratum window is the same
-    // low-cardinality skew as x33 and swaps for the GlobalRank
-    // two-pass under the same semantics; the HASH-THRESHOLD twin
-    // (keep iff mix64(key) < frac · 2⁶⁴ — map-only, no window, quota
-    // approximate) is the fully shuffle-free variant noted for
-    // quota-tolerant pipelines.
+    // Shape (round 11): the GlobalRank two-pass — ONE range-partitioned
+    // sort on (source, skey, doc_id) + per-partition offsets, then the
+    // per-stratum rank folds out of the global rank by subtracting each
+    // stratum's prefix offset (rows in strictly-preceding sources; a
+    // window over the #sources-row count frame, bounded by source
+    // cardinality). Round 10 shipped this as a Window.partitionBy(source)
+    // rank with the swap documented-but-unwired; SkewStressSpec's
+    // dominant-stratum fixture (85% one source) measures why the swap is
+    // the production shape: the window serializes the dominant stratum
+    // into ONE task, the range exchange splits it on the mix64 key. The
+    // HASH-THRESHOLD twin (keep iff mix64(key) < frac · 2⁶⁴ — map-only,
+    // no sort, quota approximate) remains the fully shuffle-free variant
+    // for quota-tolerant pipelines.
     q("x40_stratified_sample", {
       import OracleU64.{mix64Ctes, toSigned}
       s"""WITH d0 AS (
@@ -1282,10 +1288,17 @@ object TextQueries {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
                 expr("mix64(doc_id)").as("skey"))
-      val n = broadcast(d.groupBy("source").agg(count(lit(1)).as("n_src")))
-      val w = Window.partitionBy("source").orderBy(col("skey"), col("doc_id"))
-      d.join(n, "source")
-        .withColumn("rk", row_number().over(w).cast("long"))
+      val n = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+      // stratum prefix offsets over the tiny per-source count frame
+      // (global window, bounded by source cardinality — PlanHygieneSpec
+      // allowlisted); broadcast back over the ranked facts
+      val offs = broadcast(n.withColumn("off",
+        coalesce(sum("n_src").over(Window.orderBy("source")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
+      graft.operators.GlobalRank
+        .withGlobalRank(d, "gpos", col("source"), col("skey"), col("doc_id"))
+        .join(offs, "source")
+        .withColumn("rk", col("gpos") - col("off"))
         .filter(col("rk") <= expr("(n_src + 4) div 5"))
         .select("source", "doc_id", "rk")
         .orderBy("source", "rk")

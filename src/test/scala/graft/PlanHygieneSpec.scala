@@ -82,6 +82,9 @@ class PlanHygieneSpec extends SparkSpec {
     "a14_freq_pct"       -> "window input is the grouped aggregate (bounded by enum-key cardinality)",
     "x30_zipf_slope"     -> "window input is limit(1000) via TakeOrderedAndProject",
     "x31_heaps_growth"   -> "window input is the decile aggregate (10 rows)",
+    "x40_stratified_sample" -> ("stratum prefix offsets: window input is " +
+      "the per-source count aggregate (bounded by source cardinality); " +
+      "the FACT ranking runs as GlobalRank, not a window"),
   )
 
   private def excluded(name: String): Boolean =

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.IsolatedSparkSpec
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
 /** Measures — not argues — the "uniform keys by construction" claim of the
@@ -49,7 +49,14 @@ class SkewStressSpec extends IsolatedSparkSpec {
     val rows = (hot ++ identical ++ nearDup ++ normal).zipWithIndex.map {
       case (toks, id) =>
         val text = toks.mkString(" ")
-        (id.toLong, text, "en", "skew", text.length.toLong)
+        // one DOMINANT stratum ("web": 1700/2000 = 85%) plus six 50-doc
+        // minority strata — the adversarial shape for x40's per-stratum
+        // sampling: a Window.partitionBy(source) rank serializes 85% of
+        // the corpus into ONE task, which is why x40 runs the GlobalRank
+        // two-pass (range-partition on (source, key), per-partition
+        // offsets) instead
+        val source = if (id < 1700) "web" else s"s${(id - 1700) / 50}"
+        (id.toLong, text, "en", source, text.length.toLong)
     }
     import spark.implicits._
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -64,23 +71,49 @@ class SkewStressSpec extends IsolatedSparkSpec {
   // (stageId, durationMs, shuffleReadRecords, shuffleWriteRecords) —
   // WRITE records matter independently: an output-expansion hot task (a
   // dominant band bucket emitting its quadratic pair set) reads few rows
-  // but writes many, so read-skew alone would miss it
+  // but writes many, so read-skew alone would miss it.
+  //
+  // ATTRIBUTION: sbt runs suites in parallel threads inside the one
+  // forked JVM, and a SparkListener on the shared SparkContext receives
+  // onTaskEnd for EVERY suite's stages — round 10's full-suite flake was
+  // exactly that (a foreign 16-task stage with one 1527-record task
+  // landed in d5's stats and tripped the 4× gate; d5's own stages were
+  // balanced). So the measured query runs under a per-test job group
+  // (job groups are thread-local, and every job a query spawns — scans,
+  // GlobalRank's zipWithIndex, the noop write — runs on this thread);
+  // onJobStart exposes the group id in the job properties, we collect
+  // that job's stage ids, and onTaskEnd drops any task not in them.
   private val taskStats =
     scala.collection.mutable.Buffer.empty[(Int, Long, Long, Long)]
+  private val trackedStages = scala.collection.mutable.Set.empty[Int]
+  @volatile private var jobGroup: String = ""
   private val listener = new SparkListener {
+    override def onJobStart(j: SparkListenerJobStart): Unit = {
+      val g = Option(j.properties)
+        .map(_.getProperty("spark.jobGroup.id")).orNull
+      if (g != null && g == jobGroup)
+        trackedStages.synchronized { trackedStages ++= j.stageIds }
+    }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      // the bus delivers events to a listener in order, so our job's
+      // JobStart (which registers its stage ids) precedes its TaskEnds
+      val mine = trackedStages.synchronized(trackedStages.contains(t.stageId))
       val m = t.taskMetrics
-      if (m != null) taskStats.synchronized {
+      if (mine && m != null) taskStats.synchronized {
         taskStats += ((t.stageId, t.taskInfo.duration,
           m.shuffleReadMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten))
       }
     }
   }
 
-  /** Runs `name` over the fixture and returns per-stage task stats. The
+  /** Runs `name` over the fixture and returns per-stage task stats for
+    * THIS spec's jobs only (see the attribution note above). The
     * listener bus is async: poll until the stats stop arriving. */
   private def stageStats(name: String): Seq[StageStat] = {
     taskStats.synchronized(taskStats.clear())
+    trackedStages.synchronized(trackedStages.clear())
+    jobGroup = s"graft-skew-$name-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(jobGroup, s"SkewStressSpec $name")
     spark.sparkContext.addSparkListener(listener)
     try {
       graft.SparkEntry.queries(name)(spark, fixtureDir)
@@ -92,7 +125,11 @@ class SkewStressSpec extends IsolatedSparkSpec {
         val now = taskStats.synchronized(taskStats.size)
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.sparkContext.clearJobGroup()
+      jobGroup = ""
+    }
     def med(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
     taskStats.synchronized(taskStats.toSeq).groupBy(_._1).toSeq.map {
       case (_, ts) =>
@@ -114,8 +151,13 @@ class SkewStressSpec extends IsolatedSparkSpec {
   // (else the 900-doc hot family floods one bucket), and the 300-doc
   // clique's legitimate quadratic pair output (89,700 ordered pairs) is
   // the output-expansion case the write-records measure exists for
+  // x40 joins the battery with the dominant-source stratum above: its
+  // GlobalRank two-pass must keep the 85% stratum spread across range
+  // partitions (the rejected alternative — a per-source window — reads
+  // the whole stratum in one task; the dedicated test below pins the
+  // absolute bound the ratio gate can't see at this miniature scale)
   for (name <- Seq("d3_minhash_lsh", "d5_dedup_clusters", "x14_decontaminate",
-                   "d10_containment_pairs"))
+                   "d10_containment_pairs", "x40_stratified_sample"))
     test(s"$name task skew stays bounded on the adversarial fixture") {
       // AQE's partition coalescing would merge these miniature shuffle
       // partitions into 1-4 tasks and hide the per-key distribution; at
@@ -130,7 +172,13 @@ class SkewStressSpec extends IsolatedSparkSpec {
         assert(measured.nonEmpty, s"$name: no multi-task stage to measure")
         for (s <- measured) {
           // records are the DETERMINISTIC skew measure: read records =
-          // key distribution in, write records = output expansion out
+          // key distribution in, write records = output expansion out.
+          // Median-0 stages are deliberately NOT skipped: with the job
+          // group scoping every stage here is OURS, and max≫median=0 is
+          // exactly how a real single-task pileup (one stratum, one hot
+          // bucket absorbing the corpus) manifests at this scale — the
+          // round-10 median-0 false alarm was a FOREIGN stage, which the
+          // scoping (not a median floor) is the correct fix for
           if (s.maxRead >= RecFloor)
             assert(s.maxRead < 4 * math.max(s.medRead, 1),
               s"$name: shuffle-read skew ${s.maxRead} vs median ${s.medRead} over ${s.n} tasks")
@@ -154,6 +202,28 @@ class SkewStressSpec extends IsolatedSparkSpec {
         spark.conf.set("spark.sql.shuffle.partitions", "4")
       }
     }
+
+  test("x40: no task absorbs the dominant stratum (GlobalRank two-pass)") {
+    // the ratio gate above is vacuous for x40 at this corpus size (every
+    // balanced task reads ~125 records, under RecFloor) — this is the
+    // absolute bound that distinguishes the two plans: the per-source
+    // window reads the whole 1700-doc "web" stratum in ONE task; the
+    // GlobalRank range exchange splits it on the mix64 key, so no task
+    // can come near even half the stratum
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val stats = stageStats("x40_stratified_sample")
+      val worst = stats.map(_.maxRead).max
+      info(s"x40 worst per-task shuffle read: $worst of 2000 fixture rows")
+      assert(worst < 850,
+        s"x40: a task read $worst records — the dominant stratum is " +
+          "piling into one task (per-stratum window shape, not GlobalRank)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
 
   test("x14 joins the eval side as a broadcast — skew-immune by plan shape") {
     val plan = graft.SparkEntry.queries("x14_decontaminate")(spark, fixtureDir)
