@@ -328,22 +328,35 @@ object StreamOps {
     * kept docs land. Per-doc scoring is batch-local (a doc's bigrams
     * live in its own row), so per-micro-batch `foreachBatch` scoring
     * equals the batch x25 result exactly, and the read-only LM means
-    * zero cross-batch state. A batch retry re-scores identical rows, so
-    * exactly-once uses `upsertSink`'s pattern: anti-join the batch's
-    * kept docs against doc_ids already landed before appending. Scale
-    * shape: count frames broadcast; the score pass is map-heavy over
-    * the micro-batch; the sink-side key read prunes to doc_id. */
+    * zero cross-batch state in the scoring itself. Two distinct
+    * duplicate sources get two distinct mechanisms, neither of which
+    * re-reads the sink (the earlier anti-join against the landed sink's
+    * doc_ids was O(sink) work per batch over the stream's lifetime):
+    *
+    *  - an at-least-once FEED (the same doc re-staged in a later file)
+    *    is absorbed by streaming `dropDuplicates` on doc_id — keyed
+    *    state-store lookups, O(batch) per batch. The horizon here is
+    *    unbounded because documents carry no event time; a production
+    *    feed with an ingest timestamp should use
+    *    `dropDuplicatesWithinWatermark` to bound the dedup state.
+    *  - engine REDELIVERY of a crashed micro-batch (same batchId, same
+    *    offsets) converges via [[IdempotentLanding]]: scoring is
+    *    deterministic per batch, so the batch re-lands onto its own
+    *    batchId-keyed file set.
+    *
+    * Scale shape: count frames broadcast; the score pass is map-heavy
+    * over the micro-batch; the sink is never re-read. */
   def lmGateSink(docs: DataFrame, train: DataFrame, threshold: BigDecimal,
                  path: String,
                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextFunctions._
     val (bi, uni, vocab) = lmCounts(train)
     bi.persist(); uni.persist(); vocab.persist()
-    docs.writeStream
+    docs.dropDuplicates("doc_id").writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        lmGateBatch(batch, bi, uni, vocab, threshold, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lmGateBatch(batch, batchId, bi, uni, vocab, threshold, path)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -351,59 +364,36 @@ object StreamOps {
 
   /** The per-micro-batch body of [[lmGateSink]], exposed (like
     * [[upsertBatch]]) so failure-injection tests can wrap it: scoring is
-    * read-only and idempotent per input batch, so a redelivered batch
-    * whose append already landed finds every kept doc_id in the sink and
-    * appends nothing. */
-  def lmGateBatch(batch: DataFrame, bi: DataFrame, uni: DataFrame,
-                  vocab: DataFrame, threshold: BigDecimal, path: String): Unit = {
+    * read-only and deterministic per input batch, so a redelivered
+    * batch re-lands onto its own batchId-keyed file set and the sink
+    * converges to exactly-once content. */
+  def lmGateBatch(batch: DataFrame, batchId: Long, bi: DataFrame,
+                  uni: DataFrame, vocab: DataFrame, threshold: BigDecimal,
+                  path: String): Unit = {
     import graft.functions.TextFunctions._
-    val spark = batch.sparkSession
-    val landed =
-      (try Some(spark.read.parquet(path))
-       catch {
-         case e: org.apache.spark.sql.AnalysisException
-           if e.getErrorClass == "PATH_NOT_FOUND" => None
-       })
-        .map(_.select(col("doc_id").as("landed_id")))
-        .getOrElse(batch.select(col("doc_id").as("landed_id")).limit(0))
-    val kept = lmScore(batch, bi, uni, vocab, threshold)
-      .filter(col("kept"))
-      .join(landed, col("doc_id") <=> col("landed_id"), "left_anti")
-      .persist()
-    kept.count() // materialize before the append lands new files
-    kept.write.mode("append").parquet(path)
-    kept.unpersist()
-    ()
+    IdempotentLanding.land(
+      lmScore(batch, bi, uni, vocab, threshold).filter(col("kept")),
+      path, batchId)
   }
 
   /** x41's streaming twin: the repetition quality gate applied on
     * ingest. The metrics are DOC-LOCAL (duplicate-bigram fraction +
     * top-token share never look across documents), so the micro-batch
     * body IS the batch operator over the batch's rows — zero
-    * cross-batch state, trivially stream≡batch, and the idempotency
-    * story is the lm/containment/ann gates' (scoring read-only per
-    * batch; a redelivered batch finds its keepers landed and appends
-    * nothing). Kept = NOT flagged: repetitive machine/boilerplate text
-    * never reaches the sink. */
-  def repetitionGateBatch(batch: DataFrame, path: String): Unit = {
-    val spark = batch.sparkSession
-    val landed =
-      (try Some(spark.read.parquet(path))
-       catch {
-         case e: org.apache.spark.sql.AnalysisException
-           if e.getErrorClass == "PATH_NOT_FOUND" => None
-       })
-        .map(_.select(col("doc_id").as("landed_id")))
-        .getOrElse(batch.select(col("doc_id").as("landed_id")).limit(0))
-    val kept = graft.functions.TextFunctions.repetitionMetrics(batch)
-      .filter(!col("flagged"))
-      .join(landed, col("doc_id") <=> col("landed_id"), "left_anti")
-      .persist()
-    kept.count() // materialize before the append lands new files
-    kept.write.mode("append").parquet(path)
-    kept.unpersist()
-    ()
-  }
+    * cross-batch state, trivially stream≡batch. Exactly-once under
+    * crash + redelivery comes from [[IdempotentLanding]]: the gate is
+    * deterministic per batch, so landing keyed by batchId replaces the
+    * earlier read-the-whole-sink anti-join — per-batch work is O(batch)
+    * no matter how large the sink has grown. Only [[upsertBatch]] keeps
+    * the anti-join, because there the key namespace spans batches by
+    * CONTRACT (insert-if-absent: the sink itself is the dedup state).
+    * Kept = NOT flagged: repetitive machine/boilerplate text never
+    * reaches the sink. */
+  def repetitionGateBatch(batch: DataFrame, batchId: Long, path: String): Unit =
+    IdempotentLanding.land(
+      graft.functions.TextFunctions.repetitionMetrics(batch)
+        .filter(!col("flagged")),
+      path, batchId)
 
   /** d10's streaming twin (the d8 pattern): containment / near-dup
     * GATING on ingest. Each arriving micro-batch of documents is
@@ -414,47 +404,37 @@ object StreamOps {
     * per flagged pair — the "is this arriving doc mostly contained in
     * something we already hold" alarm that catches quotes/wrapper dups
     * symmetric Jaccard misses. The index is read-only ⇒ zero cross-batch
-    * state; a batch retry re-probes identical rows, so exactly-once uses
-    * upsertSink's anti-join pattern keyed by the probe doc id. Scale
-    * shape: cost ∝ |delta| × bucket hit rate — the standing corpus is
-    * never re-self-joined, exactly like d8's incremental LSH. */
+    * state; the probe is deterministic per batch, so exactly-once under
+    * crash + redelivery is [[IdempotentLanding]] keyed by batchId (the
+    * earlier anti-join re-read every landed a_id per batch — O(sink)
+    * forever). Scale shape: cost ∝ |delta| × bucket hit rate — the
+    * standing corpus is never re-self-joined, exactly like d8's
+    * incremental LSH, and the sink is never re-read. */
   def containmentGate(docs: DataFrame, refShingled: DataFrame,
                       tNum: Int, tDen: Int, path: String,
                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        containmentGateBatch(batch, refShingled, tNum, tDen, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        containmentGateBatch(batch, batchId, refShingled, tNum, tDen, path)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
   /** The per-micro-batch body of [[containmentGate]], exposed for
-    * failure-injection tests (same contract as [[upsertBatch]]:
-    * idempotent per input batch, so a redelivered batch appends
-    * nothing). */
-  def containmentGateBatch(batch: DataFrame, refShingled: DataFrame,
+    * failure-injection tests (deterministic per input batch, so a
+    * redelivered batch re-lands its own batchId-keyed file set and the
+    * sink converges to exactly-once content). */
+  def containmentGateBatch(batch: DataFrame, batchId: Long,
+                           refShingled: DataFrame,
                            tNum: Int, tDen: Int, path: String): Unit = {
     import graft.functions.TextFunctions.shingles
-    val spark = batch.sparkSession
-    val landed =
-      (try Some(spark.read.parquet(path))
-       catch {
-         case e: org.apache.spark.sql.AnalysisException
-           if e.getErrorClass == "PATH_NOT_FOUND" => None
-       })
-        .map(_.select(col("a_id").as("landed_id")).distinct())
-        .getOrElse(batch.select(col("doc_id").as("landed_id")).limit(0))
     val probe = batch.select(col("doc_id"), shingles(col("text"), 3).as("s"))
-    val flagged = graft.operators.ContainmentJoin
-      .probeJoin(probe, refShingled, "doc_id", "s", tNum, tDen)
-      .join(landed, col("a_id") <=> col("landed_id"), "left_anti")
-      .persist()
-    flagged.count() // materialize before the append lands new files
-    flagged.write.mode("append").parquet(path)
-    flagged.unpersist()
-    ()
+    IdempotentLanding.land(
+      graft.operators.ContainmentJoin
+        .probeJoin(probe, refShingled, "doc_id", "s", tNum, tDen),
+      path, batchId)
   }
 
   /** Online retrieval: arriving query vectors probe the STANDING IVF
@@ -462,45 +442,33 @@ object StreamOps {
     * micro-batch, landing one (query_id, neighbor_id, cos, rnk) row per
     * result. The index is read-only ⇒ zero cross-batch state; the probe
     * prunes to nProbe partition directories exactly like the batch
-    * `topKFromIndex` (same code path). Exactly-once via the
-    * upsertSink anti-join pattern keyed by query_id — a redelivered
-    * batch appends nothing. Scale shape: cost ∝ |delta queries| ×
+    * `topKFromIndex` (same code path) and is deterministic per batch,
+    * so exactly-once under crash + redelivery is [[IdempotentLanding]]
+    * keyed by batchId. Scale shape: cost ∝ |delta queries| ×
     * (nProbe/nCells corpus fraction); the corpus never rescans outside
-    * the probed cells and never re-fits. */
+    * the probed cells, never re-fits, and the sink is never re-read. */
   def annGate(queryVecs: DataFrame, indexPath: String, k: Int, nProbe: Int,
               path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     queryVecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        annGateBatch(batch, indexPath, k, nProbe, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        annGateBatch(batch, batchId, indexPath, k, nProbe, path)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
   /** Per-micro-batch body of [[annGate]], exposed for failure-injection
-    * tests (idempotent per input batch: redelivery appends nothing). */
-  def annGateBatch(batch: DataFrame, indexPath: String, k: Int,
-                   nProbe: Int, path: String): Unit = {
+    * tests (deterministic per input batch: redelivery converges to
+    * exactly-once sink content). */
+  def annGateBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                   k: Int, nProbe: Int, path: String): Unit = {
     val spark = batch.sparkSession
-    val landed =
-      (try Some(spark.read.parquet(path))
-       catch {
-         case e: org.apache.spark.sql.AnalysisException
-           if e.getErrorClass == "PATH_NOT_FOUND" => None
-       })
-        .map(_.select(col("query_id").as("landed_id")).distinct())
-        .getOrElse(batch.select(col("vec_id").as("landed_id")).limit(0))
     val queries = batch
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val results = graft.operators.IvfAnn
-      .topKFromIndex(spark, indexPath, queries, k, nProbe)
-      .join(landed, col("query_id") <=> col("landed_id"), "left_anti")
-      .persist()
-    results.count() // materialize before the append lands new files
-    results.write.mode("append").parquet(path)
-    results.unpersist()
-    ()
+    IdempotentLanding.land(
+      graft.operators.IvfAnn.topKFromIndex(spark, indexPath, queries, k, nProbe),
+      path, batchId)
   }
 
   /** The deterministic frontier-advance loop shared by g3's batch walk
@@ -533,42 +501,29 @@ object StreamOps {
     * rows advance `steps` deterministic hops against the STANDING edge
     * list per micro-batch, landing the full (start, step, node) paths.
     * The edge list is read-only reference data (the g1/g3 parquet
-    * checkpoint at scale) ⇒ zero cross-batch state; exactly-once via
-    * the upsertSink anti-join keyed by start — a redelivered batch
-    * appends nothing. Cost ∝ |delta seeds| × steps × mean degree. */
+    * checkpoint at scale) ⇒ zero cross-batch state; the md5-hash walk is
+    * deterministic per batch, so exactly-once under crash + redelivery
+    * is [[IdempotentLanding]] keyed by batchId. Cost ∝ |delta seeds| ×
+    * steps × mean degree, and the sink is never re-read. */
   def walkGate(seeds: DataFrame, edges: DataFrame, steps: Int,
                path: String,
                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     seeds.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        walkGateBatch(batch, edges, steps, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        walkGateBatch(batch, batchId, edges, steps, path)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
   /** Per-micro-batch body of [[walkGate]], exposed for failure-injection
-    * tests (idempotent per input batch: redelivery appends nothing). */
-  def walkGateBatch(batch: DataFrame, edges: DataFrame, steps: Int,
-                    path: String): Unit = {
-    val spark = batch.sparkSession
-    val landed =
-      (try Some(spark.read.parquet(path))
-       catch {
-         case e: org.apache.spark.sql.AnalysisException
-           if e.getErrorClass == "PATH_NOT_FOUND" => None
-       })
-        .map(_.select(col("start").as("landed_id")).distinct())
-        .getOrElse(batch.select(col("start").as("landed_id")).limit(0))
-    val out = walkAdvance(batch.select("start"), edges, steps)
-      .join(landed, col("start") <=> col("landed_id"), "left_anti")
-      .persist()
-    out.count() // materialize before the append lands new files
-    out.write.mode("append").parquet(path)
-    out.unpersist()
-    ()
-  }
+    * tests (deterministic per input batch: redelivery converges to
+    * exactly-once sink content). */
+  def walkGateBatch(batch: DataFrame, batchId: Long, edges: DataFrame,
+                    steps: Int, path: String): Unit =
+    IdempotentLanding.land(
+      walkAdvance(batch.select("start"), edges, steps), path, batchId)
 
   /** x27's streaming twin: per-micro-batch distribution drift monitor.
     * Each arriving batch's smoothed token distribution is KL-compared

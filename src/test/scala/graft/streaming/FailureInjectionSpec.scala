@@ -112,8 +112,8 @@ class FailureInjectionSpec extends SparkSpec {
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", ck)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          StreamOps.lmGateBatch(batch, bi, uni, vocab, threshold, sink)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          StreamOps.lmGateBatch(batch, batchId, bi, uni, vocab, threshold, sink)
           if (failAfterFirstAppend && !failed) {
             failed = true
             throw new RuntimeException("injected post-append failure")
@@ -172,8 +172,8 @@ class FailureInjectionSpec extends SparkSpec {
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", ck)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          StreamOps.containmentGateBatch(batch, ref, 1, 4, sink)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          StreamOps.containmentGateBatch(batch, batchId, ref, 1, 4, sink)
           if (failAfterFirstAppend && !failed) {
             failed = true
             throw new RuntimeException("injected post-append failure")
@@ -228,8 +228,8 @@ class FailureInjectionSpec extends SparkSpec {
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", ck)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          StreamOps.repetitionGateBatch(batch, sink)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          StreamOps.repetitionGateBatch(batch, batchId, sink)
           if (failAfterFirstAppend && !failed) {
             failed = true
             throw new RuntimeException("injected post-append failure")
@@ -287,8 +287,8 @@ class FailureInjectionSpec extends SparkSpec {
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", ck)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          StreamOps.annGateBatch(batch, s"$base/idx", 5, 6, sink)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          StreamOps.annGateBatch(batch, batchId, s"$base/idx", 5, 6, sink)
           if (failAfterFirstAppend && !failed) {
             failed = true
             throw new RuntimeException("injected post-append failure")
