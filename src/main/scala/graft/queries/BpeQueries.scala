@@ -129,8 +129,17 @@ object BpeQueries {
     * an older binary left in /tmp. */
   private def standingMerges(s: SparkSession, dir: String)
       : Seq[(Long, String, String, Long)] = {
+    // keyed by the FULL md5 of the absolute dir string (a 32-bit
+    // dir.hashCode could collide across two data dirs in one JVM and
+    // silently serve the wrong model), under a per-user subdirectory so
+    // a world-shared /tmp path is neither guessable-by-convention nor
+    // cross-user writable
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val path = s"${System.getProperty("java.io.tmpdir")}/" +
-      s"graft_bpe_${MergesCkptVersion}_r${Rounds}_${dir.hashCode.toHexString}"
+      s"graft_${System.getProperty("user.name", "anon")}/" +
+      s"bpe_${MergesCkptVersion}_r${Rounds}_$digest"
     synchronized {
       if (!mergesCkptWritten.contains(path)) {
         import s.implicits._
@@ -248,6 +257,15 @@ object BpeQueries {
     // checkpoint (v12-standing-index / graph-frames pattern): x38 times
     // ENCODING, x34 times TRAINING — conflating them would charge every
     // downstream encode run the once-per-corpus model build.
+    //
+    // R-BOUND of this form: the replace chain is O(R) plan nodes —
+    // exact and DuckDB-replayable at R=8, not plannable at the 32k-100k
+    // merges a production tokenizer ships. functions.BpeEncode is the
+    // scale twin: ONE UDF node looping lowest-rank-first over a
+    // broadcast rank map, proven equal to this chain by
+    // PropertySuites.BpeEncodeProps (random trained tables) and pinned
+    // to this query's output in BpeTrainSpec; R-scaling measured in
+    // SCALING.md (tools.BpeEncodeProbe).
     q("x38_bpe_encode", encodeOracle) { (s, dir) =>
       val merges = standingMerges(s, dir)
       val enc0 = Tables.load(s, dir, "documents")

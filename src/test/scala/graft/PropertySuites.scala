@@ -291,4 +291,17 @@ object BpeEncodeProps extends Properties("BpeEncode") {
       val merges = train(corpus.map(_.mkString), rounds)
       encodeSeq(word, merges).mkString == word
     }
+
+  // round 11: the PRODUCTION loop (functions.BpeEncode — the scale twin
+  // x38's scaladoc points to for 32k-100k-merge tables) against the
+  // chain model, on trained tables DEEPER than the registered query's
+  // R=8 so nested-operand merges actually fire
+  property("production BpeEncode.encode == sequential chain model") =
+    forAll(corpusGen, wordGen, Gen.choose(1, 32)) { (corpus, word, rounds) =>
+      val merges = train(corpus.map(_.mkString), rounds)
+      val pairs = merges.toIndexedSeq
+      graft.functions.BpeEncode
+        .encode(word, pairs, pairs.zipWithIndex.toMap).toVector ==
+        encodeSeq(word, merges)
+    }
 }

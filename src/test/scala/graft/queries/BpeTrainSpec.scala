@@ -40,4 +40,20 @@ class BpeTrainSpec extends SparkSpec {
                            r.getLong(3))).toSeq
     assert(again == merges)
   }
+
+  test("iterative UDF twin reproduces x38's chain encode bit-for-bit") {
+    // the scale form for production vocabulary sizes (x38's R-bound
+    // note): one UDF node looping lowest-rank-first over the broadcast
+    // rank map must land the exact token-frequency head the registered
+    // O(R)-plan-node replace chain computes — end-to-end over the same
+    // corpus and the same trained table, not just on the ScalaCheck
+    // word model
+    val chain = graft.SparkEntry.queries("x38_bpe_encode")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val table = merges.map { case (_, l, r, _) => (l, r) }
+    val udf = graft.functions.BpeEncode
+      .encodeCorpusIter(graft.Tables.load(spark, sfDir, "documents"), table)
+      .collect().map(_.toString).toSeq
+    assert(udf == chain)
+  }
 }
