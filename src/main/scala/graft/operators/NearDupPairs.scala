@@ -63,13 +63,20 @@ object NearDupPairs {
     memo.keys.filter(_._1 eq session).foreach(memo.remove)
 
   private def compute(shingled: DataFrame): DataFrame = {
-    // document frequency per shingle hash (one agg over the exploded
-    // sets), then each doc re-assembles its hashes sorted by (df, h) —
-    // a global total order, so positions are comparable across docs.
     // `sh` is read three times (inverted index + both verify-join
     // sides), so it caches for the duration of the call; the small
     // pairs result is materialized eagerly (localCheckpoint) so the
     // cache can be released before returning.
+    val sh = shFrame(shingled).cache()
+    val pairs = verify(sh, candidatesOf(sh)).localCheckpoint(eager = true)
+    sh.unpersist(blocking = false)
+    pairs
+  }
+
+  /** Document frequency per shingle hash (one agg over the exploded
+    * sets), then each doc re-assembles its hashes sorted by (df, h) —
+    * a global total order, so positions are comparable across docs. */
+  private def shFrame(shingled: DataFrame): DataFrame = {
     val ex = shingled
       .select(col("doc_id"), explode(col("s")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
@@ -82,20 +89,24 @@ object NearDupPairs {
     // exchange, and the join-back broadcasts (or AQE-skew-splits) the
     // tiny df side. Skew robustness beats the saved pass at 10⁹ docs.
     val freq = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    val sh = ex.join(freq, "h")
+    ex.join(freq, "h")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("fh"))
       .select(col("doc_id"), transform(col("fh"), _.getField("h")).as("hs"))
       .withColumn("sz", size(col("hs")))
-      .cache()
-    // positional inverted index over prefixes only (pos is the 1-based
-    // rank of the element in the doc's (df, h)-sorted hash array)
+  }
+
+  /** Positional inverted index over prefixes only (pos is the 1-based
+    * rank of the element in the doc's (df, h)-sorted hash array) →
+    * candidate pairs surviving the size-ratio and tight positional
+    * bounds. */
+  private def candidatesOf(sh: DataFrame): DataFrame = {
     val inv = sh.select(col("doc_id"), col("sz"),
       posexplode(slice(col("hs"), lit(1),
         (col("sz") - ceil(col("sz") * 0.7) + 1).cast("int"))))
       .select(col("doc_id"), col("sz"), (col("pos") + 1).as("pos"),
         col("col").as("sh_h"))
-    val cand = inv.as("a")
+    inv.as("a")
       .join(inv.as("b"),
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id") &&
         col("a.sz") * lit(10) >= col("b.sz") * 7 &&
@@ -109,15 +120,30 @@ object NearDupPairs {
                least(col("sza") - col("pamax"), col("szb") - col("pbmax"))) * 17
                 >= (col("sza") + col("szb")) * 7)
       .select("doc_a", "doc_b")
-    val pairs = cand
+  }
+
+  /** Exact Jaccard on the full hash sets over the candidates. */
+  private def verify(sh: DataFrame, cand: DataFrame): DataFrame =
+    cand
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("sz").as("sza")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("sz").as("szb")), "doc_b")
       .withColumn("c", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("jraw", col("c").cast("double") / (col("sza") + col("szb") - col("c")))
       .filter(col("jraw") >= 0.7)
       .select(col("doc_a"), col("doc_b"), col("jraw"))
-      .localCheckpoint(eager = true)
+
+  /** Dev/measurement hook (tools.DedupGrowthProbe): candidate and true
+    * pair counts for a shingled frame, through the exact plan `over`
+    * runs — the candidates/true-pairs ratio per growth decade is the
+    * number the prefix ordering's "linear-ish at 10⁹ docs" claim rests
+    * on. Not memoized; bypasses `over`'s cache. */
+  def stats(shingled: DataFrame): (Long, Long) = {
+    val sh = shFrame(shingled).cache()
+    val cand = candidatesOf(sh).cache()
+    val nCand = cand.count()
+    val nPairs = verify(sh, cand).count()
+    cand.unpersist(blocking = false)
     sh.unpersist(blocking = false)
-    pairs
+    (nCand, nPairs)
   }
 }

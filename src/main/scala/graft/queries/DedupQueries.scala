@@ -520,6 +520,13 @@ object DedupQueries {
     // evals at sf0.1, measured 13.6 s vs 1-2 s compiled. The per-shingle
     // md5-hex base stays a codegen'd SQL transform (string ops, one
     // pass); only the hot numeric loop drops into the UDF.
+    //
+    // Exactness caveat: the published j_exact/err_bp come from
+    // NearDupPairs' xxhash64-hashed shingle SETS while the oracle
+    // intersects the string sets — equal only up to hash collisions, a
+    // ~n²/2⁶⁵ bound per document pair the estimator column inherits
+    // even though the estimate itself is hash-gated. Compute j_exact
+    // from the string sets if that bound ever matters.
     q("d12_minhash_estimate", {
       import OracleU64.{mix64Ctes, toSigned}
       s"""WITH sh AS (
