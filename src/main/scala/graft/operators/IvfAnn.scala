@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.queries.SimilarityQueries.cosineSim
+import graft.queries.SimilarityQueries.{cosineSim, normD}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -209,6 +209,76 @@ object IvfAnn {
         Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id")))
         .cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** EXACT range search (radius query) against a persisted index: every
+    * corpus vector with cos(q, x) ≥ minCos, for each query — the
+    * "find everything similar enough" API (dedup sweeps, recall-free
+    * retrieval) that top-k cannot express. Unlike the probed top-k,
+    * the result is EXACT: cells are pruned by a sound triangle-
+    * inequality bound, never by a probe budget.
+    *
+    * Geometry: on UNIT vectors, cos(q,x) ≥ τ  ⇔  ‖q̂−x̂‖ ≤ r where
+    * r = √(2−2τ), so the cosine threshold is a metric ball and cell
+    * pruning is the classic ball-overlap test: precompute per cell the
+    * normalized-centroid anchor p̂_c and coverage radius
+    * R_c = max_{x∈c} ‖x̂−p̂_c‖; a cell can hold a result only if
+    * ‖q̂−p̂_c‖ ≤ r + R_c (triangle inequality — sound no matter how
+    * the cells were formed, so the L2-trained quantizer is fine). A
+    * small epsilon keeps float rounding from ever pruning a boundary
+    * cell. Surviving cells arrive as an isin partition filter like
+    * [[topKFromIndex]]; the exact cosine filter runs codegen'd over
+    * the scanned survivors only.
+    *
+    * Scale shape: the cell-stats frame is nCells rows (compute it with
+    * the index build and persist it alongside at 100 TB — here it is
+    * one small agg over the standing assignment); queries × nCells
+    * bound tests broadcast; corpus work = only the cells a ball
+    * overlaps. */
+  def rangeSearch(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, minCos: Double): DataFrame = {
+    val (live, cells) = rangeLive(spark, path, queries, minCos)
+    spark.read.parquet(s"$path/assigned")
+      .filter(col("cell").isin(cells: _*)) // static partition pruning
+      .join(live, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id") &&
+              cosineSim(col("qe"), col("embedding")) >= minCos)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(cosineSim(col("qe"), col("embedding")), 6).as("cos"))
+  }
+
+  /** The pruning half of [[rangeSearch]]: surviving (query, cell) pairs
+    * and the distinct scanned-cell list — exposed so SimilaritySpec can
+    * assert the pruning is REAL (cells scanned < cells total), which the
+    * exact result alone cannot show. */
+  def rangeLive(spark: org.apache.spark.sql.SparkSession, path: String,
+                queries: DataFrame, minCos: Double): (DataFrame, Seq[Int]) = {
+    val eps = 1e-9
+    val r = math.sqrt(math.max(2.0 - 2.0 * minCos, 0.0))
+    val unit = (v: Column) => transform(v, x => x.cast("double") / normD(v))
+    val dist = (a: Column, b: Column) =>
+      sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d))
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), unit(col("centroid")).as("anchor"))
+    val stats = spark.read.parquet(s"$path/assigned")
+      .join(broadcast(centroids), "cell")
+      .select(col("cell"), col("anchor"),
+        dist(unit(col("embedding")), col("anchor")).as("d"))
+      .groupBy("cell", "anchor").agg(max("d").as("radius"))
+    // materialized eagerly: (a) the stats agg over the index runs ONCE,
+    // not once for the cell collect and again inside the final plan;
+    // (b) the final plan sees a tiny ExistingRDD instead of the
+    // query×nCells nested-loop bound test (which is broadcast-tiny but
+    // would read as a BNLJ in the plan audit)
+    val live = queries
+      .select(col("query_id"), col("qe"), unit(col("qe")).as("qhat"))
+      .join(broadcast(stats),
+        dist(col("qhat"), col("anchor")) <= lit(r + eps) + col("radius"))
+      .select("query_id", "qe", "cell")
+      .localCheckpoint(true)
+    val cells = live.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    (live, cells)
   }
 
   /** Top-k cosine neighbors for each query via nProbe-of-nCells IVF.

@@ -1302,6 +1302,112 @@ object AggQueries {
           expr("fp_hits * 10000 div fp_probes").as("fpr_bp"))
         .orderBy("word_idx")
     },
+
+    // a36 (round 11) — the MOMENTS SKETCH (Gan et al., VLDB'18): the
+    // sixth sketch-family member and the mergeable QUANTILE sketch the
+    // family lacked. State per group is O(1) and ORDER-INDEPENDENT —
+    // (n, Σq, Σq², Σq³, Σq⁴, exact BIGINT arithmetic) — so unlike
+    // t-digest/KLL (whose merge trees are order-dependent and therefore
+    // unhashable), the register CONTENT itself is oracle-exact, the
+    // same property that let a28-a35 gate Count-Min/HLL/AMS/KMV/Bloom.
+    // Quantile estimates use the Cornish-Fisher expansion (closed-form
+    // from the standardized moments — replayable; the paper's max-ent
+    // solver is iterative and belongs at the consumer, not the gate),
+    // published next to the exact interpolated quantiles so the
+    // estimator's error is itself a checked column. The FORMULA STRINGS
+    // are shared verbatim between the Spark plan (selectExpr) and the
+    // DuckDB oracle, so both engines run the identical IEEE expression
+    // tree — the a29/k2 bitwise-replay discipline. Scale shape: one
+    // partial-aggregated HashAggregate (5 longs per group map-side);
+    // the exact-quantile twin is the gate-side harness only — at 100 TB
+    // the sketch IS the product and merges across any partitioning.
+    // Range note: quantity ∈ [1,50] keeps Σq⁴ far inside int64; a wider
+    // value domain promotes the power sums to DECIMAL(38,0) with the
+    // same order-independence (sums stay exact, merges stay exact).
+    q("a36_moments_quantiles", {
+      val steps = MomentFormulas.layers.map { layer =>
+        layer.map { case (name, f) => s"$f AS $name" }.mkString(", ")
+      }
+      s"""WITH s AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(qv) AS BIGINT) AS s1,
+        |         CAST(sum(qv * qv) AS BIGINT) AS s2,
+        |         CAST(sum(qv * qv * qv) AS BIGINT) AS s3,
+        |         CAST(sum(qv * qv * qv * qv) AS BIGINT) AS s4,
+        |         round(quantile_cont(CAST(qv AS DOUBLE), 0.5), 4) AS p50_exact,
+        |         round(quantile_cont(CAST(qv AS DOUBLE), 0.9), 4) AS p90_exact
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qv
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag),
+        |d1 AS (SELECT *, ${steps(0)} FROM s),
+        |d2 AS (SELECT *, ${steps(1)} FROM d1),
+        |d3 AS (SELECT *, ${steps(2)} FROM d2),
+        |d4 AS (SELECT *, ${steps(3)} FROM d3)
+        |SELECT l_returnflag, n, s1, s2, s3, s4,
+        |       round(m, 6) AS mean, round(sd, 6) AS std,
+        |       round(g1, 6) AS skew_g1, round(g2, 6) AS kurt_g2,
+        |       round(p50_est, 4) AS p50_est, round(p90_est, 4) AS p90_est,
+        |       p50_exact, p90_exact
+        |FROM d4 ORDER BY l_returnflag""".stripMargin
+    }) { (s, dir) =>
+      val sums = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qv"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             sum("qv").as("s1"),
+             sum(expr("qv * qv")).as("s2"),
+             sum(expr("qv * qv * qv")).as("s3"),
+             sum(expr("qv * qv * qv * qv")).as("s4"),
+             round(expr("percentile(qv, 0.5)"), 4).as("p50_exact"),
+             round(expr("percentile(qv, 0.9)"), 4).as("p90_exact"))
+      val derived = MomentFormulas.layers.foldLeft(sums) { (df, layer) =>
+        layer.foldLeft(df) { case (d, (name, f)) => d.withColumn(name, expr(f)) }
+      }
+      derived.select(col("l_returnflag"),
+          col("n"), col("s1"), col("s2"), col("s3"), col("s4"),
+          round(col("m"), 6).as("mean"), round(col("sd"), 6).as("std"),
+          round(col("g1"), 6).as("skew_g1"), round(col("g2"), 6).as("kurt_g2"),
+          round(col("p50_est"), 4).as("p50_est"),
+          round(col("p90_est"), 4).as("p90_est"),
+          col("p50_exact"), col("p90_exact"))
+        .orderBy("l_returnflag")
+    },
   )
 
+  /** a36's moment→quantile derivation as LAYERED FORMULA STRINGS, each
+    * layer referencing only columns of earlier layers — spliced
+    * verbatim into both the Spark plan and the DuckDB oracle so the
+    * two engines evaluate the identical IEEE expression tree (sums are
+    * exact BIGINT, so every double op starts from identical inputs).
+    * z90 is the standard-normal 0.9 quantile; Cornish-Fisher at z=0
+    * (the median) collapses to m − sd·g1/6. */
+  private object MomentFormulas {
+    // cast: DuckDB parses the bare literal as DECIMAL and decimal
+    // multiplication overflows scale 38; both engines must run it DOUBLE
+    private val z90 = "CAST(1.2815515655446004 AS DOUBLE)"
+    val layers: Seq[Seq[(String, String)]] = Seq(
+      Seq(
+        "nd"  -> "CAST(n AS DOUBLE)",
+        "m"   -> "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)",
+        "ex2" -> "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)",
+        "ex3" -> "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)",
+        "ex4" -> "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"),
+      Seq(
+        "vr"  -> "ex2 - m * m",
+        "mu3" -> "ex3 - 3 * m * ex2 + 2 * m * m * m",
+        "mu4" -> "ex4 - 4 * m * ex3 + 6 * m * m * ex2 - 3 * m * m * m * m"),
+      Seq(
+        "sd"  -> "sqrt(vr)",
+        "g2"  -> "mu4 / (vr * vr) - 3"),
+      Seq(
+        "g1"  -> "mu3 / (sd * sd * sd)",
+        "p50_est" -> "m + sd * (0 - mu3 / (sd * sd * sd) / 6)",
+        "p90_est" -> (s"m + sd * ($z90 " +
+          s"+ ($z90 * $z90 - 1) * (mu3 / (sd * sd * sd)) / 6 " +
+          s"+ ($z90 * $z90 * $z90 - 3 * $z90) * (mu4 / (vr * vr) - 3) / 24 " +
+          s"- (2 * $z90 * $z90 * $z90 - 5 * $z90) " +
+          s"* (mu3 / (sd * sd * sd)) * (mu3 / (sd * sd * sd)) / 36)"))
+    )
+  }
 }

@@ -957,6 +957,45 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // v15 — EXACT RANGE SEARCH (round 11): every corpus vector with
+    // cos ≥ 0.3 of each query — the radius-query API top-k cannot
+    // express (dedup sweeps, "all documents similar enough", threshold
+    // retrieval). Unlike v3-v14 this is NOT approximate: on unit
+    // vectors cos ≥ τ is a metric ball (‖q̂−x̂‖ ≤ √(2−2τ)), so the
+    // standing IVF index's cells prune by the triangle-inequality
+    // ball-overlap test (per-cell normalized anchor + coverage radius)
+    // and the pruned scan provably contains every answer — which is
+    // why the BRUTE-FORCE SQL is the oracle, not a quantizer replay:
+    // the results must be identical, and the hash gate checks exactly
+    // that. On THIS spread corpus (max cos ~0.4) any result-bearing τ
+    // is a ball that overlaps every cell, so the bound is sound but
+    // non-binding here; SimilaritySpec proves it BITES on the geometry
+    // range search exists for — tight clusters at τ=0.9, the dedup
+    // sweep — scanning a strict subset of cells with brute-equal
+    // results. Scale shape: cell stats are nCells rows (persisted with
+    // the index at 100 TB), the bound test broadcasts, and corpus work
+    // is only the overlapped cells.
+    q("v15_range_search",
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |       round(${sqlDot("q.embedding", "c.embedding")}
+         |         / (${sqlNorm("q.embedding")} * ${sqlNorm("c.embedding")}), 6) AS cos
+         |FROM embeddings q JOIN embeddings c
+         |  ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+         |WHERE ${sqlDot("q.embedding", "c.embedding")}
+         |      / (${sqlNorm("q.embedding")} * ${sqlNorm("c.embedding")}) >= 0.3
+         |ORDER BY query_id, neighbor_id""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode.toHexString}"
+      graft.operators.IvfAnn.ensureIndex(
+        e.select("vec_id", "embedding"), nCells = 16, path = path)
+      graft.operators.IvfAnn.rangeSearch(s, path,
+          queries = e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          minCos = 0.3)
+        .orderBy("query_id", "neighbor_id")
+    },
+
     // SemDeDup-style semantic dedup: assign every vector to its nearest
     // centroid by cosine, then drop any vector that has a smaller-id
     // within-cluster neighbor with cosine >= 0.35, reporting the kept

@@ -317,4 +317,81 @@ class SimilaritySpec extends SparkSpec {
     assert(mmrCos <= topCos + 1e-9,
       s"MMR set (mean cos $mmrCos) not more diverse than top-k (mean cos $topCos)")
   }
+
+  // v15 exactness: the ball-overlap pruning must never lose a result at
+  // thresholds OTHER than the registered query's. On THIS corpus the
+  // bound is sound but non-binding — the synthetic embeddings are
+  // near-orthogonal (max cos ~0.4), so any result-bearing τ implies a
+  // ball of radius ≥ 1.1 on the unit sphere, which overlaps every
+  // spread cell; that is the honest geometry, not a pruning bug, and
+  // the tight-cluster test below shows the bound biting where range
+  // search is actually used (high-τ dedup sweeps).
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"v15 range search equals brute force at three thresholds at $sf") {
+      import org.apache.spark.sql.functions._
+      val dir = s"/root/testdata/$sf"
+      val e = graft.Tables.load(spark, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode.toHexString}"
+      graft.operators.IvfAnn.ensureIndex(
+        e.select("vec_id", "embedding"), nCells = 16, path = path)
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val brute = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.queries.SimilarityQueries.cosineSim(col("qe"), col("embedding")).as("c"))
+      for (tau <- Seq(0.25, 0.3, 0.4)) {
+        val got = graft.operators.IvfAnn.rangeSearch(spark, path, queries, tau)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = brute.filter(col("c") >= tau)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want, s"tau=$tau at $sf: pruned search lost/invented results")
+        val (_, cells) = graft.operators.IvfAnn.rangeLive(spark, path, queries, tau)
+        info(s"$sf tau=$tau: ${cells.size}/16 cells scanned, ${want.size} results")
+      }
+    }
+  }
+
+  test("v15 pruning BITES on dedup-sweep geometry (tight clusters, high tau)") {
+    // the workload range search exists for: near-dup sweeps at cos >=
+    // 0.9 over clustered embeddings. 16 well-separated tight clusters
+    // (pairwise-near-orthogonal centers, members within ~0.99 cosine of
+    // their center): Lloyd recovers the clusters, coverage radii are
+    // small, and a 0.9-ball around any member overlaps only its own
+    // cell — so the scan must touch a strict subset of cells while the
+    // result still equals brute force. An implementation that always
+    // scans everything fails here.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = 32
+    def norm(a: Array[Float]): Float =
+      math.sqrt(a.map(x => x.toDouble * x.toDouble).sum).toFloat
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = for (k <- 0 until 16; j <- 0 until 20) yield {
+      val noise = Array.fill(dim)((rnd.nextGaussian() * 0.05).toFloat)
+      val v = centers(k).zip(noise).map { case (c, n) => c / norm(centers(k)) + n }
+      ((k * 20 + j).toLong, v.toSeq)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_tight_${System.nanoTime()}"
+    graft.operators.IvfAnn.buildIndex(e, nCells = 16, path = path)
+    val queries = e.filter(col("vec_id") % 20 === 0).limit(8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val got = graft.operators.IvfAnn.rangeSearch(spark, path, queries, 0.9)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .filter(graft.queries.SimilarityQueries
+        .cosineSim(col("qe"), col("embedding")) >= 0.9)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "tight-cluster range search diverged from brute force")
+    assert(want.size >= 8 * 10, s"fixture too loose: only ${want.size} true pairs")
+    val (_, cells) = graft.operators.IvfAnn.rangeLive(spark, path, queries, 0.9)
+    info(s"tight fixture: ${cells.size}/16 cells scanned for 8 queries")
+    assert(cells.size < 16,
+      s"ball-overlap bound scanned all 16 cells on tight clusters — pruning is dead code")
+  }
 }

@@ -77,4 +77,54 @@ class SketchSpec extends SparkSpec {
         s"CMS overestimate out of bound for '$t': $est vs $freq + ${eps * total}")
     }
   }
+
+  test("a36: moment registers merge by ADDITION across any split") {
+    // the property that makes the moments sketch the family's quantile
+    // member: state is (n, Σq..Σq⁴), so merging partitions is exact
+    // integer addition — order-independent, retry-safe. Verify the
+    // whole-table registers equal the sum of two disjoint halves'
+    // registers, per group.
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qv"),
+              col("l_orderkey"))
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("qv").as("s1"),
+             sum(expr("qv * qv")).as("s2"),
+             sum(expr("qv * qv * qv")).as("s3"),
+             sum(expr("qv * qv * qv * qv")).as("s4"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+                                     r.getLong(4), r.getLong(5))).toMap
+    val whole = regs(li)
+    val a = regs(li.filter(col("l_orderkey") % 2 === 0))
+    val b = regs(li.filter(col("l_orderkey") % 2 =!= 0))
+    whole.foreach { case (g, (n, s1, s2, s3, s4)) =>
+      def p(m: Map[String, (Long, Long, Long, Long, Long)], i: Int) =
+        m.get(g).map(t => t.productElement(i).asInstanceOf[Long]).getOrElse(0L)
+      assert(n == p(a, 0) + p(b, 0) && s1 == p(a, 1) + p(b, 1) &&
+             s2 == p(a, 2) + p(b, 2) && s3 == p(a, 3) + p(b, 3) &&
+             s4 == p(a, 4) + p(b, 4), s"group $g: split registers don't add")
+    }
+  }
+
+  test("a36: Cornish-Fisher estimates land near the exact quantiles") {
+    // the estimator contract (not the oracle's value check): on this
+    // near-uniform quantity distribution CF from four moments must sit
+    // within 2 quantity units of the exact interpolated quantile —
+    // loose enough to be stable, tight enough to catch a formula slip
+    // (a sign error in the skew/kurtosis terms lands ~5-10 units off)
+    val rows = graft.SparkEntry.queries("a36_moments_quantiles")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p50e = r.getAs[Double]("p50_est"); val p50x = r.getAs[Double]("p50_exact")
+      val p90e = r.getAs[Double]("p90_est"); val p90x = r.getAs[Double]("p90_exact")
+      assert(math.abs(p50e - p50x) < 2.0,
+        s"${r.getString(0)}: p50 est $p50e vs exact $p50x")
+      assert(math.abs(p90e - p90x) < 2.0,
+        s"${r.getString(0)}: p90 est $p90e vs exact $p90x")
+    }
+  }
 }
