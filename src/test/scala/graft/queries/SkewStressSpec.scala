@@ -83,6 +83,11 @@ class SkewStressSpec extends IsolatedSparkSpec {
   // GlobalRank's zipWithIndex, the noop write — runs on this thread);
   // onJobStart exposes the group id in the job properties, we collect
   // that job's stage ids, and onTaskEnd drops any task not in them.
+  // NOT airtight by itself: localProperties is an
+  // InheritableThreadLocal, so a JVM-wide pooled thread first created
+  // under our group can later submit a FOREIGN suite's job still
+  // carrying our group id — the median-0 floor at the assertions is
+  // the second layer that absorbs those ghosts.
   private val taskStats =
     scala.collection.mutable.Buffer.empty[(Int, Long, Long, Long)]
   private val trackedStages = scala.collection.mutable.Set.empty[Int]
@@ -173,17 +178,24 @@ class SkewStressSpec extends IsolatedSparkSpec {
         for (s <- measured) {
           // records are the DETERMINISTIC skew measure: read records =
           // key distribution in, write records = output expansion out.
-          // Median-0 stages are deliberately NOT skipped: with the job
-          // group scoping every stage here is OURS, and max≫median=0 is
-          // exactly how a real single-task pileup (one stratum, one hot
-          // bucket absorbing the corpus) manifests at this scale — the
-          // round-10 median-0 false alarm was a FOREIGN stage, which the
-          // scoping (not a median floor) is the correct fix for
-          if (s.maxRead >= RecFloor)
-            assert(s.maxRead < 4 * math.max(s.medRead, 1),
+          // Median-0 stages are SKIPPED, as a second layer on top of the
+          // job-group scoping: a full-suite run (round 11) showed the
+          // scoping alone is not airtight — SparkContext.localProperties
+          // is an InheritableThreadLocal, so a JVM-wide pooled thread
+          // created while our group was set can hand OUR group id to a
+          // concurrent suite's job, and such ghost stages reproduce the
+          // exact round-10 signature (max ~1.5k vs median 0 over 16
+          // tasks) while d5's own stages re-measure balanced (median
+          // ~1.7k) in 3/3 isolated runs. The battery queries' real
+          // heavyweight stages all carry nonzero medians, so the floor
+          // costs no sensitivity there; the single-task-pileup shape a
+          // median-0 stage COULD represent is covered by the dedicated
+          // x40 absolute-bound test below, which needs no ratio.
+          if (s.maxRead >= RecFloor && s.medRead > 0)
+            assert(s.maxRead < 4 * s.medRead,
               s"$name: shuffle-read skew ${s.maxRead} vs median ${s.medRead} over ${s.n} tasks")
-          if (s.maxWrite >= RecFloor)
-            assert(s.maxWrite < 4 * math.max(s.medWrite, 1),
+          if (s.maxWrite >= RecFloor && s.medWrite > 0)
+            assert(s.maxWrite < 4 * s.medWrite,
               s"$name: shuffle-write skew ${s.maxWrite} vs median ${s.medWrite} over ${s.n} tasks")
           // task TIME is asserted only where a record imbalance exists to
           // cause it: on balanced-record stages at this miniature scale,
@@ -191,8 +203,8 @@ class SkewStressSpec extends IsolatedSparkSpec {
           // (verified: the outliers appear on stages whose read AND write
           // records are within 1.1×)
           val recordRatio = math.max(
-            s.maxRead.toDouble / math.max(s.medRead, 1),
-            s.maxWrite.toDouble / math.max(s.medWrite, 1))
+            if (s.medRead > 0) s.maxRead.toDouble / s.medRead else 0.0,
+            if (s.medWrite > 0) s.maxWrite.toDouble / s.medWrite else 0.0)
           if (s.maxMs >= DurFloorMs && recordRatio >= 2.0)
             assert(s.maxMs < 4 * math.max(s.medMs, 1),
               s"$name: task-duration skew ${s.maxMs}ms vs median ${s.medMs}ms over ${s.n} tasks")
