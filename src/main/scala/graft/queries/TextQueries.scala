@@ -17,6 +17,48 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** Shared DuckDB CTE chain for the repetition-metric family (x41 gate,
+    * x42 calibration, x43 agreement): doc-local bigram/top-token stats
+    * ending in `rep(doc_id, n_tokens, rep2_bp, top_tok_bp, flagged)`.
+    * Keep the expressions verbatim — x41's hash identity depends on
+    * them, and x42/x43 must replay the SAME gate. */
+  private val repCtes: String =
+    """d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |m AS (
+      |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+      |         CAST(len([ts[i] || ' ' || ts[i+1]
+      |                   for i in range(1, len(ts))]) AS BIGINT) AS nbg,
+      |         CAST(len(list_distinct([ts[i] || ' ' || ts[i+1]
+      |                   for i in range(1, len(ts))])) AS BIGINT) AS nbgd
+      |  FROM d),
+      |t AS (
+      |  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok
+      |  FROM (SELECT doc_id, count(*) AS c
+      |        FROM (SELECT doc_id, unnest(ts) AS tok FROM d)
+      |        GROUP BY doc_id, tok)
+      |  GROUP BY doc_id),
+      |rep AS (
+      |  SELECT m.doc_id, n_tokens,
+      |         CASE WHEN nbg > 0 THEN (nbg - nbgd) * 10000 // nbg
+      |              ELSE 0 END AS rep2_bp,
+      |         max_tok * 10000 // n_tokens AS top_tok_bp,
+      |         (CASE WHEN nbg > 0 THEN (nbg - nbgd) * 10000 // nbg
+      |               ELSE 0 END) >= 800
+      |           OR max_tok * 10000 // n_tokens >= 1600 AS flagged
+      |  FROM m JOIN t USING (doc_id))""".stripMargin
+
+  /** x43's kappa as ONE formula string spliced into both engines (the
+    * a36 discipline: identical IEEE expression tree over exact BIGINT
+    * confusion counts). */
+  private val kappaExpr: String = {
+    val nD = "CAST(n11 + n10 + n01 + n00 AS DOUBLE)"
+    val po = s"(CAST(n11 + n00 AS DOUBLE) / $nD)"
+    val pe = s"((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) " +
+      s"+ CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) / ($nD * $nD))"
+    s"round(($po - $pe) / (1 - $pe), 6)"
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace tokens + BPE-ish regex token count
@@ -1317,33 +1359,112 @@ object TextQueries {
     // shuffle — (doc_id, token)-keyed, uniform, partial-aggregated —
     // NOT a per-doc O(n²) HOF scan, which would die on 10k-token docs.
     q("x41_repetition_ratio",
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |m AS (
-        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
-        |         CAST(len([ts[i] || ' ' || ts[i+1]
-        |                   for i in range(1, len(ts))]) AS BIGINT) AS nbg,
-        |         CAST(len(list_distinct([ts[i] || ' ' || ts[i+1]
-        |                   for i in range(1, len(ts))])) AS BIGINT) AS nbgd
-        |  FROM d),
-        |t AS (
-        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok
-        |  FROM (SELECT doc_id, count(*) AS c
-        |        FROM (SELECT doc_id, unnest(ts) AS tok FROM d)
-        |        GROUP BY doc_id, tok)
-        |  GROUP BY doc_id)
-        |SELECT m.doc_id, n_tokens,
-        |       CASE WHEN nbg > 0 THEN (nbg - nbgd) * 10000 // nbg
-        |            ELSE 0 END AS rep2_bp,
-        |       max_tok * 10000 // n_tokens AS top_tok_bp,
-        |       (CASE WHEN nbg > 0 THEN (nbg - nbgd) * 10000 // nbg
-        |             ELSE 0 END) >= 800
-        |         OR max_tok * 10000 // n_tokens >= 1600 AS flagged
-        |FROM m JOIN t USING (doc_id)
-        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH $repCtes
+        |SELECT doc_id, n_tokens, rep2_bp, top_tok_bp, flagged
+        |FROM rep ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.functions.TextFunctions
         .repetitionMetrics(Tables.load(s, dir, "documents"))
         .orderBy("doc_id")
+    },
+
+    // x42 (round 11) — CALIBRATION BINS + ECE over a gate score: the
+    // model-eval operator every quality-classifier pipeline runs
+    // (reliability diagram + expected calibration error). Here the
+    // "model" is x41's repetition score (confidence = the gate's own
+    // basis-point score, capped at 10000) against its flag verdict —
+    // a deterministic score/label pair, so the WHOLE computation is
+    // exact integer arithmetic: per-1000-bp bin, n / mean-confidence /
+    // accuracy / |gap| in bp, and ECE = Σ n·gap div N riding every row
+    // as the a10-style broadcast scalar. Swap any real model's scores
+    // in and the operator is unchanged. Shape: the gate metrics are
+    // x41's map-only/one-shuffle stats; binning adds ONE ≤10-key
+    // aggregate; the ECE scalar is a 1-row broadcast.
+    q("x42_calibration_bins",
+      s"""WITH $repCtes,
+        |s AS (SELECT least(rep2_bp + top_tok_bp, 10000) AS s_bp, flagged
+        |      FROM rep),
+        |b AS (SELECT least(s_bp // 1000, 9) AS bin,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(s_bp) AS BIGINT) AS sum_s,
+        |             CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |      FROM s GROUP BY 1),
+        |g AS (SELECT bin, n, sum_s // n AS conf_bp,
+        |             n_pos * 10000 // n AS acc_bp,
+        |             abs(sum_s // n - n_pos * 10000 // n) AS gap_bp
+        |      FROM b),
+        |e AS (SELECT CAST(sum(n * gap_bp) // sum(n) AS BIGINT) AS ece_bp FROM g)
+        |SELECT bin, n, conf_bp, acc_bp, gap_bp, ece_bp
+        |FROM g CROSS JOIN e ORDER BY bin""".stripMargin) { (s, dir) =>
+      val rep = graft.functions.TextFunctions
+        .repetitionMetrics(Tables.load(s, dir, "documents"))
+      val b = rep
+        .select(least(col("rep2_bp") + col("top_tok_bp"), lit(10000L)).as("s_bp"),
+                col("flagged"))
+        .groupBy(expr("least(s_bp div 1000, 9)").as("bin"))
+        .agg(count(lit(1)).as("n"), sum("s_bp").as("sum_s"),
+             sum(when(col("flagged"), 1L).otherwise(0L)).as("n_pos"))
+      val g = b.select(col("bin"), col("n"),
+          expr("sum_s div n").as("conf_bp"),
+          expr("n_pos * 10000 div n").as("acc_bp"),
+          expr("abs(sum_s div n - n_pos * 10000 div n)").as("gap_bp"))
+      val e = g.agg(expr("sum(n * gap_bp) div sum(n)").cast("long").as("ece_bp"))
+      g.crossJoin(broadcast(e)).orderBy("bin")
+    },
+
+    // x43 (round 11) — INTER-GATE AGREEMENT (Cohen's kappa): when two
+    // quality gates disagree, is it noise or signal? The operator every
+    // multi-filter pipeline needs before composing gates (two gates
+    // with kappa ≈ 1 are redundant; ≈ 0, independent; < 0, adversarial).
+    // Here: x41's repetition gate vs a surface gate (stopword share
+    // < 3% — machine/boilerplate text is stopword-poor). Confusion
+    // counts are exact BIGINTs from integer-bp comparisons; kappa is
+    // ONE formula string spliced into both engines over those counts
+    // (the a36 discipline), rounded at 6 dp. Shape: two map-only gate
+    // passes + x41's one shuffle, then a single 4-counter aggregate.
+    q("x43_gate_agreement",
+      s"""WITH $repCtes,
+        |q2 AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(ts,
+        |              t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT)
+        |           AS stop_cnt,
+        |         CAST(len(ts) AS BIGINT) AS n_tok
+        |  FROM d),
+        |gx AS (
+        |  SELECT r.doc_id, r.flagged AS a_flag,
+        |         (q2.stop_cnt * 10000 // q2.n_tok) < 300 AS b_flag
+        |  FROM rep r JOIN q2 ON q2.doc_id = r.doc_id),
+        |c AS (SELECT
+        |  CAST(sum(CASE WHEN a_flag AND b_flag THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |  CAST(sum(CASE WHEN a_flag AND NOT b_flag THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |  CAST(sum(CASE WHEN NOT a_flag AND b_flag THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |  CAST(sum(CASE WHEN NOT a_flag AND NOT b_flag THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM gx)
+        |SELECT n11, n10, n01, n00,
+        |       (n11 + n10) * 10000 // (n11 + n10 + n01 + n00) AS a_rate_bp,
+        |       (n11 + n01) * 10000 // (n11 + n10 + n01 + n00) AS b_rate_bp,
+        |       $kappaExpr AS kappa
+        |FROM c""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val rep = graft.functions.TextFunctions.repetitionMetrics(docs)
+        .select(col("doc_id"), col("flagged").as("a_flag"))
+      val surface = docs.select(col("doc_id"),
+        expr("CAST(size(filter(split(text, ' '), " +
+             "t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT)")
+          .as("stop_cnt"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+        .select(col("doc_id"),
+          (expr("stop_cnt * 10000 div n_tok") < 300).as("b_flag"))
+      rep.join(surface, "doc_id")
+        .agg(
+          sum(when(col("a_flag") && col("b_flag"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("a_flag") && !col("b_flag"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("a_flag") && col("b_flag"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("a_flag") && !col("b_flag"), 1L).otherwise(0L)).as("n00"))
+        .select(col("n11"), col("n10"), col("n01"), col("n00"),
+          expr("(n11 + n10) * 10000 div (n11 + n10 + n01 + n00)").as("a_rate_bp"),
+          expr("(n11 + n01) * 10000 div (n11 + n10 + n01 + n00)").as("b_rate_bp"),
+          expr(kappaExpr).as("kappa"))
     },
   )
 }

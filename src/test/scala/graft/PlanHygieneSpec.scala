@@ -54,6 +54,7 @@ class PlanHygieneSpec extends SparkSpec {
     "x36_temperature_mix"   -> "1-row temperature-normalizer scalar (s_sum, tok_all)",
     "v10_ann_filtered"      -> "8-row query table x nCells-row trained-centroid table (probe scoring)",
     "x37_corpus_diff"       -> "1-row corpus-totals scalar (na, nb)",
+    "x42_calibration_bins"  -> "1-row ECE scalar over the <=10-row bin frame",
   )
 
   /** Same-spec Window stacks where the later window CONSUMES the

@@ -259,4 +259,44 @@ class TextQueriesSpec extends SparkSpec {
       .count()
     assert(ghost == 0L)
   }
+
+  test("x42: bins partition the corpus and ECE is the n-weighted mean gap") {
+    val rows = graft.SparkEntry.queries("x42_calibration_bins")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs,
+      "bin sizes must partition the corpus exactly")
+    rows.foreach { r =>
+      val (n, conf, acc, gap) = (r.getAs[Long]("n"), r.getAs[Long]("conf_bp"),
+        r.getAs[Long]("acc_bp"), r.getAs[Long]("gap_bp"))
+      assert(n > 0 && conf >= 0 && conf <= 10000 && acc >= 0 && acc <= 10000)
+      assert(gap == math.abs(conf - acc), s"bin ${r.getAs[Long]("bin")}: gap")
+      // confidences really live in their bin's bp band
+      val bin = r.getAs[Long]("bin")
+      assert(conf >= bin * 1000 && (bin == 9 || conf < (bin + 1) * 1000),
+        s"bin $bin holds mean conf $conf outside its band")
+    }
+    val ece = rows.head.getAs[Long]("ece_bp")
+    assert(rows.forall(_.getAs[Long]("ece_bp") == ece), "ECE scalar must ride every row")
+    val recomputed = rows.map(r => r.getAs[Long]("n") * r.getAs[Long]("gap_bp")).sum /
+      rows.map(_.getAs[Long]("n")).sum
+    assert(ece == recomputed, s"published ECE $ece != recomputed $recomputed")
+  }
+
+  test("x43: confusion counts partition the corpus; kappa within [-1, 1]") {
+    val r = graft.SparkEntry.queries("x43_gate_agreement")(spark, sfDir)
+      .collect().head
+    val (n11, n10, n01, n00) = (r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(n11 + n10 + n01 + n00 == nDocs, "confusion matrix must partition the corpus")
+    // both gates must actually fire AND abstain on this corpus, or the
+    // agreement measure is degenerate (kappa's denominator -> 0)
+    assert(n11 + n10 > 0 && n01 + n00 > 0, "gate A degenerate on fixture")
+    assert(n11 + n01 > 0 && n10 + n00 > 0, "gate B degenerate on fixture")
+    val kappa = r.getAs[Double]("kappa")
+    assert(kappa >= -1.0 && kappa <= 1.0, s"kappa $kappa out of range")
+    info(s"n11=$n11 n10=$n10 n01=$n01 n00=$n00 kappa=$kappa")
+  }
 }
