@@ -172,6 +172,13 @@ object IvfAnn {
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // range-search cell stats (normalized anchor + coverage radius per
+    // cell — see rangeLive) are a pure function of the index, so they
+    // are computed ONCE at build time and persisted alongside: at
+    // 100 TB recomputing them would re-scan the whole index per query
+    // batch. nCells rows — negligible build cost.
+    rangeStats(assigned.sparkSession, path)
+      .write.mode("overwrite").parquet(s"$path/cellstats")
   }
 
   private val built = scala.collection.mutable.Set.empty[String]
@@ -251,30 +258,49 @@ object IvfAnn {
     * and the distinct scanned-cell list — exposed so SimilaritySpec can
     * assert the pruning is REAL (cells scanned < cells total), which the
     * exact result alone cannot show. */
+  private def unitCol(v: Column): Column =
+    transform(v, x => x.cast("double") / normD(v))
+  private def distCol(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d))
+
+  /** Per-cell range-search stats — normalized anchor + coverage radius —
+    * computed from the persisted assignment in one scan. [[buildIndex]]
+    * persists the result as `cellstats`, so at scale query batches read
+    * nCells rows instead of re-scanning the index. */
+  private def rangeStats(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), unitCol(col("centroid")).as("anchor"))
+    spark.read.parquet(s"$path/assigned")
+      .join(broadcast(centroids), "cell")
+      .select(col("cell"), col("anchor"),
+        distCol(unitCol(col("embedding")), col("anchor")).as("d"))
+      .groupBy("cell", "anchor").agg(max("d").as("radius"))
+  }
+
   def rangeLive(spark: org.apache.spark.sql.SparkSession, path: String,
                 queries: DataFrame, minCos: Double): (DataFrame, Seq[Int]) = {
     val eps = 1e-9
     val r = math.sqrt(math.max(2.0 - 2.0 * minCos, 0.0))
-    val unit = (v: Column) => transform(v, x => x.cast("double") / normD(v))
-    val dist = (a: Column, b: Column) =>
-      sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d))
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .select(col("cell"), unit(col("centroid")).as("anchor"))
-    val stats = spark.read.parquet(s"$path/assigned")
-      .join(broadcast(centroids), "cell")
-      .select(col("cell"), col("anchor"),
-        dist(unit(col("embedding")), col("anchor")).as("d"))
-      .groupBy("cell", "anchor").agg(max("d").as("radius"))
-    // materialized eagerly: (a) the stats agg over the index runs ONCE,
-    // not once for the cell collect and again inside the final plan;
-    // (b) the final plan sees a tiny ExistingRDD instead of the
-    // query×nCells nested-loop bound test (which is broadcast-tiny but
-    // would read as a BNLJ in the plan audit)
+    // the STANDING cellstats when the index ships them (built with the
+    // index since round 11); recomputed in-flight only for an index an
+    // older binary left behind (healed on the next ensureIndex rewrite)
+    val stats =
+      try spark.read.parquet(s"$path/cellstats")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass == "PATH_NOT_FOUND" => rangeStats(spark, path)
+      }
+    // materialized eagerly: (a) the stats read/agg runs ONCE, not once
+    // for the cell collect and again inside the final plan; (b) the
+    // final plan sees a tiny ExistingRDD instead of the query×nCells
+    // nested-loop bound test (which is broadcast-tiny but would read as
+    // a BNLJ in the plan audit)
     val live = queries
-      .select(col("query_id"), col("qe"), unit(col("qe")).as("qhat"))
+      .select(col("query_id"), col("qe"), unitCol(col("qe")).as("qhat"))
       .join(broadcast(stats),
-        dist(col("qhat"), col("anchor")) <= lit(r + eps) + col("radius"))
+        distCol(col("qhat"), col("anchor")) <= lit(r + eps) + col("radius"))
       .select("query_id", "qe", "cell")
       .localCheckpoint(true)
     val cells = live.select("cell").distinct().collect().map(_.getInt(0)).toSeq
