@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The tokenizer-standard ITERATIVE BPE encode: repeatedly merge the
@@ -61,15 +61,21 @@ object BpeEncode {
     syms
   }
 
-  /** Column form: word → array&lt;string&gt; of tokens. The merge table is
-    * broadcast ONCE per encode job (it is the model — kilobytes to a few
-    * megabytes at production R) and every task probes the same rank map. */
-  def encodeUdf(df: DataFrame,
+  /** Column form: any string column → array&lt;string&gt; of tokens. The
+    * merge table is broadcast ONCE per encode job (it is the model —
+    * kilobytes to a few megabytes at production R) and every task probes
+    * the same rank map. Takes the column to encode and the session
+    * directly (round-11 ADVICE: the earlier DataFrame parameter was only
+    * a SparkContext handle but hardcoded `col("word")`, inviting misuse
+    * on frames without that column), and null-guards the UDF body: a
+    * NULL word encodes to NULL, not an NPE. */
+  def encodeUdf(spark: SparkSession, wordCol: Column,
                 merges: Seq[(String, String)]): Column = {
-    val bc = df.sparkSession.sparkContext
+    val bc = spark.sparkContext
       .broadcast((merges.toIndexedSeq, merges.zipWithIndex.toMap))
     udf((word: String) =>
-      encode(word, bc.value._1, bc.value._2)).apply(col("word"))
+      if (word == null) null
+      else encode(word, bc.value._1, bc.value._2)).apply(wordCol)
   }
 
   /** The df-level twin of x38's encode stage: documents → (token,
@@ -81,7 +87,8 @@ object BpeEncode {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1 && !col("word").rlike("[\\x00-\\x1f]"))
     words
-      .select(col("doc_id"), explode(encodeUdf(words, merges)).as("token"))
+      .select(col("doc_id"),
+        explode(encodeUdf(docs.sparkSession, col("word"), merges)).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n_tokens"),
            countDistinct(col("doc_id")).as("n_docs"))

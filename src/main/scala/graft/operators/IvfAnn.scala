@@ -241,12 +241,30 @@ object IvfAnn {
     * the index build and persist it alongside at 100 TB — here it is
     * one small agg over the standing assignment); queries × nCells
     * bound tests broadcast; corpus work = only the cells a ball
-    * overlaps. */
+    * overlaps.
+    *
+    * Wide-radius cutover (round 12): the survivor cells normally arrive
+    * as an isin PARTITION FILTER so the scan prunes to their
+    * directories. But when the query balls overlap MOST cells (a loose
+    * minCos — r → √2 covers the sphere), the isin literal list
+    * degenerates: at production nCells (~10⁵) it is a 10⁵-element IN
+    * that bloats the plan and prunes nothing. Past
+    * [[IsinCutoverFraction]] of cells surviving, the partition filter
+    * is SKIPPED — the equi-join on `cell` against the surviving
+    * (query, cell) pairs still bounds the work (rows of non-surviving
+    * cells drop at the join), and correctness never depended on the
+    * isin (it is a scan-pruning hint over exactly the cells the join
+    * would keep). Both shapes return the identical exact result —
+    * asserted in SimilaritySpec at minCos = 0.05 over the standing
+    * index. */
   def rangeSearch(spark: org.apache.spark.sql.SparkSession, path: String,
                   queries: DataFrame, minCos: Double): DataFrame = {
-    val (live, cells) = rangeLive(spark, path, queries, minCos)
-    spark.read.parquet(s"$path/assigned")
-      .filter(col("cell").isin(cells: _*)) // static partition pruning
+    val (live, cells, nCellsTotal) = rangeLive(spark, path, queries, minCos)
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val pruned =
+      if (cells.size.toLong * 4 > nCellsTotal.toLong) assigned // > 25% survive
+      else assigned.filter(col("cell").isin(cells: _*)) // static partition pruning
+    pruned
       .join(live, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id") &&
               cosineSim(col("qe"), col("embedding")) >= minCos)
@@ -254,12 +272,25 @@ object IvfAnn {
               round(cosineSim(col("qe"), col("embedding")), 6).as("cos"))
   }
 
+  /** Survivor fraction past which [[rangeSearch]] drops the isin
+    * partition filter: ¼. Below it the pruned directory read wins; above
+    * it the isin is pure plan bloat (and at production nCells, a plan
+    * hazard). */
+  val IsinCutoverFraction = 0.25
+
   /** The pruning half of [[rangeSearch]]: surviving (query, cell) pairs
     * and the distinct scanned-cell list — exposed so SimilaritySpec can
     * assert the pruning is REAL (cells scanned < cells total), which the
     * exact result alone cannot show. */
   private def unitCol(v: Column): Column =
-    transform(v, x => x.cast("double") / normD(v))
+    // the norm is hoisted OUT of the per-element lambda (round-11 ADVICE:
+    // normD(v) written inside the transform lambda re-evaluates the O(d)
+    // fold per element — O(d²) per vector, over the ENTIRE index in
+    // rangeStats and every query in rangeLive). Binding it through a
+    // 1-element array makes the inner division read a lambda VARIABLE, so
+    // normD evaluates exactly once per vector: normalization is O(d).
+    element_at(transform(array(normD(v)), n =>
+      transform(v, x => x.cast("double") / n)), 1)
   private def distCol(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, d) => acc + d))
@@ -279,8 +310,11 @@ object IvfAnn {
       .groupBy("cell", "anchor").agg(max("d").as("radius"))
   }
 
+  /** Returns (surviving (query_id, qe, cell) pairs, distinct surviving
+    * cell ids, TOTAL cell count) — the total is what [[rangeSearch]]'s
+    * wide-radius cutover compares the survivor count against. */
   def rangeLive(spark: org.apache.spark.sql.SparkSession, path: String,
-                queries: DataFrame, minCos: Double): (DataFrame, Seq[Int]) = {
+                queries: DataFrame, minCos: Double): (DataFrame, Seq[Int], Long) = {
     val eps = 1e-9
     val r = math.sqrt(math.max(2.0 - 2.0 * minCos, 0.0))
     // the STANDING cellstats when the index ships them (built with the
@@ -304,7 +338,7 @@ object IvfAnn {
       .select("query_id", "qe", "cell")
       .localCheckpoint(true)
     val cells = live.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    (live, cells)
+    (live, cells, stats.count()) // stats = one row per cell
   }
 
   /** Top-k cosine neighbors for each query via nProbe-of-nCells IVF.

@@ -407,13 +407,19 @@ object StreamOps {
     * state; the probe is deterministic per batch, so exactly-once under
     * crash + redelivery is [[IdempotentLanding]] keyed by batchId (the
     * earlier anti-join re-read every landed a_id per batch — O(sink)
-    * forever). Scale shape: cost ∝ |delta| × bucket hit rate — the
-    * standing corpus is never re-self-joined, exactly like d8's
-    * incremental LSH, and the sink is never re-read. */
+    * forever). An at-least-once FEED (the same doc re-staged in a later
+    * micro-batch — a different duplicate source than engine redelivery)
+    * is absorbed by streaming `dropDuplicates` on doc_id, exactly like
+    * [[lmGateSink]]: keyed state-store lookups, O(batch) per batch,
+    * horizon unbounded because documents carry no event time (a feed
+    * with an ingest timestamp should use
+    * `dropDuplicatesWithinWatermark`). Scale shape: cost ∝ |delta| ×
+    * bucket hit rate — the standing corpus is never re-self-joined,
+    * exactly like d8's incremental LSH, and the sink is never re-read. */
   def containmentGate(docs: DataFrame, refShingled: DataFrame,
                       tNum: Int, tDen: Int, path: String,
                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+    docs.dropDuplicates("doc_id").writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -444,12 +450,16 @@ object StreamOps {
     * prunes to nProbe partition directories exactly like the batch
     * `topKFromIndex` (same code path) and is deterministic per batch,
     * so exactly-once under crash + redelivery is [[IdempotentLanding]]
-    * keyed by batchId. Scale shape: cost ∝ |delta queries| ×
-    * (nProbe/nCells corpus fraction); the corpus never rescans outside
-    * the probed cells, never re-fits, and the sink is never re-read. */
+    * keyed by batchId; a re-staged query (at-least-once FEED) is
+    * absorbed by streaming `dropDuplicates` on vec_id (the lmGateSink
+    * pattern — keyed state, O(batch) per batch, unbounded horizon
+    * because query vectors carry no event time). Scale shape: cost ∝
+    * |delta queries| × (nProbe/nCells corpus fraction); the corpus
+    * never rescans outside the probed cells, never re-fits, and the
+    * sink is never re-read. */
   def annGate(queryVecs: DataFrame, indexPath: String, k: Int, nProbe: Int,
               path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    queryVecs.writeStream
+    queryVecs.dropDuplicates("vec_id").writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -503,12 +513,16 @@ object StreamOps {
     * The edge list is read-only reference data (the g1/g3 parquet
     * checkpoint at scale) ⇒ zero cross-batch state; the md5-hash walk is
     * deterministic per batch, so exactly-once under crash + redelivery
-    * is [[IdempotentLanding]] keyed by batchId. Cost ∝ |delta seeds| ×
-    * steps × mean degree, and the sink is never re-read. */
+    * is [[IdempotentLanding]] keyed by batchId; a re-staged seed
+    * (at-least-once FEED) is absorbed by streaming `dropDuplicates` on
+    * start (the lmGateSink pattern — without it, a redelivered-by-feed
+    * seed would land its whole walk twice, since the md5 walk emits
+    * identical rows). Cost ∝ |delta seeds| × steps × mean degree, and
+    * the sink is never re-read. */
   def walkGate(seeds: DataFrame, edges: DataFrame, steps: Int,
                path: String,
                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    seeds.writeStream
+    seeds.dropDuplicates("start").writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

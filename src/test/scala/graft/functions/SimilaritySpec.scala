@@ -347,7 +347,7 @@ class SimilaritySpec extends SparkSpec {
           .select("query_id", "neighbor_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         assert(got == want, s"tau=$tau at $sf: pruned search lost/invented results")
-        val (_, cells) = graft.operators.IvfAnn.rangeLive(spark, path, queries, tau)
+        val (_, cells, _) = graft.operators.IvfAnn.rangeLive(spark, path, queries, tau)
         info(s"$sf tau=$tau: ${cells.size}/16 cells scanned, ${want.size} results")
       }
     }
@@ -389,9 +389,56 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want, "tight-cluster range search diverged from brute force")
     assert(want.size >= 8 * 10, s"fixture too loose: only ${want.size} true pairs")
-    val (_, cells) = graft.operators.IvfAnn.rangeLive(spark, path, queries, 0.9)
+    val (_, cells, _) = graft.operators.IvfAnn.rangeLive(spark, path, queries, 0.9)
     info(s"tight fixture: ${cells.size}/16 cells scanned for 8 queries")
     assert(cells.size < 16,
       s"ball-overlap bound scanned all 16 cells on tight clusters — pruning is dead code")
+    // the narrow-radius path must ALSO carry its isin partition filter —
+    // the complement of the wide-radius cutover test below. One query's
+    // 0.9-ball overlaps only its own cell (1/16 ≤ the 25% cutover), so
+    // this plan must keep the literal cell list on the scan.
+    val narrow = graft.operators.IvfAnn.rangeSearch(
+      spark, path, queries.limit(1), 0.9)
+    assert(partitionFilterHasCellList(narrow),
+      "narrow-radius range search lost its isin partition filter")
+  }
+
+  /** Does the plan's index scan carry a literal cell-list partition
+    * filter? (Small lists print as `cell#N IN (…)`, large as INSET.) */
+  private def partitionFilterHasCellList(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters"))
+      .exists(l => l.contains(" IN (") || l.contains(" INSET "))
+
+  test("v15 wide-radius cutover: > 25% surviving cells drops the isin, result stays exact") {
+    // round-12 verdict ask #2: at production nCells (~10⁵) a loose
+    // threshold survives most cells and the isin literal list bloats the
+    // plan while pruning nothing. minCos = 0.05 over the near-orthogonal
+    // corpus makes every ball cover all 16 cells → the cutover must take
+    // the non-isin path, and the result must STILL equal brute force.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode.toHexString}"
+    graft.operators.IvfAnn.ensureIndex(
+      e.select("vec_id", "embedding"), nCells = 16, path = path)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val (_, cells, total) = graft.operators.IvfAnn.rangeLive(spark, path, queries, 0.05)
+    assert(cells.size.toLong * 4 > total,
+      s"fixture must survive > 25% of cells (got ${cells.size}/$total) or the cutover is untested")
+    val wide = graft.operators.IvfAnn.rangeSearch(spark, path, queries, 0.05)
+    assert(!partitionFilterHasCellList(wide),
+      "wide-radius range search must skip the isin partition filter " +
+        "(a full-width literal list prunes nothing and bloats the plan)")
+    val got = wide.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .filter(graft.queries.SimilarityQueries
+        .cosineSim(col("qe"), col("embedding")) >= 0.05)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "non-isin path lost/invented results")
+    assert(got.nonEmpty, "fixture must produce results or the test is vacuous")
   }
 }

@@ -56,4 +56,16 @@ class BpeTrainSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(udf == chain)
   }
+
+  test("encodeUdf takes any column and null-guards (round-11 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = merges.map { case (_, l, r, _) => (l, r) }
+    val df = Seq(Some("abc"), None).toDF("s") // NOT named "word"
+    val out = df.select(
+      graft.functions.BpeEncode.encodeUdf(spark, col("s"), table).as("toks"))
+      .collect()
+    assert(out.exists(r => !r.isNullAt(0) && r.getSeq[String](0).nonEmpty))
+    assert(out.exists(_.isNullAt(0)), "NULL input must encode to NULL, not NPE")
+  }
 }

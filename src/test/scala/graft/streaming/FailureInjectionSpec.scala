@@ -319,4 +319,41 @@ class FailureInjectionSpec extends SparkSpec {
            batchRes.collect().map(_.toString).toSet,
       "landed results must equal the batch standing-index search exactly")
   }
+
+  // --- round-12: the landing protocol's own contract (no stream needed —
+  // land() is the unit; the gates above prove it composed with foreachBatch)
+
+  test("commit marker is a manifest: it lists exactly the published files") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_mani_sink").toString + "/t"
+    IdempotentLanding.land(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), sink, 0L)
+    IdempotentLanding.land(Seq((3L, "c")).toDF("k", "v"), sink, 1L)
+    val manifest = IdempotentLanding.manifest(spark, sink)
+    assert(manifest.map(_._1).distinct == Seq(0L, 1L))
+    // every manifest entry exists on disk, and every published data file
+    // is in the manifest — the set a manifest-trusting reader would take
+    val onDisk = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(manifest.map(_._2).toSet == onDisk,
+      s"manifest ${manifest.map(_._2).toSet} != published $onDisk")
+    assert(manifest.forall { case (bid, f) => f.startsWith(s"graft-b$bid-") })
+    // and the reader contract is unchanged: plain parquet read sees the rows
+    assert(spark.read.parquet(sink).count() == 3)
+  }
+
+  test("fresh-checkpoint stream on an old sink fails fast instead of skipping") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_stale_sink").toString + "/t"
+    IdempotentLanding.land(Seq((1L, "a")).toDF("k", "v"), sink, 0L)
+    IdempotentLanding.land(Seq((2L, "b")).toDF("k", "v"), sink, 1L)
+    // a fresh checkpoint restarts batchIds at 0; the old protocol saw
+    // marker 0 and silently dropped the new batch — now it must throw
+    val e = intercept[IllegalStateException] {
+      IdempotentLanding.land(Seq((9L, "z")).toDF("k", "v"), sink, 0L)
+    }
+    assert(e.getMessage.contains("fresh-checkpoint"))
+    // genuine redelivery is still the O(1) skip: batch 1 again is a no-op
+    IdempotentLanding.land(Seq((2L, "b")).toDF("k", "v"), sink, 1L)
+    assert(spark.read.parquet(sink).count() == 2)
+  }
 }

@@ -579,6 +579,9 @@ class StreamOpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_cgate_src")
     stageSlice(delta.filter(col("doc_id") % 2 === 0), dir, "s1", 1000000L)
     stageSlice(delta.filter(col("doc_id") % 2 === 1), dir, "s2", 2000000L)
+    // at-least-once FEED: the even docs re-staged as a LATER micro-batch —
+    // the streaming dropDuplicates(doc_id) must keep their pairs single
+    stageSlice(delta.filter(col("doc_id") % 2 === 0), dir, "s3_dup", 3000000L)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_cgate_${System.nanoTime()}"
     val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
@@ -593,6 +596,10 @@ class StreamOpsSpec extends SparkSpec {
     assert(landed == batch)
     assert(landed.nonEmpty,
       "fixture must flag at least one contained pair or the test is vacuous")
+    // canon() is a Set and would hide duplicate ROWS — the raw count is
+    // the duplicated-feed assertion
+    assert(spark.read.parquet(s"$base/out").count() == landed.size,
+      "re-staged docs must not land their pairs twice")
   }
 
   test("streaming ANN gate equals the batch standing-index search") {
@@ -605,6 +612,8 @@ class StreamOpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_anngate_src")
     stageSlice(delta.filter(col("vec_id") % 2 === 0), dir, "s1", 1000000L)
     stageSlice(delta.filter(col("vec_id") % 2 === 1), dir, "s2", 2000000L)
+    // at-least-once FEED: even queries re-staged in a later micro-batch
+    stageSlice(delta.filter(col("vec_id") % 2 === 0), dir, "s3_dup", 3000000L)
     val stream = spark.readStream
       .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
@@ -619,6 +628,8 @@ class StreamOpsSpec extends SparkSpec {
     info(s"results: streamed=${landed.size} batch=${batch.size}")
     assert(landed == batch)
     assert(landed.size == 40, "8 queries x top-5 expected")
+    assert(spark.read.parquet(s"$base/out").count() == 40,
+      "re-staged queries must not land their top-k twice (canon is a Set)")
   }
 
   test("streaming walk gate equals the batch frontier advance") {
@@ -635,6 +646,8 @@ class StreamOpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_walkgate_src")
     stageSlice(seeds.filter(col("start") % 4 === 0), dir, "s1", 1000000L)
     stageSlice(seeds.filter(col("start") % 4 =!= 0), dir, "s2", 2000000L)
+    // at-least-once FEED: the first seed slice re-staged in a later batch
+    stageSlice(seeds.filter(col("start") % 4 === 0), dir, "s3_dup", 3000000L)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_walkgate_${System.nanoTime()}"
     val stream = spark.readStream.schema("start BIGINT")
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
@@ -646,6 +659,8 @@ class StreamOpsSpec extends SparkSpec {
     info(s"walk rows: streamed=${landed.size} batch=${batch.size}")
     assert(landed == batch)
     assert(landed.size == 8 * 5, "8 seeds x steps 0..4 expected")
+    assert(spark.read.parquet(s"$base/out").count() == 8 * 5,
+      "re-staged seeds must not land their walks twice (canon is a Set)")
   }
 
   // --- round-7 regression: schema probe on empty / mixed-vintage dirs ----
