@@ -1,7 +1,6 @@
 package graft.queries
 
-import graft.IsolatedSparkSpec
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import graft.{IsolatedSparkSpec, ScopedStageListener}
 import org.apache.spark.sql.functions._
 
 /** Measures — not argues — the "uniform keys by construction" claim of the
@@ -68,79 +67,22 @@ class SkewStressSpec extends IsolatedSparkSpec {
   private case class StageStat(n: Int, maxMs: Long, medMs: Long,
     maxRead: Long, medRead: Long, maxWrite: Long, medWrite: Long)
 
-  // (stageId, durationMs, shuffleReadRecords, shuffleWriteRecords) —
-  // WRITE records matter independently: an output-expansion hot task (a
-  // dominant band bucket emitting its quadratic pair set) reads few rows
-  // but writes many, so read-skew alone would miss it.
-  //
-  // ATTRIBUTION: sbt runs suites in parallel threads inside the one
-  // forked JVM, and a SparkListener on the shared SparkContext receives
-  // onTaskEnd for EVERY suite's stages — round 10's full-suite flake was
-  // exactly that (a foreign 16-task stage with one 1527-record task
-  // landed in d5's stats and tripped the 4× gate; d5's own stages were
-  // balanced). So the measured query runs under a per-test job group
-  // (job groups are thread-local, and every job a query spawns — scans,
-  // GlobalRank's zipWithIndex, the noop write — runs on this thread);
-  // onJobStart exposes the group id in the job properties, we collect
-  // that job's stage ids, and onTaskEnd drops any task not in them.
-  // NOT airtight by itself: localProperties is an
-  // InheritableThreadLocal, so a JVM-wide pooled thread first created
-  // under our group can later submit a FOREIGN suite's job still
-  // carrying our group id — the median-0 floor at the assertions is
-  // the second layer that absorbs those ghosts.
-  private val taskStats =
-    scala.collection.mutable.Buffer.empty[(Int, Long, Long, Long)]
-  private val trackedStages = scala.collection.mutable.Set.empty[Int]
-  @volatile private var jobGroup: String = ""
-  private val listener = new SparkListener {
-    override def onJobStart(j: SparkListenerJobStart): Unit = {
-      val g = Option(j.properties)
-        .map(_.getProperty("spark.jobGroup.id")).orNull
-      if (g != null && g == jobGroup)
-        trackedStages.synchronized { trackedStages ++= j.stageIds }
-    }
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-      // the bus delivers events to a listener in order, so our job's
-      // JobStart (which registers its stage ids) precedes its TaskEnds
-      val mine = trackedStages.synchronized(trackedStages.contains(t.stageId))
-      val m = t.taskMetrics
-      if (mine && m != null) taskStats.synchronized {
-        taskStats += ((t.stageId, t.taskInfo.duration,
-          m.shuffleReadMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten))
-      }
-    }
-  }
-
   /** Runs `name` over the fixture and returns per-stage task stats for
-    * THIS spec's jobs only (see the attribution note above). The
-    * listener bus is async: poll until the stats stop arriving. */
+    * THIS spec's jobs only. Attribution (job-group scoping, bus-drain
+    * polling, and its known InheritableThreadLocal leak) lives in
+    * [[ScopedStageListener]] since round 12 — the median-0 floor at the
+    * assertions below is the second layer that absorbs the ghost stages
+    * the scoping alone can let through. */
   private def stageStats(name: String): Seq[StageStat] = {
-    taskStats.synchronized(taskStats.clear())
-    trackedStages.synchronized(trackedStages.clear())
-    jobGroup = s"graft-skew-$name-${System.nanoTime()}"
-    spark.sparkContext.setJobGroup(jobGroup, s"SkewStressSpec $name")
-    spark.sparkContext.addSparkListener(listener)
-    try {
+    val rows = ScopedStageListener.measure(spark, s"skew-$name") {
       graft.SparkEntry.queries(name)(spark, fixtureDir)
         .write.format("noop").mode("overwrite").save()
-      var last = -1
-      var stable = 0
-      while (stable < 3) { // 3×200 ms with no new events = bus drained
-        Thread.sleep(200)
-        val now = taskStats.synchronized(taskStats.size)
-        if (now == last) stable += 1 else { stable = 0; last = now }
-      }
-    } finally {
-      spark.sparkContext.removeSparkListener(listener)
-      spark.sparkContext.clearJobGroup()
-      jobGroup = ""
     }
     def med(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
-    taskStats.synchronized(taskStats.toSeq).groupBy(_._1).toSeq.map {
-      case (_, ts) =>
-        StageStat(ts.size, ts.map(_._2).max, med(ts.map(_._2)),
-          ts.map(_._3).max, med(ts.map(_._3)),
-          ts.map(_._4).max, med(ts.map(_._4)))
+    rows.groupBy(_.stageId).toSeq.map { case (_, ts) =>
+      StageStat(ts.size, ts.map(_.durationMs).max, med(ts.map(_.durationMs)),
+        ts.map(_.readRecords).max, med(ts.map(_.readRecords)),
+        ts.map(_.writeRecords).max, med(ts.map(_.writeRecords)))
     }
   }
 
