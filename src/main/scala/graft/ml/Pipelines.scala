@@ -224,4 +224,36 @@ object Pipelines {
     model.transform(labeled)
       .select(docs.columns.map(col) :+ col("label") :+ col("prediction"): _*)
   }
+
+  /** M12's eigen half: PCA over the embedding corpus — per (component,
+    * position) rows carrying the explained-variance spectrum and the
+    * SIGN-NORMALIZED principal-component loadings. Eigenvector SIGN is
+    * convention-bound (LAPACK may return v or −v for the same
+    * eigenspace), so each component is flipped to make its first
+    * |loading| > 1e-9 positive — the only transformation needed to make
+    * the output a stable golden. Everything else is deterministic given
+    * the data and partitioning: spark.ml PCA is one treeAggregate of the
+    * dim × dim Gramian (map-side partial sums, dimension² driver state —
+    * independent of row count) plus a local eigendecomposition, no RNG.
+    * The ORACLE-checkable half of PCA — the covariance block this
+    * eigensolver consumes — is the registered `m10_pca` query
+    * (exact-integer registers, hash-gated); this frame is its
+    * golden-gated complement (GoldenDataSpec). */
+  def pcaSpectrum(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val emb = withFeatures(embeddings)
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("features").setOutputCol("pca").setK(k).fit(emb)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pc = model.pc // dim × k, column-major
+    val rows = for (c <- 0 until k) yield {
+      val colv = Array.tabulate(pc.numRows)(r => pc(r, c))
+      val sign = colv.find(math.abs(_) > 1e-9).map(math.signum).getOrElse(1.0)
+      (c.toLong, model.explainedVariance(c), colv.map(_ * sign).toSeq)
+    }
+    rows.toDF("component", "explained_variance", "loadings")
+      .select(col("component"), col("explained_variance"),
+        posexplode(col("loadings")).as(Seq("pos", "loading")))
+      .orderBy("component", "pos")
+  }
 }

@@ -140,27 +140,83 @@ object MLQueries {
         .orderBy("source")
     },
 
-    // M12 — PCA dimensionality reduction over the embedding corpus:
-    // top-8 principal components' explained-variance spectrum. The
-    // embedding-compression step before ANN indexing or clustering.
-    // rows-only (SVD isn't SQL-expressible); MLSpec asserts the
-    // spectrum is a decreasing probability distribution and that the
-    // projection preserves the total variance of the kept subspace.
-    // Scale shape: Spark ML's PCA reduces to one treeAggregate of the
-    // 64×64 Gramian (map-side partial sums, dimension² driver state —
-    // independent of row count), then a local eigendecomposition.
-    qRowsOnly("m10_pca") { (s, dir) =>
-      import org.apache.spark.ml.feature.PCA
-      import org.apache.spark.ml.functions.array_to_vector
+    // M12 — PCA's DETERMINISTIC half, oracle-gated (round-12 verdict ask
+    // #4): the covariance block the eigensolver consumes. PCA = an
+    // eigendecomposition of the feature covariance matrix; the
+    // eigenvectors' SIGNS are convention-bound (golden territory —
+    // Pipelines.pcaSpectrum, GoldenDataSpec), but the covariance entries
+    // are exact sums both engines can replay. Discipline (the a36 /
+    // IvfAnn pattern): embedding values quantize to exact integer
+    // micro-units r = round_half_away(x·1e6) — the v5 rounding both
+    // engines compute identically — so the registers (n, Σr_i, Σr_j,
+    // Σr_i·r_j) are ORDER-INDEPENDENT exact BIGINTs (|r| ≤ ~2e6 ⇒
+    // |Σrr| < 2^62 even at sf3), and the covariance column is ONE shared
+    // double formula string over those exact integers — bit-identical
+    // cross-engine, rounded on both sides. Block = the first 16 of 64
+    // dims' upper triangle (136 entries): the discipline is
+    // dimension-independent, the row count stays reviewable.
+    // Scale shape: ONE map-side-partial wide aggregate (16 quantized
+    // columns → 153 exact-BIGINT sums, a single 1-row exchange), then
+    // the 136-entry unpivot is a projection over that row — the same
+    // treeAggregate-of-the-Gramian shape spark.ml's PCA itself runs, so
+    // this query IS the PCA input pass at any corpus size. MLSpec ties
+    // the block to the float covariance PCA consumes (≤ 1e-4, the
+    // quantization bound).
+    q("m10_pca", McolOracle.sql) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-        .select(array_to_vector(col("embedding")).as("features"))
-      val model = new PCA().setInputCol("features").setOutputCol("pca")
-        .setK(8).fit(emb)
-      import s.implicits._
-      model.explainedVariance.toArray.zipWithIndex
-        .map { case (v, i) => (i.toLong, v) }.toSeq
-        .toDF("component", "explained_variance")
-        .orderBy("component")
+      def quant(c: org.apache.spark.sql.Column) =
+        when(c.cast("double") >= 0, floor(c.cast("double") * 1000000.0 + 0.5))
+          .otherwise(-floor(-c.cast("double") * 1000000.0 + 0.5)).cast("long")
+      val d = McolOracle.Dims
+      val base = emb.select((1 to d).map(i =>
+        quant(element_at(col("embedding"), i)).as(s"r$i")): _*)
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (1 to d).map(i => sum(col(s"r$i")).as(s"s$i")) ++
+        (for { i <- 1 to d; j <- i to d }
+          yield sum(col(s"r$i") * col(s"r$j")).as(s"p${i}_$j"))
+      val one = base.agg(aggs.head, aggs.tail: _*)
+      val entries = array((for { i <- 1 to d; j <- i to d } yield
+        struct(lit(i).as("i"), lit(j).as("j"), col(s"s$i").as("sx"),
+               col(s"s$j").as("sy"), col(s"p${i}_$j").as("sxy"))): _*)
+      one.select(col("n"), explode(entries).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("n"),
+                col("e.sx").as("sx"), col("e.sy").as("sy"),
+                col("e.sxy").as("sxy"))
+        .withColumn("cov", round(
+          (col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double") / col("n").cast("double"))
+            / ((col("n").cast("double") - lit(1.0)) * lit(1000000000000.0)), 12))
+        .orderBy("i", "j")
     },
   )
+
+  /** The DuckDB twin of m10_pca's covariance block, generated from the
+    * same (i, j) enumeration so the two sides cannot drift. */
+  private object McolOracle {
+    val Dims = 16
+    val sql: String = {
+      val micro =
+        """CASE WHEN CAST(x AS DOUBLE) >= 0
+          |     THEN CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)
+          |     ELSE -CAST(floor(-CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) END""".stripMargin
+      s"""WITH r AS (
+         |  SELECT list_transform(embedding[1:$Dims], x -> $micro) AS rq
+         |  FROM embeddings),
+         |cells AS (
+         |  SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+         |         count(*) AS n,
+         |         CAST(sum(rq[CAST(i.i AS INT)]) AS BIGINT) AS sx,
+         |         CAST(sum(rq[CAST(j.j AS INT)]) AS BIGINT) AS sy,
+         |         CAST(sum(rq[CAST(i.i AS INT)] * rq[CAST(j.j AS INT)]) AS BIGINT) AS sxy
+         |  FROM r CROSS JOIN range(1, ${Dims + 1}) i(i)
+         |         CROSS JOIN range(1, ${Dims + 1}) j(j)
+         |  WHERE j.j >= i.i
+         |  GROUP BY 1, 2)
+         |SELECT i, j, n, sx, sy, sxy,
+         |       round((CAST(sxy AS DOUBLE)
+         |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         |             / ((CAST(n AS DOUBLE) - 1.0) * 1000000000000.0), 12) AS cov
+         |FROM cells ORDER BY i, j""".stripMargin
+    }
+  }
 }

@@ -11,8 +11,11 @@ import graft.bdb.Golden
 class GoldenDataSpec extends SparkSpec {
 
   test("seeded data-query heads match the committed goldens byte-for-byte") {
-    Golden.dataQueries.foreach { name =>
-      val got = Golden.render(SparkEntry.queries(name)(spark, Golden.dataSfDir))
+    val all = Golden.dataQueries.map(n => n ->
+        ((s: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries(n)(s, Golden.dataSfDir))) ++ Golden.extraData
+    all.foreach { case (name, fn) =>
+      val got = Golden.render(fn(spark))
       val want = {
         val in = getClass.getResourceAsStream(Golden.resourcePath(name))
         assert(in != null, s"missing committed golden for $name")

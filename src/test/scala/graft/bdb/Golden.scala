@@ -35,10 +35,23 @@ object Golden {
     "m2_lr_metrics", "m4_rf_confusion", "m5_mlp_metrics",
     "m9_stratified_split", "k2_openness",
     // round-6 additions: every remaining seeded-deterministic rows-only
-    // query (CV search, OvR-GBT, PCA spectrum, quality gate, HLL profile
-    // — sketch merges are register-max, order-independent)
-    "m6_cv_search", "m7_ovr_gbt_metrics", "m10_pca",
+    // query (CV search, OvR-GBT, quality gate, HLL profile — sketch
+    // merges are register-max, order-independent). m10_pca graduated to
+    // a DuckDB oracle in round 12 (covariance block); its eigen half is
+    // the extraData entry below.
+    "m6_cv_search", "m7_ovr_gbt_metrics",
     "m11_quality_classifier", "s23_profile_approx")
+
+  /** Deterministic golden-gated heads that are NOT registered queries
+    * (round 12): the PCA explained-variance spectrum + SIGN-NORMALIZED
+    * loadings — the registered m10_pca is now the oracle-gated
+    * covariance block, and the convention-bound eigen half is pinned
+    * here instead (sign normalization in Pipelines.pcaSpectrum makes it
+    * golden-stable). */
+  val extraData: Seq[(String, org.apache.spark.sql.SparkSession => DataFrame)] = Seq(
+    "m10_pca_spectrum" -> ((s: org.apache.spark.sql.SparkSession) =>
+      graft.ml.Pipelines.pcaSpectrum(
+        graft.Tables.load(s, dataSfDir, "embeddings"))))
 
   val dataSfDir = "/root/testdata/sf0.001"
 
@@ -81,6 +94,11 @@ object Golden {
             render(df).getBytes("UTF-8"))
           println(s"wrote $name")
         }
+      extraData.foreach { case (name, fn) =>
+        java.nio.file.Files.write(outDir.resolve(s"$name.csv"),
+          render(fn(spark)).getBytes("UTF-8"))
+        println(s"wrote $name")
+      }
     } finally spark.stop()
   }
 }

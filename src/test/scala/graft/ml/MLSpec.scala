@@ -133,14 +133,45 @@ class MLSpec extends SparkSpec {
   }
 
   test("PCA explained-variance spectrum is a decreasing sub-distribution") {
-    val spectrum = graft.SparkEntry.queries("m10_pca")(spark, sfDir)
-      .collect().map(_.getDouble(1))
+    val rows = Pipelines.pcaSpectrum(emb).collect()
+    val spectrum = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map(_._2.head.getDouble(1))
     assert(spectrum.length == 8)
-    spectrum.sliding(2).foreach { case Array(a, b) =>
+    spectrum.sliding(2).foreach { case Seq(a, b) =>
       assert(a >= b - 1e-12, s"variance spectrum not decreasing: $a < $b") }
     assert(spectrum.forall(v => v >= 0 && v <= 1))
     assert(spectrum.sum <= 1.0 + 1e-9)
     // 64 symmetric dims: top-8 should still capture a nontrivial share
     assert(spectrum.sum > 8.0 / 64 * 0.5, s"top-8 share ${spectrum.sum}")
+    // sign normalization: each component's first |loading| > 1e-9 is
+    // positive, and each component is (near-)unit-norm
+    rows.groupBy(_.getLong(0)).values.foreach { comp =>
+      val loads = comp.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(loads.find(math.abs(_) > 1e-9).forall(_ > 0),
+        "component not sign-normalized")
+      val nrm = math.sqrt(loads.map(v => v * v).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9, s"loading norm $nrm")
+    }
+  }
+
+  test("m10_pca's exact covariance block ties to the float covariance PCA consumes") {
+    // the oracle-gated registers are sums over 1e-6-quantized values;
+    // this pins them to the ACTUAL double covariance of the PCA input —
+    // the quantization bound for cov of ~unit values at micro precision
+    // is well inside 1e-4, so a formula error (wrong denominator, raw
+    // vs central moments, index off-by-one) cannot hide in it
+    val block = graft.SparkEntry.queries("m10_pca")(spark, sfDir)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(6))).toMap
+    assert(block.size == 16 * 17 / 2, s"expected 136 entries, got ${block.size}")
+    val n = emb.count().toDouble
+    for ((i, j) <- Seq((1, 1), (1, 2), (7, 7), (3, 16))) {
+      val xy = emb.select(
+        element_at(col("embedding"), i).cast("double").as("x"),
+        element_at(col("embedding"), j).cast("double").as("y"))
+      val r = xy.agg(sum(col("x") * col("y")), sum("x"), sum("y")).head
+      val want = (r.getDouble(0) - r.getDouble(1) * r.getDouble(2) / n) / (n - 1)
+      assert(math.abs(block((i, j)) - want) < 1e-4,
+        s"cov($i,$j): quantized ${block((i, j))} vs float $want")
+    }
   }
 }
