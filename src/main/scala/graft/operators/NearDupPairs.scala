@@ -75,8 +75,10 @@ object NearDupPairs {
 
   /** Document frequency per shingle hash (one agg over the exploded
     * sets), then each doc re-assembles its hashes sorted by (df, h) —
-    * a global total order, so positions are comparable across docs. */
-  private def shFrame(shingled: DataFrame): DataFrame = {
+    * a global total order, so positions are comparable across docs.
+    * package-visible for tools.DedupGrowthProbe's bucket-pair-volume
+    * counterfactual (df order vs hashed order). */
+  private[graft] def shFrame(shingled: DataFrame): DataFrame = {
     val ex = shingled
       .select(col("doc_id"), explode(col("s")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
