@@ -181,6 +181,50 @@ object IvfAnn {
       .write.mode("overwrite").parquet(s"$path/cellstats")
   }
 
+  /** INCREMENTAL index update (round 12 — the standing-index lifecycle's
+    * missing operation, the ANN analog of d8's incremental LSH): append
+    * a delta corpus to a persisted index WITHOUT refitting the
+    * quantizer. A production index absorbs a crawl's daily arrivals;
+    * refitting would re-pay the Lloyd passes AND silently re-assign the
+    * standing corpus (cell ids are only meaningful per quantizer), so
+    * the operational contract is FROZEN centroids: delta vectors take
+    * one map-only assignment pass against the broadcast centroid table
+    * and append into the partitioned layout — cost ∝ |delta|, the
+    * standing corpus is never touched. The range-search cellstats stay
+    * EXACT under update: anchors are a pure function of the frozen
+    * centroids, and each coverage radius is a max over members, so
+    * max(old radius, delta radius) is the union's radius — an
+    * nCells-row merge, rewritten atomically after a localCheckpoint
+    * breaks lineage from the path being overwritten. Search quality for
+    * delta vectors matches the quantizer's fit on the base distribution
+    * (the standard drift caveat: refit when the delta distribution
+    * diverges — that is a rebuild, not an update). */
+  def updateIndex(delta: DataFrame, path: String): Unit = {
+    val spark = delta.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cents = centroids.orderBy("cell").collect() // nCells rows — bounded
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val assignedDelta = delta
+      .withColumn("rq", quantCol(col("embedding")))
+      .withColumn("cell", assignUdf(cents)(col("rq")))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    assignedDelta.write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    val anchors = centroids
+      .select(col("cell"), unitCol(col("centroid")).as("anchor"))
+    val deltaStats = assignedDelta
+      .join(broadcast(anchors), "cell")
+      .select(col("cell"), col("anchor"),
+        distCol(unitCol(col("embedding")), col("anchor")).as("radius"))
+      .groupBy("cell", "anchor").agg(max("radius").as("radius"))
+    val merged = spark.read.parquet(s"$path/cellstats")
+      .select("cell", "anchor", "radius")
+      .unionByName(deltaStats)
+      .groupBy("cell", "anchor").agg(max("radius").as("radius"))
+      .localCheckpoint(true) // materialized: the write overwrites its own input path
+    merged.write.mode("overwrite").parquet(s"$path/cellstats")
+  }
+
   private val built = scala.collection.mutable.Set.empty[String]
 
   /** Build-once guard (IvfPqAnn.ensureIndex's pattern): the index is a
@@ -193,6 +237,20 @@ object IvfAnn {
                   path: String): Unit = synchronized {
     if (!built.contains(path)) {
       buildIndex(corpus, nCells, path)
+      built.add(path)
+    }
+  }
+
+  /** Build-once guard for the build-then-update lifecycle (v16): fit +
+    * assign the BASE corpus, then absorb `delta` via [[updateIndex]] —
+    * deterministic per (base, delta, nCells), so one build per JVM. The
+    * fresh [[buildIndex]] overwrite also clears any delta a previous
+    * process appended, so the append below never double-lands. */
+  def ensureUpdatedIndex(base: DataFrame, delta: DataFrame, nCells: Int,
+                         path: String): Unit = synchronized {
+    if (!built.contains(path)) {
+      buildIndex(base, nCells, path)
+      updateIndex(delta, path)
       built.add(path)
     }
   }

@@ -143,7 +143,13 @@ object SimilarityQueries {
   /** `candPredicate`: optional SQL boolean over alias `ce` (the
     * candidate's embeddings row) — the filtered-ANN variant (v10). */
   private def ivfSql(nCells: Int, nProbe: Int, iters: Int, k: Int,
-                     dim: Int = 64, candPredicate: Option[String] = None): String = {
+                     dim: Int = 64, candPredicate: Option[String] = None,
+                     fitWhere: Option[String] = None): String = {
+    // fitWhere (v16): the Lloyd fit — init sample + every iteration —
+    // runs over this subset only, while the final assignment (af) still
+    // covers the whole corpus: the frozen-quantizer incremental-update
+    // contract (IvfAnn.updateIndex). None = fit on everything (v4/v8).
+    val fit = fitWhere.map(w => s"(SELECT * FROM rq WHERE $w)").getOrElse("rq")
     // squared-L2 between quantized micro-units and a centroid double list,
     // left-to-right fold — the exact comparison IvfAnn.assignUdf makes
     def dist(rq: String, c: String) =
@@ -156,7 +162,7 @@ object SimilarityQueries {
          |    SELECT r.vec_id, r.rq, c.cell,
          |           row_number() OVER (PARTITION BY r.vec_id
          |             ORDER BY ${dist("r.rq", "c.c")}, c.cell) AS rn
-         |    FROM rq r CROSS JOIN c${it - 1} c) WHERE rn = 1),
+         |    FROM $fit r CROSS JOIN c${it - 1} c) WHERE rn = 1),
          |s$it AS (
          |  SELECT cell, i, sum(rq[i + 1]) AS s, count(*) AS n
          |  FROM a$it CROSS JOIN range($dim) t(i) GROUP BY cell, i),
@@ -178,7 +184,7 @@ object SimilarityQueries {
        |         list_transform(rq, r -> CAST(r AS DOUBLE)/1000000.0) AS c
        |  FROM (SELECT rq, row_number() OVER (
        |          ORDER BY (vec_id*1103515245 + 12345) % 2147483648, vec_id) AS rn
-       |        FROM rq)
+       |        FROM $fit)
        |  WHERE rn <= $nCells),
        |$iterCtes,
        |af AS (
@@ -994,6 +1000,37 @@ object SimilarityQueries {
             .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
           minCos = 0.3)
         .orderBy("query_id", "neighbor_id")
+    },
+
+    // v16 — INCREMENTAL INDEX UPDATE (round 12): the standing-index
+    // lifecycle's missing operation (build → probe → range → UPDATE),
+    // the ANN analog of d8's incremental LSH. The quantizer fits on the
+    // BASE corpus only (vec_id % 5 ≠ 0); the delta (every 5th vector)
+    // is absorbed by IvfAnn.updateIndex — one map-only assignment
+    // against the FROZEN broadcast centroids + a partitioned append +
+    // an nCells-row cellstats radius merge; cost ∝ |delta|, the
+    // standing corpus is never reassigned or rescanned. The registered
+    // result is a top-k search over the UPDATED index, so delta vectors
+    // must surface as neighbors; the oracle replays the fit-on-base /
+    // assign-everything split exactly (ivfSql's fitWhere), making the
+    // frozen-quantizer contract itself hash-gated. Exactness of v15's
+    // range search under update (merged radii stay sound) is spec-gated
+    // in SimilaritySpec.
+    q("v16_ann_index_update",
+      ivfSql(nCells = 16, nProbe = 6,
+             iters = graft.operators.IvfAnn.LloydIters, k = 5,
+             fitWhere = Some("vec_id % 5 <> 0"))) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfupd_${dir.hashCode.toHexString}"
+      graft.operators.IvfAnn.ensureUpdatedIndex(
+        base = e.filter(col("vec_id") % 5 =!= 0).select("vec_id", "embedding"),
+        delta = e.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding"),
+        nCells = 16, path = path)
+      graft.operators.IvfAnn.topKFromIndex(s, path,
+          queries = e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          k = 5, nProbe = 6)
+        .orderBy("query_id", "rnk")
     },
 
     // SemDeDup-style semantic dedup: assign every vector to its nearest

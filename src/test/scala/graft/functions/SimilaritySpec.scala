@@ -441,4 +441,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want, "non-isin path lost/invented results")
     assert(got.nonEmpty, "fixture must produce results or the test is vacuous")
   }
+
+  test("v16 incremental update: union assigned once, delta surfaces, range search stays exact") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfupd_${dir.hashCode.toHexString}"
+    graft.operators.IvfAnn.ensureUpdatedIndex(
+      base = e.filter(col("vec_id") % 5 =!= 0).select("vec_id", "embedding"),
+      delta = e.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding"),
+      nCells = 16, path = path)
+    // the updated standing layout holds the UNION, each vector exactly once
+    val assigned = spark.read.parquet(s"$path/assigned")
+    assert(assigned.count() == e.count(), "update must append the delta")
+    assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).count() == 0,
+      "no vector may be assigned twice (append-once contract)")
+    // delta vectors are searchable through the registered query
+    val res = graft.SparkEntry.queries("v16_ann_index_update")(spark, dir)
+    assert(res.filter(col("neighbor_id") % 5 === 0).count() > 0,
+      "no delta vector surfaced in any top-5 — the update is invisible")
+    // v15's EXACTNESS survives the update: the merged coverage radii
+    // (max of old and delta per cell) must still never prune a result
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val got = graft.operators.IvfAnn.rangeSearch(spark, path, queries, 0.25)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .filter(graft.queries.SimilarityQueries
+        .cosineSim(col("qe"), col("embedding")) >= 0.25)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "range search over the updated index diverged from brute force")
+    assert(want.exists(_._2 % 5 == 0), "fixture vacuous: no delta vector in range")
+  }
 }
