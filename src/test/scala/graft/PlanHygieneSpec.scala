@@ -39,6 +39,7 @@ class PlanHygieneSpec extends SparkSpec {
     "v9_ann_pq_topk"        -> "8-row prepped-query table with ADC lookup tables (codes scan stays map-side)",
     "v4_ann_ivf_topk"       -> "nCells-row trained-centroid table",
     "v8_ann_ivf_persisted"  -> "nCells-row trained-centroid table (persisted-index probe)",
+    "v16_ann_index_update"  -> "nCells-row trained-centroid table (same probe as v8, over the incrementally-updated index)",
     "w17_funnel"            -> "1-row stage-count scalars (conversion-rate join)",
     "a16_global_scalars"    -> "1-row scalar join",
     "s16_snapshot_diff"     -> "1-row snapshot-version scalar",
