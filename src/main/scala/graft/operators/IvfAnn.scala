@@ -208,8 +208,14 @@ object IvfAnn {
       .withColumn("rq", quantCol(col("embedding")))
       .withColumn("cell", assignUdf(cents)(col("rq")))
       .select(col("vec_id"), col("embedding"), col("cell"))
-    assignedDelta.write.mode("append").partitionBy("cell")
-      .parquet(s"$path/assigned")
+    // CRASH ORDERING: cellstats BEFORE the data append. Radii grown
+    // early are merely conservative (a too-large radius prunes less,
+    // never wrong); the reverse order has an unsound window — delta
+    // rows visible in the index while their cells' radii are still the
+    // old maxima, so a range query's ball-overlap test could prune a
+    // cell that now holds an answer. (ensureUpdatedIndex also heals any
+    // crashed update by rebuilding, since the memo marks completion
+    // last — this ordering protects even a reader racing the update.)
     val anchors = centroids
       .select(col("cell"), unitCol(col("centroid")).as("anchor"))
     val deltaStats = assignedDelta
@@ -223,6 +229,8 @@ object IvfAnn {
       .groupBy("cell", "anchor").agg(max("radius").as("radius"))
       .localCheckpoint(true) // materialized: the write overwrites its own input path
     merged.write.mode("overwrite").parquet(s"$path/cellstats")
+    assignedDelta.write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assigned")
   }
 
   private val built = scala.collection.mutable.Set.empty[String]
