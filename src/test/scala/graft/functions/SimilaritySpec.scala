@@ -475,4 +475,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want, "range search over the updated index diverged from brute force")
     assert(want.exists(_._2 % 5 == 0), "fixture vacuous: no delta vector in range")
   }
+
+  test("v16 updateIndex COMPOSES: two sequential deltas, union exact") {
+    // a production index absorbs arrivals repeatedly — update must be
+    // closed under composition, not a one-shot: build on the base, then
+    // two separate day-batches, each through the same updateIndex
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfupd2_${System.nanoTime()}"
+    graft.operators.IvfAnn.buildIndex(
+      e.filter(col("vec_id") >= 16).select("vec_id", "embedding"),
+      nCells = 16, path = path)
+    graft.operators.IvfAnn.updateIndex(
+      e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select("vec_id", "embedding"), path)
+    graft.operators.IvfAnn.updateIndex(
+      e.filter(col("vec_id") < 8).select("vec_id", "embedding"), path)
+    val assigned = spark.read.parquet(s"$path/assigned")
+    assert(assigned.count() == e.count())
+    assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val got = graft.operators.IvfAnn.rangeSearch(spark, path, queries, 0.25)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .filter(graft.queries.SimilarityQueries
+        .cosineSim(col("qe"), col("embedding")) >= 0.25)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      "range search diverged after composed updates — radius merge must be associative")
+  }
 }
