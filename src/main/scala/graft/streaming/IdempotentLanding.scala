@@ -16,7 +16,10 @@ import org.apache.spark.sql.DataFrame
   * only has to be idempotent PER BATCH ID. Protocol:
   *
   *  1. `_graft_commits/<batchId>` marker exists → the batch fully
-  *     landed before a prior crash: return. O(1).
+  *     landed before a prior crash: return. O(1). When both the marker
+  *     and the caller carry a lineage stamp, they must agree — a
+  *     mismatch means a DIFFERENT stream's batch is being skipped, and
+  *     the landing throws instead (see the lineage section below).
   *  2. Stage the batch's output under `_graft_staging/<batchId>` with
   *     overwrite — idempotent, a half-written staging dir from a prior
   *     delivery is replaced wholesale.
@@ -29,35 +32,61 @@ import org.apache.spark.sql.DataFrame
   *     from the FS must abort the batch, or the marker written in step 4
   *     would certify files that never published and redelivery would
   *     then skip the batch forever.
-  *  4. Create the commit marker last: it only becomes visible once the
-  *     data it certifies is durable. The marker body is the MANIFEST —
-  *     the published file names, one per line — so an auditor, reader,
-  *     or compaction job can trust the commit record instead of a
-  *     directory listing (the object-store-safe read pattern; see the
-  *     filesystem contract below).
+  *  4. Publish the commit marker last, and ATOMICALLY: the marker body
+  *     (lineage stamp + manifest — the published file names, one per
+  *     line) is written to `_graft_commits/.<batchId>.tmp` and RENAMED
+  *     into place. `fs.create` makes a path visible before its content
+  *     is durable, so writing the marker in place would open a window
+  *     where a crash leaves an EMPTY marker that step 1 then trusts —
+  *     the batch would skip forever with its files uncertified and its
+  *     manifest lines lost. The rename (atomic under the same contract
+  *     step 3 already assumes) makes marker-visible ⇔ marker-complete.
+  *     Non-numeric names in `_graft_commits` (the `.tmp` staging) are
+  *     ignored by every reader, so an orphaned temp from a crash is
+  *     inert and overwritten by the redelivery.
   *
   * Both bookkeeping dirs live INSIDE the sink path and start with `_`,
   * which Spark/Hadoop data discovery ignores — `spark.read.parquet(path)`
   * sees exactly the published data files. A crash at ANY point leaves a
   * state the redelivery repairs: before staging (nothing happened),
   * mid-staging (overwritten), mid-publish (swept and re-published),
-  * before the marker (re-published to identical content), after the
-  * marker (skipped).
+  * before the marker rename (re-published to identical content, the
+  * orphan temp overwritten), after the rename (skipped).
+  *
+  * == Lineage ==
+  * batchId is only a key WITHIN one checkpoint lineage: a
+  * fresh-checkpoint stream pointed at an old sink restarts batchIds at
+  * 0 while old markers persist, so the skip in step 1 would silently
+  * drop the new stream's batches. Two defenses, layered:
+  *
+  *  - every marker is STAMPED with the caller's `lineageId` (first
+  *    line, `#lineage=<id>`), and whenever a marker is found — any
+  *    batch, not just 0 — the stamp must equal the caller's: a mismatch
+  *    throws. [[lineageIdOf]] derives the id from the stream's own
+  *    checkpoint metadata (the StreamingQuery UUID, minted once per
+  *    fresh checkpoint and stable across restarts of the same one), so
+  *    even wiping and reusing the same checkpoint DIRECTORY yields a
+  *    fresh id and is caught. This closes the round-12 residual: an old
+  *    sink whose ONLY marker is batch 0 now throws instead of skipping.
+  *  - the stamp-free fallback (legacy markers, or callers that pass no
+  *    lineage): batch 0 arriving over markers >0 throws (batch 0 of a
+  *    healthy lineage can never follow a committed batch >0). This is
+  *    the round-11 check, kept for markers written before stamping.
   *
   * == Filesystem contract (HDFS semantics assumed) ==
-  * Step 3 publishes by `rename`, which this protocol assumes is a cheap
-  * ATOMIC METADATA operation — true on HDFS, local filesystems, and
-  * rename-capable stores (ABFS, GCS to a point). It is FALSE on
+  * Steps 3 and 4 publish by `rename`, which this protocol assumes is a
+  * cheap ATOMIC METADATA operation — true on HDFS, local filesystems,
+  * and rename-capable stores (ABFS, GCS to a point). It is FALSE on
   * S3-style object stores, where "rename" is a copy + delete: non-atomic
   * (a crash mid-rename can leave both or neither name) and O(data), so
   * the staged bytes move twice. On such a store, run this protocol only
   * through an atomic-rename layer (e.g. an HDFS/consistent-metadata
   * tier over the bucket), or switch the READERS to the manifest: every
-  * commit marker already lists its published files, so a
-  * manifest-trusting reader (union of all markers' file lists) never
-  * observes a half-published batch regardless of rename atomicity —
-  * that is the standard object-store commit design (Iceberg/Delta's
-  * metadata-log pattern), and `manifest()` below exposes the list.
+  * commit marker lists its published files, so a manifest-trusting
+  * reader (union of all markers' file lists — [[readCommitted]] is that
+  * reader) never observes a half-published batch regardless of rename
+  * atomicity — the standard object-store commit design (Iceberg/Delta's
+  * metadata-log pattern).
   *
   * == Reader visibility ==
   * Exactly-once here is a CONVERGENCE guarantee for the sink's final
@@ -67,43 +96,65 @@ import org.apache.spark.sql.DataFrame
   * the directory mid-repair can see previously-visible rows missing
   * until the re-publish lands. The AvailableNow drain-then-read pattern
   * every gate here uses (single writer, readers start after the stream
-  * terminates) is safe; continuous concurrent readers need the manifest
-  * read pattern above (markers are never removed, so manifest readers
-  * only ever see fully-committed batches).
+  * terminates) is safe; continuous concurrent readers should read
+  * through [[readCommitted]] (markers are never removed, so manifest
+  * readers only ever see fully-committed batches).
   *
   * Contract: the caller's batch body must be deterministic given the
   * batch rows (every gate here is — scoring is read-only), and one sink
   * path must be fed by ONE stream with ONE checkpoint lineage (batchId
-  * is the key namespace). Pointing a FRESH-checkpoint stream at an old
-  * sink restarts batchIds at 0 while old markers persist — the old
-  * protocol silently skipped those batches; `land` now fails fast at
-  * batch 0 when higher-numbered markers exist (the check runs only at
-  * batch 0, so steady-state cost stays O(1) per batch). Residual gap:
-  * an old sink whose ONLY marker is batch 0 is indistinguishable from a
-  * genuine batch-0 redelivery — use a fresh sink with a fresh
-  * checkpoint.
+  * is the key namespace — the lineage stamp above enforces it).
   */
 object IdempotentLanding {
 
-  def land(kept: DataFrame, path: String, batchId: Long): Unit = {
+  private val LineagePrefix = "#lineage="
+
+  /** The lineage id for a stream's checkpoint: the StreamingQuery UUID
+    * from `<checkpoint>/metadata` — minted once when the checkpoint is
+    * created, stable across restarts of the SAME checkpoint, fresh for
+    * a wiped-and-reused directory. Falls back to the checkpoint path
+    * string when the metadata file is absent (e.g. unit tests landing
+    * without a stream), which still distinguishes distinct directories. */
+  def lineageIdOf(spark: org.apache.spark.sql.SparkSession,
+                  checkpoint: String): String = {
+    val meta = new Path(checkpoint, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fromMeta =
+      if (!fs.exists(meta)) None
+      else {
+        val in = fs.open(meta)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(body).map(_.group(1))
+      }
+    fromMeta.getOrElse(checkpoint)
+  }
+
+  def land(kept: DataFrame, path: String, batchId: Long,
+           lineageId: String = ""): Unit = {
     val spark = kept.sparkSession
     val sink = new Path(path)
     val fs = sink.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commitsDir = new Path(path, "_graft_commits")
     val marker = new Path(commitsDir, batchId.toString)
-    if (batchId == 0L && fs.exists(commitsDir)) {
-      // fresh-checkpoint-on-old-sink detection (see the contract note):
-      // batch 0 of a healthy lineage can never follow a committed batch>0
-      val stale = fs.listStatus(commitsDir).map(_.getPath.getName)
-        .flatMap(n => scala.util.Try(n.toLong).toOption).filter(_ > 0L)
-      if (stale.nonEmpty)
+    if (fs.exists(marker)) {
+      // redelivery of a fully-landed batch — but only of OUR batch: a
+      // stamped marker from another lineage means a fresh-checkpoint
+      // stream is aiming at an old sink and would silently skip forever
+      val stamp = markerLineage(fs, marker)
+      if (lineageId.nonEmpty && stamp.exists(_ != lineageId))
         throw new IllegalStateException(
-          s"sink $path carries commit markers up to batch ${stale.max} but " +
-          "this stream is delivering batch 0 — a fresh-checkpoint stream " +
-          "was pointed at an old sink; its batches would silently skip. " +
-          "Use a fresh sink directory (or restore the original checkpoint).")
+          s"sink $path batch $batchId carries a commit marker from lineage " +
+          s"${stamp.get}, but this stream's lineage is $lineageId — a " +
+          "fresh-checkpoint stream was pointed at an old sink; its batches " +
+          "would silently skip. Use a fresh sink directory (or restore the " +
+          "original checkpoint).")
+      if (batchId == 0L && stamp.isEmpty) failIfStaleLineage(fs, commitsDir, path)
+      return
     }
-    if (fs.exists(marker)) return // redelivery of a fully-landed batch
+    // unstamped-marker fallback for batch 0 when there is nothing to
+    // compare stamps against (marker 0 absent but higher markers present)
+    if (batchId == 0L) failIfStaleLineage(fs, commitsDir, path)
 
     val staging = new Path(path, s"_graft_staging/$batchId")
     kept.write.mode("overwrite").parquet(staging.toString)
@@ -127,18 +178,55 @@ object IdempotentLanding {
     fs.delete(staging, true) // best-effort cleanup; an orphan staging dir
                              // is re-overwritten by any future redelivery
 
-    fs.mkdirs(marker.getParent)
-    val out = fs.create(marker, true)
-    try out.write((published.mkString("\n") + "\n").getBytes("UTF-8"))
+    // marker body: optional lineage stamp + the manifest. Written to a
+    // temp name and RENAMED into place so the marker is never visible
+    // half-written (see step 4 in the protocol above).
+    fs.mkdirs(commitsDir)
+    val stampLine =
+      if (lineageId.nonEmpty) s"$LineagePrefix$lineageId\n" else ""
+    val tmp = new Path(commitsDir, s".$batchId.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((stampLine + published.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(
+        s"failed to publish commit marker $marker for batch $batchId — " +
+        "data files are durable; redelivery re-publishes and re-commits")
     ()
+  }
+
+  /** Batch 0 of a healthy lineage can never follow a committed batch >0
+    * — the stamp-free fresh-checkpoint detection (see the lineage
+    * section of the scaladoc). */
+  private def failIfStaleLineage(fs: org.apache.hadoop.fs.FileSystem,
+                                 commitsDir: Path, path: String): Unit = {
+    if (!fs.exists(commitsDir)) return
+    val stale = fs.listStatus(commitsDir).map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toLong).toOption).filter(_ > 0L)
+    if (stale.nonEmpty)
+      throw new IllegalStateException(
+        s"sink $path carries commit markers up to batch ${stale.max} but " +
+        "this stream is delivering batch 0 — a fresh-checkpoint stream " +
+        "was pointed at an old sink; its batches would silently skip. " +
+        "Use a fresh sink directory (or restore the original checkpoint).")
+  }
+
+  private def markerLineage(fs: org.apache.hadoop.fs.FileSystem,
+                            marker: Path): Option[String] = {
+    val in = fs.open(marker)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    body.linesIterator.toSeq.headOption
+      .filter(_.startsWith(LineagePrefix)).map(_.stripPrefix(LineagePrefix))
   }
 
   /** The committed manifest: every published data file certified by a
     * commit marker, in (batchId, file) order. The object-store-safe read
     * set — a manifest-trusting reader (or compaction) takes THIS list as
     * the sink's content instead of a directory listing, so rename
-    * non-atomicity and mid-repair sweeps are never observable. */
+    * non-atomicity and mid-repair sweeps are never observable.
+    * Non-numeric names (the `.tmp` marker staging) and `#`-prefixed
+    * stamp lines are skipped. */
   def manifest(spark: org.apache.spark.sql.SparkSession,
                path: String): Seq[(Long, String)] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -152,7 +240,24 @@ object IdempotentLanding {
         val in = fs.open(p)
         val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                    finally in.close()
-        body.split("\n").filter(_.nonEmpty).map(bid -> _)
+        body.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map(bid -> _)
       }
+  }
+
+  /** THE manifest-trusting reader (round-13: the documented object-store
+    * read pattern, now a callable surface instead of prose): reads
+    * exactly the files the commit markers certify, so a stray
+    * uncommitted file in the sink directory — a half-published batch on
+    * a non-atomic store, a crashed writer's orphan, a foreign file — is
+    * never observed, where `spark.read.parquet(path)`'s directory
+    * listing would pick it up. Returns an empty (zero-column) frame for
+    * a sink with no commits. */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val files = manifest(spark, path).map { case (_, f) =>
+      new Path(path, f).toString }
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
   }
 }

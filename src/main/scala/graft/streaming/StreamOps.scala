@@ -356,7 +356,8 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        lmGateBatch(batch, batchId, bi, uni, vocab, threshold, path)
+        lmGateBatch(batch, batchId, bi, uni, vocab, threshold, path,
+          IdempotentLanding.lineageIdOf(batch.sparkSession, checkpoint))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -369,11 +370,11 @@ object StreamOps {
     * converges to exactly-once content. */
   def lmGateBatch(batch: DataFrame, batchId: Long, bi: DataFrame,
                   uni: DataFrame, vocab: DataFrame, threshold: BigDecimal,
-                  path: String): Unit = {
+                  path: String, lineage: String = ""): Unit = {
     import graft.functions.TextFunctions._
     IdempotentLanding.land(
       lmScore(batch, bi, uni, vocab, threshold).filter(col("kept")),
-      path, batchId)
+      path, batchId, lineage)
   }
 
   /** x41's streaming twin: the repetition quality gate applied on
@@ -389,11 +390,12 @@ object StreamOps {
     * CONTRACT (insert-if-absent: the sink itself is the dedup state).
     * Kept = NOT flagged: repetitive machine/boilerplate text never
     * reaches the sink. */
-  def repetitionGateBatch(batch: DataFrame, batchId: Long, path: String): Unit =
+  def repetitionGateBatch(batch: DataFrame, batchId: Long, path: String,
+                          lineage: String = ""): Unit =
     IdempotentLanding.land(
       graft.functions.TextFunctions.repetitionMetrics(batch)
         .filter(!col("flagged")),
-      path, batchId)
+      path, batchId, lineage)
 
   /** d10's streaming twin (the d8 pattern): containment / near-dup
     * GATING on ingest. Each arriving micro-batch of documents is
@@ -423,7 +425,8 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        containmentGateBatch(batch, batchId, refShingled, tNum, tDen, path)
+        containmentGateBatch(batch, batchId, refShingled, tNum, tDen, path,
+          IdempotentLanding.lineageIdOf(batch.sparkSession, checkpoint))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -434,13 +437,14 @@ object StreamOps {
     * sink converges to exactly-once content). */
   def containmentGateBatch(batch: DataFrame, batchId: Long,
                            refShingled: DataFrame,
-                           tNum: Int, tDen: Int, path: String): Unit = {
+                           tNum: Int, tDen: Int, path: String,
+                           lineage: String = ""): Unit = {
     import graft.functions.TextFunctions.shingles
     val probe = batch.select(col("doc_id"), shingles(col("text"), 3).as("s"))
     IdempotentLanding.land(
       graft.operators.ContainmentJoin
         .probeJoin(probe, refShingled, "doc_id", "s", tNum, tDen),
-      path, batchId)
+      path, batchId, lineage)
   }
 
   /** Online retrieval: arriving query vectors probe the STANDING IVF
@@ -463,7 +467,8 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        annGateBatch(batch, batchId, indexPath, k, nProbe, path)
+        annGateBatch(batch, batchId, indexPath, k, nProbe, path,
+          IdempotentLanding.lineageIdOf(batch.sparkSession, checkpoint))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -472,13 +477,14 @@ object StreamOps {
     * tests (deterministic per input batch: redelivery converges to
     * exactly-once sink content). */
   def annGateBatch(batch: DataFrame, batchId: Long, indexPath: String,
-                   k: Int, nProbe: Int, path: String): Unit = {
+                   k: Int, nProbe: Int, path: String,
+                   lineage: String = ""): Unit = {
     val spark = batch.sparkSession
     val queries = batch
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     IdempotentLanding.land(
       graft.operators.IvfAnn.topKFromIndex(spark, indexPath, queries, k, nProbe),
-      path, batchId)
+      path, batchId, lineage)
   }
 
   /** The deterministic frontier-advance loop shared by g3's batch walk
@@ -526,7 +532,8 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        walkGateBatch(batch, batchId, edges, steps, path)
+        walkGateBatch(batch, batchId, edges, steps, path,
+          IdempotentLanding.lineageIdOf(batch.sparkSession, checkpoint))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -535,9 +542,9 @@ object StreamOps {
     * tests (deterministic per input batch: redelivery converges to
     * exactly-once sink content). */
   def walkGateBatch(batch: DataFrame, batchId: Long, edges: DataFrame,
-                    steps: Int, path: String): Unit =
+                    steps: Int, path: String, lineage: String = ""): Unit =
     IdempotentLanding.land(
-      walkAdvance(batch.select("start"), edges, steps), path, batchId)
+      walkAdvance(batch.select("start"), edges, steps), path, batchId, lineage)
 
   /** x27's streaming twin: per-micro-batch distribution drift monitor.
     * Each arriving batch's smoothed token distribution is KL-compared

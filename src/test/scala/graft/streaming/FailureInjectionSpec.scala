@@ -356,4 +356,105 @@ class FailureInjectionSpec extends SparkSpec {
     IdempotentLanding.land(Seq((2L, "b")).toDF("k", "v"), sink, 1L)
     assert(spark.read.parquet(sink).count() == 2)
   }
+
+  // --- round-13: lineage stamping closes the batch-0 residual, the marker
+  // publish is atomic, and the manifest has a trusting reader
+
+  test("old sink whose ONLY marker is batch 0 throws under a fresh lineage") {
+    // the round-12 residual: with markers {0}, the stamp-free check had
+    // nothing to compare against and silently skipped the new stream's
+    // batch 0. Lineage stamps make the two batch-0s distinguishable.
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_lin_sink").toString + "/t"
+    IdempotentLanding.land(Seq((1L, "a")).toDF("k", "v"), sink, 0L, "lineage-A")
+    // genuine redelivery (same lineage, same batch) is still the O(1) skip
+    IdempotentLanding.land(Seq((1L, "a")).toDF("k", "v"), sink, 0L, "lineage-A")
+    assert(spark.read.parquet(sink).count() == 1)
+    // a DIFFERENT stream's batch 0 must fail fast, not silently vanish
+    val e = intercept[IllegalStateException] {
+      IdempotentLanding.land(Seq((9L, "z")).toDF("k", "v"), sink, 0L, "lineage-B")
+    }
+    assert(e.getMessage.contains("lineage"))
+    // the mismatch is caught on ANY redelivered batch, not just 0
+    IdempotentLanding.land(Seq((2L, "b")).toDF("k", "v"), sink, 1L, "lineage-A")
+    val e2 = intercept[IllegalStateException] {
+      IdempotentLanding.land(Seq((8L, "y")).toDF("k", "v"), sink, 1L, "lineage-B")
+    }
+    assert(e2.getMessage.contains("lineage"))
+  }
+
+  test("gate streams stamp their checkpoint lineage: fresh-checkpoint gate stream fails fast") {
+    // end-to-end through a REAL gate sink: walkGate passes lineageIdOf
+    // (the StreamingQuery UUID from checkpoint metadata) into land(), so
+    // pointing a second stream with a FRESH checkpoint at the same sink
+    // must tear the query down at batch 0 instead of skipping it.
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val seedDir = java.nio.file.Files.createTempDirectory("graft_wgl_src")
+    Seq(1L, 2L).toDF("start").coalesce(1)
+      .write.mode("overwrite").parquet(seedDir.toString + "/p")
+    val src = seedDir.toString + "/p"
+    val sink = java.nio.file.Files.createTempDirectory("graft_wgl_sink").toString + "/t"
+    def run(ck: String): Unit = {
+      val q = StreamOps.walkGate(
+        spark.readStream.schema("start BIGINT").parquet(src),
+        edges, steps = 2, path = sink, checkpoint = ck)
+      q.awaitTermination()
+    }
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_wgl_ck1").toString
+    run(ck1)
+    val landed = spark.read.parquet(sink).count()
+    assert(landed > 0, "first stream must land its walks")
+    // restart from the SAME checkpoint: nothing new to deliver, no error
+    run(ck1)
+    assert(spark.read.parquet(sink).count() == landed)
+    // a FRESH checkpoint re-delivers the same source as batch 0 under a
+    // new lineage — the stamped marker must make the query fail
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_wgl_ck2").toString
+    val e = intercept[StreamingQueryException] { run(ck2) }
+    assert(e.getMessage.contains("lineage"),
+      s"expected the lineage-mismatch abort, got: ${e.getMessage}")
+  }
+
+  test("readCommitted trusts the manifest: stray uncommitted files are invisible") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_mtr_sink").toString + "/t"
+    IdempotentLanding.land(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), sink, 0L, "L")
+    IdempotentLanding.land(Seq((3L, "c")).toDF("k", "v"), sink, 1L, "L")
+    // a stray data file appears in the sink WITHOUT a commit marker — a
+    // half-published batch on a non-atomic store, or a foreign writer
+    val committed = new java.io.File(sink).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(committed.toPath,
+      java.nio.file.Paths.get(sink, "graft-b99-0.parquet"))
+    // a directory-listing read picks the stray up; the manifest reader
+    // sees exactly the committed rows
+    assert(spark.read.parquet(sink).count() > 3,
+      "fixture vacuous: the stray file must be visible to a directory listing")
+    val trusted = IdempotentLanding.readCommitted(spark, sink)
+    assert(trusted.count() == 3, "manifest reader must ignore uncommitted files")
+    assert(trusted.select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // empty sink → empty frame, no throw
+    assert(IdempotentLanding.readCommitted(spark,
+      java.nio.file.Files.createTempDirectory("graft_mtr_empty").toString).count() == 0)
+  }
+
+  test("an orphaned marker temp file is inert: not a marker, not a manifest entry") {
+    // the atomic marker publish stages at _graft_commits/.<id>.tmp; a
+    // crash between write and rename leaves that temp behind. It must
+    // never be read as a marker (the skip check) or as manifest content,
+    // and the redelivery must overwrite it on its way to committing.
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_tmp_sink").toString + "/t"
+    IdempotentLanding.land(Seq((1L, "a")).toDF("k", "v"), sink, 0L, "L")
+    // orphan temp for a batch that never committed
+    val orphan = java.nio.file.Paths.get(sink, "_graft_commits", ".1.tmp")
+    java.nio.file.Files.write(orphan, "#lineage=L\ngarbage\n".getBytes("UTF-8"))
+    assert(IdempotentLanding.manifest(spark, sink).map(_._1) == Seq(0L),
+      "a .tmp staging file must never contribute manifest entries")
+    // batch 1 lands normally despite the orphan (create(tmp, true) overwrites)
+    IdempotentLanding.land(Seq((2L, "b")).toDF("k", "v"), sink, 1L, "L")
+    assert(IdempotentLanding.manifest(spark, sink).map(_._1) == Seq(0L, 1L))
+    assert(IdempotentLanding.readCommitted(spark, sink).count() == 2)
+  }
 }
