@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.queries.SimilarityQueries.{cosineSim, normD}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,6 +46,36 @@ import org.apache.spark.sql.functions._
   * quantizer on a sample (Lloyd converges on samples), keep nCells ~ √N
   * so cells stay executor-sized, and the assignment/search stay
   * map-side + one join.
+  *
+  * == Index lifecycle (round 13 completes it) ==
+  * build ([[buildIndex]]) → search ([[topKFromIndex]], [[rangeSearch]])
+  * → incremental update ([[updateIndex]]) → DELETE ([[deleteFromIndex]])
+  * → COMPACTION ([[compactIndex]]). Deletes are TOMBSTONES: an
+  * nDeleted-row parquet append, O(|delete|) — the assignment layout is
+  * untouched and every search anti-joins the tombstone set, so a
+  * deleted vector can never surface from top-k or range search.
+  * Compaction rewrites each cell's accumulated small files (one
+  * appended file set per [[updateIndex]] delta — cells × deltas files
+  * at daily cadence) into one file per cell, DROPS tombstoned rows for
+  * good, and RECOMPUTES the cellstats radii over the survivors (a max
+  * over members can only shrink when members leave — the update-path
+  * max-merge can never tighten it, only recompute can).
+  *
+  * == Cellstats publish (round 13: atomic generations) ==
+  * Cellstats are published as VERSIONED generations
+  * `$path/cellstats_v<N>`; readers take the highest generation whose
+  * `_SUCCESS` marker exists (Spark's committer writes `_SUCCESS` only
+  * after every task file has landed, so complete ⇔ visible — the same
+  * rename-last discipline as IdempotentLanding's markers). A
+  * half-written generation is therefore invisible: a range query racing
+  * an in-flight [[updateIndex]]/[[compactIndex]] publish reads the
+  * PREVIOUS complete generation — sound, because update radii only grow
+  * (conservative) and compaction keeps tombstones applied until its
+  * swap completes. The previous generation is retained at publish time
+  * (gens ≤ N−2 are retired) so a reader that resolved it just before
+  * the publish can still finish; the full protection contract is the
+  * SINGLE-WRITER, drain-then-read pattern the suite uses — two
+  * concurrent writers on one index path are undefined.
   */
 object IvfAnn {
 
@@ -85,6 +116,35 @@ object IvfAnn {
       best
     }
 
+  /** [[assignUdf]] plus the winning distance, micro-quantized: returns
+    * (cell, nano-units of √bestD) — the drift monitor's per-vector
+    * quantization error. √ of an identical double fold is one
+    * correctly-rounded op on both engines, and the ×1e9
+    * half-away-from-zero round makes the per-vector error an exact
+    * BIGINT, so the corpus MEAN is order-independent integer math (the
+    * m10/v4 register trick; |Σ| < 2^53 up to ~10⁶ vectors at these
+    * norms — sample beyond that). */
+  private def assignDistUdf(cents: Array[Array[Double]]) =
+    udf { (rq: Seq[Long]) =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var cIdx = 0
+      while (cIdx < cents.length) {
+        val c = cents(cIdx)
+        var d = 0.0
+        val n = math.min(c.length, rq.length)
+        var i = 0
+        while (i < n) {
+          val v = rq(i).toDouble / 1000000.0 - c(i)
+          d += v * v
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = cIdx }
+        cIdx += 1
+      }
+      (best, math.floor(math.sqrt(bestD) * 1e9 + 0.5).toLong)
+    }
+
   /** Deterministic Lloyd fit: returns the final centroids (dense
     * nCells × dim doubles). One Spark job per iteration; the per-cell
     * per-dimension sums partial-aggregate map-side so each pass shuffles
@@ -119,6 +179,18 @@ object IvfAnn {
     }
     cents
   }
+
+  /** Per-vector (cell, quantization error) against a FIXED centroid
+    * table — the drift monitor's primitive (v17): one map-only pass,
+    * no shuffle. `qerr_nano` is √(squared-L2 to the assigned centroid)
+    * in exact nano-units (see [[assignDistUdf]]). */
+  def assignWithDist(corpus: DataFrame,
+                     cents: Array[Array[Double]]): DataFrame =
+    corpus
+      .withColumn("rq", quantCol(col("embedding")))
+      .withColumn("ad", assignDistUdf(cents)(col("rq")))
+      .select(col("vec_id"), col("ad._1").as("cell"),
+              col("ad._2").as("qerr_nano"))
 
   /** Fit the coarse quantizer and assign every corpus vector to its
     * cell. Returns (assigned, centroids). */
@@ -166,8 +238,16 @@ object IvfAnn {
     * tiny centroid table. The operational shape at 100 TB: the quantizer
     * is fit once (on a sample), the corpus is assigned once, and every
     * subsequent query batch reads the standing index — no retraining,
-    * no full-corpus scan. */
+    * no full-corpus scan. A fresh build RESETS the whole lifecycle:
+    * stale tombstones and every old cellstats generation are cleared
+    * first (the generation reader takes the highest N, so a leftover
+    * high generation from a previous process would shadow this build's). */
   def buildIndex(corpus: DataFrame, nCells: Int, path: String): Unit = {
+    val spark = corpus.sparkSession
+    val fs = fsOf(spark, path)
+    fs.delete(new Path(path, "tombstones"), true)
+    fs.delete(new Path(path, "cellstats"), true) // pre-round-13 layout
+    cellstatsGenDirs(fs, path).foreach { case (_, p) => fs.delete(p, true) }
     val (assigned, centroids) = fitAssign(corpus, nCells)
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
@@ -177,8 +257,7 @@ object IvfAnn {
     // are computed ONCE at build time and persisted alongside: at
     // 100 TB recomputing them would re-scan the whole index per query
     // batch. nCells rows — negligible build cost.
-    rangeStats(assigned.sparkSession, path)
-      .write.mode("overwrite").parquet(s"$path/cellstats")
+    publishCellstats(spark, path, rangeStats(spark, path))
   }
 
   /** INCREMENTAL index update (round 12 — the standing-index lifecycle's
@@ -194,11 +273,12 @@ object IvfAnn {
     * EXACT under update: anchors are a pure function of the frozen
     * centroids, and each coverage radius is a max over members, so
     * max(old radius, delta radius) is the union's radius — an
-    * nCells-row merge, rewritten atomically after a localCheckpoint
-    * breaks lineage from the path being overwritten. Search quality for
-    * delta vectors matches the quantizer's fit on the base distribution
-    * (the standard drift caveat: refit when the delta distribution
-    * diverges — that is a rebuild, not an update). */
+    * nCells-row merge, published as a NEW cellstats generation (old
+    * generations are never mutated). Search quality for delta vectors
+    * matches the quantizer's fit on the base distribution; the v17
+    * drift monitor ([[assignWithDist]] / SimilarityQueries
+    * `v17_quantizer_drift`) measures when that assumption has decayed
+    * enough that the right operation is a rebuild, not an update. */
   def updateIndex(delta: DataFrame, path: String): Unit = {
     val spark = delta.sparkSession
     val centroids = spark.read.parquet(s"$path/centroids")
@@ -213,9 +293,12 @@ object IvfAnn {
     // never wrong); the reverse order has an unsound window — delta
     // rows visible in the index while their cells' radii are still the
     // old maxima, so a range query's ball-overlap test could prune a
-    // cell that now holds an answer. (ensureUpdatedIndex also heals any
-    // crashed update by rebuilding, since the memo marks completion
-    // last — this ordering protects even a reader racing the update.)
+    // cell that now holds an answer. The publish itself is a new
+    // generation dir gated on _SUCCESS, so under the single-writer
+    // drain-then-read contract a reader sees either the old complete
+    // generation or the new one, never a half-written directory.
+    // (ensureUpdatedIndex also heals any crashed update by rebuilding,
+    // since the memo marks completion last.)
     val anchors = centroids
       .select(col("cell"), unitCol(col("centroid")).as("anchor"))
     val deltaStats = assignedDelta
@@ -223,17 +306,114 @@ object IvfAnn {
       .select(col("cell"), col("anchor"),
         distCol(unitCol(col("embedding")), col("anchor")).as("radius"))
       .groupBy("cell", "anchor").agg(max("radius").as("radius"))
-    val merged = spark.read.parquet(s"$path/cellstats")
+    val merged = readCellstats(spark, path)
       .select("cell", "anchor", "radius")
       .unionByName(deltaStats)
       .groupBy("cell", "anchor").agg(max("radius").as("radius"))
-      .localCheckpoint(true) // materialized: the write overwrites its own input path
-    merged.write.mode("overwrite").parquet(s"$path/cellstats")
+    publishCellstats(spark, path, merged)
     assignedDelta.write.mode("append").partitionBy("cell")
       .parquet(s"$path/assigned")
   }
 
-  private val built = scala.collection.mutable.Set.empty[String]
+  /** DELETE from a persisted index (round 13 — the lifecycle's
+    * departure half: dedup drops, takedowns). Tombstone design: the
+    * ids land as an append into `$path/tombstones` — O(|delete|), the
+    * partitioned assignment layout is untouched — and every search
+    * anti-joins the set, so a deleted vec_id can never surface from
+    * [[topKFromIndex]] or [[rangeSearch]]. Deleting is idempotent
+    * (anti-join semantics ignore duplicate tombstones) and composes
+    * with [[updateIndex]] in any order. Cellstats radii are NOT touched:
+    * a max over a superset stays a sound (merely conservative) bound,
+    * so range pruning loosens slightly until [[compactIndex]] recomputes
+    * the radii over survivors. At 100 TB the tombstone set is the
+    * standard broadcast-or-bloom side of the anti-join; compaction is
+    * the lever that keeps it small. */
+  def deleteFromIndex(deleteIds: DataFrame, path: String): Unit =
+    deleteIds.select(col(deleteIds.columns.head).cast("long").as("vec_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** The standing tombstone set, or None when nothing was ever deleted
+    * — None keeps the no-deletes search plans byte-identical to the
+    * pre-lifecycle ones (no vacuous anti-join in every EXPLAIN). */
+  private def tombstonesOpt(spark: SparkSession,
+                            path: String): Option[DataFrame] = {
+    val fs = fsOf(spark, path)
+    if (fs.exists(new Path(path, "tombstones")))
+      Some(spark.read.parquet(s"$path/tombstones").select("vec_id").distinct())
+    else None
+  }
+
+  private def dropTombstoned(spark: SparkSession, path: String,
+                             assigned: DataFrame): DataFrame =
+    tombstonesOpt(spark, path) match {
+      case Some(t) => assigned.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None    => assigned
+    }
+
+  /** COMPACTION (round 13): rewrite the accumulated per-delta small
+    * files (cells × deltas after a run of [[updateIndex]] appends) into
+    * ONE file per cell, drop tombstoned rows for good, and RECOMPUTE
+    * the cellstats radii over the survivors — the only operation that
+    * can TIGHTEN a radius (update's max-merge can only grow it; a max
+    * over members shrinks when the extremal member was deleted, and a
+    * stale loose radius means range queries scan cells that can no
+    * longer hold answers). Publish order, crash-safe under the
+    * single-writer contract: (1) survivors land in a staging dir —
+    * repartition(cell) puts each cell's rows in exactly one task, so
+    * partitionBy(cell) emits one file per cell; (2) recomputed cellstats
+    * publish as a new generation (sound while the OLD assignment + the
+    * tombstone anti-join still serve reads: survivors' radii cover
+    * exactly the rows the anti-join leaves visible); (3) the staging dir
+    * replaces `assigned` (delete + rename — a crash between them leaves
+    * a missing dir that the ensure* memo heals by rebuild); (4) the
+    * tombstones clear LAST — a crash before this leaves tombstones that
+    * now anti-join nothing, harmless. */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val survivors = dropTombstoned(spark, path,
+        spark.read.parquet(s"$path/assigned"))
+      .repartition(col("cell"))
+    val staging = s"$path/assigned_compact_staging"
+    survivors.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), unitCol(col("centroid")).as("anchor"))
+    val recomputed = spark.read.parquet(staging)
+      .join(broadcast(centroids), "cell")
+      .select(col("cell"), col("anchor"),
+        distCol(unitCol(col("embedding")), col("anchor")).as("d"))
+      .groupBy("cell", "anchor").agg(max("d").as("radius"))
+    publishCellstats(spark, path, recomputed)
+    if (!fs.delete(new Path(s"$path/assigned"), true))
+      throw new java.io.IOException(s"compaction: failed to retire $path/assigned")
+    if (!fs.rename(new Path(staging), new Path(s"$path/assigned")))
+      throw new java.io.IOException(
+        s"compaction: failed to publish $staging -> $path/assigned")
+    fs.delete(new Path(path, "tombstones"), true)
+    ()
+  }
+
+  /** Per-JVM build memo: path → lifecycle tag. Keying by lifecycle (not
+    * just path) makes the ensure* entry points mutually exclusive per
+    * path — ensureIndex(p) followed by ensureUpdatedIndex(_, _, _, p)
+    * must not silently skip the update (or vice versa assume it landed),
+    * so a cross-lifecycle hit throws instead. */
+  private val built = scala.collection.mutable.Map.empty[String, String]
+
+  private def ensureLifecycle(path: String, lifecycle: String)
+                             (build: => Unit): Unit = synchronized {
+    built.get(path) match {
+      case Some(l) if l == lifecycle => ()
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"index path $path is owned by lifecycle '$other' in this JVM; " +
+          s"refusing '$lifecycle' — one path, one ensure* entry point " +
+          "(use a distinct path per lifecycle)")
+      case None =>
+        build
+        built.put(path, lifecycle)
+        ()
+    }
+  }
 
   /** Build-once guard (IvfPqAnn.ensureIndex's pattern): the index is a
     * pure deterministic function of (corpus, nCells), so a path built
@@ -241,13 +421,8 @@ object IvfAnn {
     * the Lloyd fit + full-corpus assignment the standing index exists
     * to amortize. The per-JVM memo still rewrites once per process,
     * healing any stale copy an older binary left behind. */
-  def ensureIndex(corpus: DataFrame, nCells: Int,
-                  path: String): Unit = synchronized {
-    if (!built.contains(path)) {
-      buildIndex(corpus, nCells, path)
-      built.add(path)
-    }
-  }
+  def ensureIndex(corpus: DataFrame, nCells: Int, path: String): Unit =
+    ensureLifecycle(path, "build") { buildIndex(corpus, nCells, path) }
 
   /** Build-once guard for the build-then-update lifecycle (v16): fit +
     * assign the BASE corpus, then absorb `delta` via [[updateIndex]] —
@@ -255,25 +430,39 @@ object IvfAnn {
     * fresh [[buildIndex]] overwrite also clears any delta a previous
     * process appended, so the append below never double-lands. */
   def ensureUpdatedIndex(base: DataFrame, delta: DataFrame, nCells: Int,
-                         path: String): Unit = synchronized {
-    if (!built.contains(path)) {
+                         path: String): Unit =
+    ensureLifecycle(path, "build+update") {
       buildIndex(base, nCells, path)
       updateIndex(delta, path)
-      built.add(path)
     }
-  }
+
+  /** Build-once guard for the build-then-delete lifecycle (v18): build
+    * over the full corpus, then tombstone `deleteIds` via
+    * [[deleteFromIndex]] — deterministic per (corpus, deleteIds,
+    * nCells). [[buildIndex]] clears stale tombstones first, so the
+    * delete never double-applies across processes. */
+  def ensureDeletedIndex(corpus: DataFrame, deleteIds: DataFrame,
+                         nCells: Int, path: String): Unit =
+    ensureLifecycle(path, "build+delete") {
+      buildIndex(corpus, nCells, path)
+      deleteFromIndex(deleteIds, path)
+    }
 
   /** Top-k search against a persisted index. The probed cells arrive as
     * an isin filter on the partition column, so the scan prunes to the
-    * probed directories (PartitionFilters — asserted in IvfAnnSpec). */
-  def topKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+    * probed directories (PartitionFilters — asserted in IvfAnnSpec).
+    * Tombstoned vectors are anti-joined out BEFORE ranking, so a
+    * deleted vec_id never surfaces (and never displaces a live one from
+    * the top k). */
+  def topKFromIndex(spark: SparkSession, path: String,
                     queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val probes = probeCells(queries, centroids, nProbe)
     val cells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val assigned = spark.read.parquet(s"$path/assigned")
-      .filter(col("cell").isin(cells: _*)) // static partition pruning
+    val assigned = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/assigned")
+        .filter(col("cell").isin(cells: _*))) // static partition pruning
     assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -303,11 +492,11 @@ object IvfAnn {
     * [[topKFromIndex]]; the exact cosine filter runs codegen'd over
     * the scanned survivors only.
     *
-    * Scale shape: the cell-stats frame is nCells rows (compute it with
-    * the index build and persist it alongside at 100 TB — here it is
-    * one small agg over the standing assignment); queries × nCells
+    * Scale shape: the cell-stats frame is nCells rows (computed with
+    * the index build and persisted alongside); queries × nCells
     * bound tests broadcast; corpus work = only the cells a ball
-    * overlaps.
+    * overlaps. Tombstoned vectors are anti-joined out of the scanned
+    * survivors.
     *
     * Wide-radius cutover (round 12): the survivor cells normally arrive
     * as an isin PARTITION FILTER so the scan prunes to their
@@ -323,14 +512,14 @@ object IvfAnn {
     * would keep). Both shapes return the identical exact result —
     * asserted in SimilaritySpec at minCos = 0.05 over the standing
     * index. */
-  def rangeSearch(spark: org.apache.spark.sql.SparkSession, path: String,
+  def rangeSearch(spark: SparkSession, path: String,
                   queries: DataFrame, minCos: Double): DataFrame = {
     val (live, cells, nCellsTotal) = rangeLive(spark, path, queries, minCos)
     val assigned = spark.read.parquet(s"$path/assigned")
     val pruned =
-      if (cells.size.toLong * 4 > nCellsTotal.toLong) assigned // > 25% survive
+      if (cells.size > nCellsTotal * IsinCutoverFraction) assigned
       else assigned.filter(col("cell").isin(cells: _*)) // static partition pruning
-    pruned
+    dropTombstoned(spark, path, pruned)
       .join(live, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id") &&
               cosineSim(col("qe"), col("embedding")) >= minCos)
@@ -341,13 +530,11 @@ object IvfAnn {
   /** Survivor fraction past which [[rangeSearch]] drops the isin
     * partition filter: ¼. Below it the pruned directory read wins; above
     * it the isin is pure plan bloat (and at production nCells, a plan
-    * hazard). */
+    * hazard). The cutover computes from THIS constant (round-13 ADVICE:
+    * the logic previously hardcoded the equivalent ×4 comparison, so
+    * editing the documented knob would silently not take effect). */
   val IsinCutoverFraction = 0.25
 
-  /** The pruning half of [[rangeSearch]]: surviving (query, cell) pairs
-    * and the distinct scanned-cell list — exposed so SimilaritySpec can
-    * assert the pruning is REAL (cells scanned < cells total), which the
-    * exact result alone cannot show. */
   private def unitCol(v: Column): Column =
     // the norm is hoisted OUT of the per-element lambda (round-11 ADVICE:
     // normD(v) written inside the transform lambda re-evaluates the O(d)
@@ -363,10 +550,9 @@ object IvfAnn {
 
   /** Per-cell range-search stats — normalized anchor + coverage radius —
     * computed from the persisted assignment in one scan. [[buildIndex]]
-    * persists the result as `cellstats`, so at scale query batches read
-    * nCells rows instead of re-scanning the index. */
-  private def rangeStats(spark: org.apache.spark.sql.SparkSession,
-                         path: String): DataFrame = {
+    * publishes the result as the first cellstats generation, so at scale
+    * query batches read nCells rows instead of re-scanning the index. */
+  private def rangeStats(spark: SparkSession, path: String): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .select(col("cell"), unitCol(col("centroid")).as("anchor"))
     spark.read.parquet(s"$path/assigned")
@@ -376,22 +562,78 @@ object IvfAnn {
       .groupBy("cell", "anchor").agg(max("d").as("radius"))
   }
 
+  // --- cellstats generations (round 13: atomic publish) ---------------
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val GenName = "cellstats_v(\\d+)".r
+
+  /** All generation dirs under the index path, complete or not. */
+  private def cellstatsGenDirs(fs: FileSystem,
+                               path: String): Seq[(Long, Path)] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case GenName(n) => Some(n.toLong -> s.getPath)
+        case _          => None
+      }
+    }
+  }
+
+  /** The highest COMPLETE generation (has the committer's `_SUCCESS`
+    * marker — present only once every task file landed, so a reader can
+    * never observe a half-written generation). */
+  private def currentCellstatsGen(fs: FileSystem,
+                                  path: String): Option[(Long, Path)] =
+    cellstatsGenDirs(fs, path)
+      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+      .sortBy(_._1).lastOption
+
+  /** Publish `stats` as the next cellstats generation. Completeness is
+    * signalled by the write's own `_SUCCESS` (no pointer file to swap —
+    * readers take the max complete generation, so visible ⇔ complete).
+    * Generations ≤ N−2 are retired; the immediately-previous one is
+    * retained so a reader that resolved it just before this publish can
+    * still finish (single-writer contract — see the object scaladoc). */
+  private def publishCellstats(spark: SparkSession, path: String,
+                               stats: DataFrame): Unit = {
+    val fs = fsOf(spark, path)
+    val next = cellstatsGenDirs(fs, path).map(_._1).maxOption.getOrElse(0L) + 1
+    // localCheckpoint: the merged-update input reads the PREVIOUS
+    // generation; materializing first keeps the write's lineage from
+    // re-reading it mid-retirement and pins the publish to one job
+    stats.localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$path/cellstats_v$next")
+    cellstatsGenDirs(fs, path)
+      .filter { case (n, _) => n <= next - 2 }
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** The standing cellstats: highest complete generation; falls back to
+    * the pre-round-13 flat `cellstats` dir (an index an older binary
+    * built), then to an in-flight recompute (healed on the next
+    * ensure* rewrite). */
+  private[operators] def readCellstats(spark: SparkSession,
+                                       path: String): DataFrame = {
+    val fs = fsOf(spark, path)
+    currentCellstatsGen(fs, path) match {
+      case Some((_, p)) => spark.read.parquet(p.toString)
+      case None if fs.exists(new Path(path, "cellstats")) =>
+        spark.read.parquet(s"$path/cellstats")
+      case None => rangeStats(spark, path)
+    }
+  }
+
   /** Returns (surviving (query_id, qe, cell) pairs, distinct surviving
     * cell ids, TOTAL cell count) — the total is what [[rangeSearch]]'s
     * wide-radius cutover compares the survivor count against. */
-  def rangeLive(spark: org.apache.spark.sql.SparkSession, path: String,
+  def rangeLive(spark: SparkSession, path: String,
                 queries: DataFrame, minCos: Double): (DataFrame, Seq[Int], Long) = {
     val eps = 1e-9
     val r = math.sqrt(math.max(2.0 - 2.0 * minCos, 0.0))
-    // the STANDING cellstats when the index ships them (built with the
-    // index since round 11); recomputed in-flight only for an index an
-    // older binary left behind (healed on the next ensureIndex rewrite)
-    val stats =
-      try spark.read.parquet(s"$path/cellstats")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-          if e.getErrorClass == "PATH_NOT_FOUND" => rangeStats(spark, path)
-      }
+    val stats = readCellstats(spark, path).select("cell", "anchor", "radius")
     // materialized eagerly: (a) the stats read/agg runs ONCE, not once
     // for the cell collect and again inside the final plan; (b) the
     // final plan sees a tiny ExistingRDD instead of the query×nCells
@@ -421,7 +663,7 @@ object IvfAnn {
 
   /** FILTERED ANN (round 7): top-k among vectors satisfying a metadata
     * predicate, expressed as an `allowed` id set — the
-    // vector-search-plus-WHERE-clause shape every retrieval stack needs.
+    * vector-search-plus-WHERE-clause shape every retrieval stack needs.
     * POST-filter design: the index stays predicate-agnostic (built once
     * over the full corpus, like [[buildIndex]]); probed candidates
     * semi-join the allowed ids BEFORE the exact re-rank, so the rerank

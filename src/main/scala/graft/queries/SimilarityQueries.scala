@@ -140,28 +140,30 @@ object SimilarityQueries {
     * step is a correctly-rounded scalar op or a left-to-right double
     * fold, so centroids, cells, probes and the final rounded cosines
     * hash-match bit-for-bit. */
-  /** `candPredicate`: optional SQL boolean over alias `ce` (the
-    * candidate's embeddings row) — the filtered-ANN variant (v10). */
-  private def ivfSql(nCells: Int, nProbe: Int, iters: Int, k: Int,
-                     dim: Int = 64, candPredicate: Option[String] = None,
-                     fitWhere: Option[String] = None): String = {
-    // fitWhere (v16): the Lloyd fit — init sample + every iteration —
-    // runs over this subset only, while the final assignment (af) still
-    // covers the whole corpus: the frozen-quantizer incremental-update
-    // contract (IvfAnn.updateIndex). None = fit on everything (v4/v8).
+  /** Squared-L2 between quantized micro-units and a centroid double
+    * list, left-to-right fold — the exact comparison IvfAnn.assignUdf
+    * makes. */
+  private def ivfDist(rq: String, c: String) =
+    s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($rq, $c),
+       |  p -> (CAST(p[1] AS DOUBLE)/1000000.0 - CAST(p[2] AS DOUBLE))
+       |     * (CAST(p[1] AS DOUBLE)/1000000.0 - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)""".stripMargin
+
+  /** The shared Lloyd-replay CTE prefix (`rq`, `c0`, unrolled
+    * assign/update rounds ending at `c<iters>`) — the deterministic
+    * quantizer regeneration every IVF-family oracle starts from
+    * (ivfSql's search replay, ivfDriftSql's error replay).
+    * `fitWhere`: the fit — init sample + every iteration — runs over
+    * this subset only (the frozen-quantizer contract, v16/v17); None =
+    * fit on everything (v4/v8). */
+  private def lloydCtes(nCells: Int, iters: Int, dim: Int,
+                        fitWhere: Option[String]): String = {
     val fit = fitWhere.map(w => s"(SELECT * FROM rq WHERE $w)").getOrElse("rq")
-    // squared-L2 between quantized micro-units and a centroid double list,
-    // left-to-right fold — the exact comparison IvfAnn.assignUdf makes
-    def dist(rq: String, c: String) =
-      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($rq, $c),
-         |  p -> (CAST(p[1] AS DOUBLE)/1000000.0 - CAST(p[2] AS DOUBLE))
-         |     * (CAST(p[1] AS DOUBLE)/1000000.0 - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)""".stripMargin
     val iterCtes = (1 to iters).map { it =>
       s"""a$it AS (
          |  SELECT vec_id, rq, cell FROM (
          |    SELECT r.vec_id, r.rq, c.cell,
          |           row_number() OVER (PARTITION BY r.vec_id
-         |             ORDER BY ${dist("r.rq", "c.c")}, c.cell) AS rn
+         |             ORDER BY ${ivfDist("r.rq", "c.c")}, c.cell) AS rn
          |    FROM $fit r CROSS JOIN c${it - 1} c) WHERE rn = 1),
          |s$it AS (
          |  SELECT cell, i, sum(rq[i + 1]) AS s, count(*) AS n
@@ -173,7 +175,7 @@ object SimilarityQueries {
          |  SELECT p.cell, coalesce(nn.c, p.c) AS c
          |  FROM c${it - 1} p LEFT JOIN n$it nn USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""WITH rq AS (
+    s"""rq AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CASE WHEN CAST(x AS DOUBLE) >= 0
        |           THEN CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)
@@ -186,7 +188,22 @@ object SimilarityQueries {
        |          ORDER BY (vec_id*1103515245 + 12345) % 2147483648, vec_id) AS rn
        |        FROM $fit)
        |  WHERE rn <= $nCells),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  /** `candPredicate`: optional SQL boolean over alias `ce` (the
+    * candidate's embeddings row) — the filtered-ANN variant (v10).
+    * `deleteWhere` (v18): SQL boolean over alias `a` (the candidate
+    * assignment row) naming the TOMBSTONED ids — candidates matching it
+    * are excluded before re-rank, replaying IvfAnn's tombstone
+    * anti-join exactly (the fit and assignment still cover the full
+    * corpus: deletes never refit the quantizer). */
+  private def ivfSql(nCells: Int, nProbe: Int, iters: Int, k: Int,
+                     dim: Int = 64, candPredicate: Option[String] = None,
+                     fitWhere: Option[String] = None,
+                     deleteWhere: Option[String] = None): String = {
+    def dist(rq: String, c: String) = ivfDist(rq, c)
+    s"""WITH ${lloydCtes(nCells, iters, dim, fitWhere)},
        |af AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT r.vec_id, c.cell,
@@ -206,7 +223,8 @@ object SimilarityQueries {
        |  FROM af a JOIN probe p USING (cell)
        |  ${candPredicate.map(pr => s"JOIN embeddings ce ON ce.vec_id = a.vec_id AND ($pr)")
           .getOrElse("")}
-       |  WHERE a.vec_id <> p.query_id),
+       |  WHERE a.vec_id <> p.query_id
+       |  ${deleteWhere.map(w => s"AND NOT ($w)").getOrElse("")}),
        |rerank AS (
        |  SELECT cand.query_id, cand.neighbor_id,
        |         round(${sqlDot("qv.embedding", "cv.embedding")}
@@ -220,6 +238,44 @@ object SimilarityQueries {
        |  FROM rerank)
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** DuckDB mirror of the v17 quantizer-drift monitor: replays the
+    * fit-on-`fitWhere` Lloyd quantizer (lloydCtes — the v16 split),
+    * assigns EVERY vector to its nearest frozen centroid with the
+    * winning distance, then aggregates per `partExpr` bucket. Every
+    * per-vector error is micro-quantized to exact nano-units
+    * (√d is one correctly-rounded op on an identical double fold; the
+    * ×1e9 half-away round makes it BIGINT), so the means are
+    * order-independent integer sums divided once — hash-stable like the
+    * m10/v4 register trick. */
+  private def ivfDriftSql(nCells: Int, iters: Int, dim: Int = 64,
+                          fitWhere: Option[String] = None,
+                          partExpr: String =
+                            "CASE WHEN vec_id % 5 = 0 THEN 'delta' ELSE 'base' END")
+      : String =
+    s"""WITH ${lloydCtes(nCells, iters, dim, fitWhere)},
+       |ad AS (
+       |  SELECT vec_id, cell,
+       |         CAST(floor(sqrt(d) * 1000000000.0 + 0.5) AS BIGINT) AS qerr_nano
+       |  FROM (
+       |    SELECT r.vec_id, c.cell, ${ivfDist("r.rq", "c.c")} AS d,
+       |           row_number() OVER (PARTITION BY r.vec_id
+       |             ORDER BY ${ivfDist("r.rq", "c.c")}, c.cell) AS rn
+       |    FROM rq r CROSS JOIN c$iters c) WHERE rn = 1),
+       |p AS (SELECT $partExpr AS part, cell, qerr_nano FROM ad),
+       |agg AS (SELECT part, count(*) AS n, sum(qerr_nano) AS s
+       |        FROM p GROUP BY part),
+       |occ AS (SELECT part, max(cn) AS mx FROM (
+       |          SELECT part, cell, count(*) AS cn FROM p GROUP BY part, cell)
+       |        GROUP BY part)
+       |SELECT a.part AS part, a.n AS n_vecs,
+       |       round(CAST(a.s AS DOUBLE) / (CAST(a.n AS DOUBLE) * 1000000000.0), 6) AS mean_qerr,
+       |       round(CAST(o.mx AS DOUBLE) / CAST(a.n AS DOUBLE), 6) AS max_cell_share,
+       |       round((CAST(a.s AS DOUBLE) * CAST(bb.n AS DOUBLE))
+       |         / (CAST(bb.s AS DOUBLE) * CAST(a.n AS DOUBLE)), 6) AS qerr_ratio
+       |FROM agg a JOIN occ o ON a.part = o.part
+       |CROSS JOIN (SELECT n, s FROM agg WHERE part = 'base') bb
+       |ORDER BY part""".stripMargin
 
   /** DuckDB mirror of the IVF-PQ index (operators.IvfPqAnn): replays
     * v4's coarse Lloyd quantizer (double means, exact integer dimension
@@ -1025,6 +1081,87 @@ object SimilarityQueries {
       graft.operators.IvfAnn.ensureUpdatedIndex(
         base = e.filter(col("vec_id") % 5 =!= 0).select("vec_id", "embedding"),
         delta = e.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding"),
+        nCells = 16, path = path)
+      graft.operators.IvfAnn.topKFromIndex(s, path,
+          queries = e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          k = 5, nProbe = 6)
+        .orderBy("query_id", "rnk")
+    },
+
+    // v17 — QUANTIZER DRIFT MONITOR (round 13): the number that turns
+    // v16's frozen-quantizer caveat ("refit when the delta distribution
+    // diverges — that is a rebuild, not an update") into an operational
+    // trigger. Over the v16 split (fit on vec_id % 5 ≠ 0, delta = the
+    // rest) it reports, per part: mean distance-to-assigned-centroid
+    // (exact nano-unit registers, so the mean is order-independent
+    // BIGINT math), the max cell-occupancy share (assignment skew — a
+    // drifted delta piles into few cells), and qerr_ratio =
+    // delta-mean / base-mean, the refit trigger (threshold 1.5 — the
+    // measured margins are in SCALING.md; DriftSpec shows a shifted
+    // delta tripping it and a clean one not). One map-only assignment
+    // pass + two tiny aggregates — at 100 TB this rides the SAME pass
+    // updateIndex already makes, so monitoring is free at the margin.
+    // The oracle replays fit/assign via lloydCtes and the identical
+    // integer registers, so the monitor itself is hash-gated.
+    q("v17_quantizer_drift",
+      ivfDriftSql(nCells = 16, iters = graft.operators.IvfAnn.LloydIters,
+                  fitWhere = Some("vec_id % 5 <> 0"))) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.load(s, dir, "embeddings")
+      // the standing v16 index path: drift is measured against the SAME
+      // frozen centroids the update lifecycle serves queries from
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfupd_${dir.hashCode.toHexString}"
+      graft.operators.IvfAnn.ensureUpdatedIndex(
+        base = e.filter(col("vec_id") % 5 =!= 0).select("vec_id", "embedding"),
+        delta = e.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding"),
+        nCells = 16, path = path)
+      val cents = s.read.parquet(s"$path/centroids").orderBy("cell").collect()
+        .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+      val p = graft.operators.IvfAnn
+        .assignWithDist(e.select("vec_id", "embedding"), cents)
+        .withColumn("part",
+          when(col("vec_id") % 5 === 0, "delta").otherwise("base"))
+      val agg = p.groupBy("part")
+        .agg(count(lit(1)).as("n"), sum("qerr_nano").as("s"))
+      val occ = p.groupBy("part", "cell").agg(count(lit(1)).as("cn"))
+        .groupBy("part").agg(max("cn").as("mx"))
+      val bb = agg.filter(col("part") === "base")
+        .select(col("n").as("bn"), col("s").as("bs"))
+      agg.join(occ, "part").crossJoin(broadcast(bb))
+        .select(col("part"), col("n").as("n_vecs"),
+          round(col("s").cast("double")
+            / (col("n").cast("double") * lit(1000000000.0)), 6).as("mean_qerr"),
+          round(col("mx").cast("double") / col("n").cast("double"), 6)
+            .as("max_cell_share"),
+          round((col("s").cast("double") * col("bn").cast("double"))
+            / (col("bs").cast("double") * col("n").cast("double")), 6)
+            .as("qerr_ratio"))
+        .orderBy("part")
+    },
+
+    // v18 — DELETE-THEN-SEARCH (round 13): the lifecycle's departure
+    // half. The index is built over the FULL corpus, then every
+    // vec_id % 7 = 3 is tombstoned (IvfAnn.deleteFromIndex — an
+    // O(|delete|) parquet append, the partitioned layout untouched) and
+    // the registered result is a top-k search over the tombstone-aware
+    // path: a deleted vector must never surface as a neighbor, and must
+    // not displace live vectors from the top k (the anti-join runs
+    // BEFORE ranking). The oracle replays the identical contract —
+    // fit + assignment over everything (deletes never refit), candidate
+    // exclusion by the tombstone predicate — so tombstone-aware search
+    // is itself hash-gated. Compaction equivalence (same results, fewer
+    // files, radii recomputed not merged) is spec-gated in
+    // IvfLifecycleSpec.
+    q("v18_ann_delete_search",
+      ivfSql(nCells = 16, nProbe = 6,
+             iters = graft.operators.IvfAnn.LloydIters, k = 5,
+             deleteWhere = Some("a.vec_id % 7 = 3"))) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfdel_${dir.hashCode.toHexString}"
+      graft.operators.IvfAnn.ensureDeletedIndex(
+        corpus = e.select("vec_id", "embedding"),
+        deleteIds = e.filter(col("vec_id") % 7 === 3).select("vec_id"),
         nCells = 16, path = path)
       graft.operators.IvfAnn.topKFromIndex(s, path,
           queries = e.filter(col("vec_id") < 8)

@@ -40,6 +40,8 @@ class PlanHygieneSpec extends SparkSpec {
     "v4_ann_ivf_topk"       -> "nCells-row trained-centroid table",
     "v8_ann_ivf_persisted"  -> "nCells-row trained-centroid table (persisted-index probe)",
     "v16_ann_index_update"  -> "nCells-row trained-centroid table (same probe as v8, over the incrementally-updated index)",
+    "v17_quantizer_drift"   -> "1-row base-register scalar (bn, bs) crossed onto the 2-row per-part aggregate",
+    "v18_ann_delete_search" -> "nCells-row trained-centroid table (v8's probe over the tombstone-aware index)",
     "w17_funnel"            -> "1-row stage-count scalars (conversion-rate join)",
     "a16_global_scalars"    -> "1-row scalar join",
     "s16_snapshot_diff"     -> "1-row snapshot-version scalar",
