@@ -1122,10 +1122,16 @@ object SimilarityQueries {
         .assignWithDist(e.select("vec_id", "embedding"), cents)
         .withColumn("part",
           when(col("vec_id") % 5 === 0, "delta").otherwise("base"))
-      val agg = p.groupBy("part")
-        .agg(count(lit(1)).as("n"), sum("qerr_nano").as("s"))
-      val occ = p.groupBy("part", "cell").agg(count(lit(1)).as("cn"))
-        .groupBy("part").agg(max("cn").as("mx"))
+      // ONE corpus pass: the (part, cell) rollup is ≤ 2·nCells rows and
+      // every published number folds from it (sums of longs re-associate
+      // exactly, so the two-level sum equals the oracle's flat sum);
+      // materialized so agg/occ/ratio don't each re-scan the corpus
+      val pc = p.groupBy("part", "cell")
+        .agg(count(lit(1)).as("cn"), sum("qerr_nano").as("cs"))
+        .localCheckpoint(true)
+      val agg = pc.groupBy("part")
+        .agg(sum("cn").as("n"), sum("cs").as("s"))
+      val occ = pc.groupBy("part").agg(max("cn").as("mx"))
       val bb = agg.filter(col("part") === "base")
         .select(col("n").as("bn"), col("s").as("bs"))
       agg.join(occ, "part").crossJoin(broadcast(bb))
