@@ -244,20 +244,97 @@ object IvfPqAnn {
     * function of the corpus, so a rebuild is always byte-identical and
     * a fresh JVM's rebuild heals any stale copy an older binary left
     * behind; within a JVM the standing index is built exactly once and
-    * every subsequent search pays only the probe + pruned code scan. */
-  private val built = scala.collection.mutable.Set.empty[String]
+    * every subsequent search pays only the probe + pruned code scan.
+    * Keyed by (path, lifecycle) like IvfAnn's memo: one path, one
+    * ensure* entry point — a cross-lifecycle hit throws instead of
+    * silently skipping the other lifecycle's extra step. */
+  private val built = scala.collection.mutable.Map.empty[String, String]
+
+  private def ensureLifecycle(path: String, lifecycle: String)
+                             (build: => Unit): Unit = synchronized {
+    built.get(path) match {
+      case Some(l) if l == lifecycle => ()
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"IVF-PQ index path $path is owned by lifecycle '$other' in this " +
+          s"JVM; refusing '$lifecycle' — use a distinct path per lifecycle")
+      case None =>
+        build
+        built.put(path, lifecycle)
+        ()
+    }
+  }
 
   def ensureIndex(corpus: DataFrame, path: String,
-                  nCells: Int = NCells): Unit = synchronized {
-    if (!built.contains(path)) {
+                  nCells: Int = NCells): Unit =
+    ensureLifecycle(path, "build") { buildIndex(corpus, path, nCells) }
+
+  /** Build-once guard for the build-then-delete lifecycle (v19 — the
+    * IVF-PQ twin of IvfAnn.ensureDeletedIndex). */
+  def ensureDeletedIndex(corpus: DataFrame, deleteIds: DataFrame,
+                         path: String, nCells: Int = NCells): Unit =
+    ensureLifecycle(path, "build+delete") {
       buildIndex(corpus, path, nCells)
-      built.add(path)
+      deleteFromIndex(deleteIds, path)
     }
+
+  /** DELETE from a persisted IVF-PQ index — IvfAnn.deleteFromIndex's
+    * tombstone design applied to the code layout: an O(|delete|)
+    * parquet append, the partitioned code table untouched; the search
+    * path drops tombstoned codes BEFORE ADC scoring, so a deleted
+    * vec_id never surfaces, never displaces a live neighbor, and never
+    * consumes the `cand` re-rank budget. Compaction
+    * ([[compactIndex]]) removes the rows for good. */
+  def deleteFromIndex(deleteIds: DataFrame, path: String): Unit =
+    deleteIds.select(col(deleteIds.columns.head).cast("long").as("vec_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
+                             path: String, codes: DataFrame): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, "tombstones")))
+      codes.join(
+        broadcast(spark.read.parquet(s"$path/tombstones")
+          .select("vec_id").distinct()),
+        Seq("vec_id"), "left_anti")
+    else codes
+  }
+
+  /** Compaction for the code layout: rewrite each cell's files to one
+    * (repartition(cell) + partitionBy), dropping tombstoned codes for
+    * good, then clear the tombstones LAST (a crash before the clear
+    * leaves tombstones that anti-join nothing — harmless). No cellstats
+    * here: the PQ index serves probed top-k only, so there are no
+    * radii to recompute. Single-writer drain-then-read contract, like
+    * IvfAnn.compactIndex. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivors = dropTombstoned(spark, path,
+        spark.read.parquet(s"$path/codes"))
+      .repartition(col("cell"))
+    val staging = s"$path/codes_compact_staging"
+    survivors.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    if (!fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true))
+      throw new java.io.IOException(s"compaction: failed to retire $path/codes")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
+                   new org.apache.hadoop.fs.Path(s"$path/codes")))
+      throw new java.io.IOException(
+        s"compaction: failed to publish $staging -> $path/codes")
+    fs.delete(new org.apache.hadoop.fs.Path(path, "tombstones"), true)
+    ()
   }
 
   def buildIndex(corpus: DataFrame, path: String, nCells: Int = NCells): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a fresh build resets the lifecycle: stale tombstones from a
+    // previous process must not apply to the rebuilt index
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path, "tombstones"), true)
     val coarse = IvfAnn.fitCentroids(corpus, nCells)
     val cmicro = coarse.map(_.map(PqAnn.microOf))
     val assigned = assignResiduals(corpus, cmicro).persist()
@@ -302,8 +379,11 @@ object IvfPqAnn {
 
     val qp = prepQueries(queries, coarse, cmicro, cm, nProbe)
     val cells = qp.select("pcell").distinct().collect().map(_.getInt(0)).toSeq
-    val codes = spark.read.parquet(s"$path/codes")
-      .filter(col("cell").isin(cells: _*)) // static partition pruning
+    // tombstones drop BEFORE ADC (deleted codes neither score nor eat
+    // the cand budget); no-delete indexes skip the join — plan unchanged
+    val codes = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/codes")
+        .filter(col("cell").isin(cells: _*))) // static partition pruning
     (codes, qp)
   }
 

@@ -284,9 +284,14 @@ object SimilarityQueries {
     * assignment, residual subtraction, the residual-space per-subspace
     * Lloyd fit (pqSql's scheme over residuals), encoding, and ADC —
     * plus v4's cosine cell probing for the query side. */
+  /** `deleteWhere` (v19): SQL boolean over alias `af0` (the coarse
+    * assignment row) naming the TOMBSTONED ids — matching codes are
+    * excluded from ADC scoring (before the `cand` cut), replaying
+    * IvfPqAnn's tombstone anti-join exactly. */
   private def ivfpqSql(nCells: Int, nProbe: Int, coarseIters: Int,
                        m: Int, kCents: Int, pqIters: Int,
-                       k: Int, cand: Int, dim: Int = 64): String = {
+                       k: Int, cand: Int, dim: Int = 64,
+                       deleteWhere: Option[String] = None): String = {
     val dsub = dim / m
     // double squared-L2 (coarse Lloyd assignment — ivfSql's comparison)
     def dist(rq: String, c: String) =
@@ -410,6 +415,7 @@ object SimilarityQueries {
        |  JOIN afq ON afq.vec_id = af0.vec_id
        |  JOIN qdt ON qdt.pcell = af0.cell AND qdt.sub = afq.sub
        |          AND qdt.cell = afq.cell AND afq.vec_id <> qdt.query_id
+       |  ${deleteWhere.map(w => s"WHERE NOT ($w)").getOrElse("")}
        |  GROUP BY qdt.query_id, afq.vec_id),
        |cand AS MATERIALIZED (
        |  SELECT query_id, neighbor_id FROM (
@@ -1173,6 +1179,36 @@ object SimilarityQueries {
           queries = e.filter(col("vec_id") < 8)
             .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
           k = 5, nProbe = 6)
+        .orderBy("query_id", "rnk")
+    },
+
+    // v19 — IVF-PQ DELETE-THEN-SEARCH (round 13): v18's tombstone
+    // contract applied to the compressed standing index (v12's layout).
+    // Tombstoned codes drop BEFORE ADC scoring, so a deleted vector
+    // neither surfaces nor consumes the cand re-rank budget — the
+    // subtlety v18 doesn't exercise (its anti-join runs on raw vectors;
+    // here a stale code could silently crowd out a live candidate at
+    // the cand cut even if filtered later). The oracle excludes the
+    // same ids from the adc CTE, so the budget semantics are
+    // hash-gated too.
+    q("v19_ann_ivfpq_delete",
+      ivfpqSql(nCells = graft.operators.IvfPqAnn.NCells,
+               nProbe = graft.operators.IvfPqAnn.NProbe,
+               coarseIters = graft.operators.IvfAnn.LloydIters,
+               m = graft.operators.PqAnn.M, kCents = graft.operators.PqAnn.K,
+               pqIters = graft.operators.PqAnn.PqIters,
+               k = 5, cand = 200,
+               deleteWhere = Some("af0.vec_id % 7 = 3"))) { (s, dir) =>
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqdel_${dir.hashCode.toHexString}"
+      graft.operators.IvfPqAnn.ensureDeletedIndex(
+        corpus = e.select("vec_id", "embedding"),
+        deleteIds = e.filter(col("vec_id") % 7 === 3).select("vec_id"),
+        path = path)
+      graft.operators.IvfPqAnn.topKFromIndex(s, path,
+          queries = e.filter(col("vec_id") < 8).select("vec_id", "embedding"),
+          k = 5, cand = 200)
         .orderBy("query_id", "rnk")
     },
 

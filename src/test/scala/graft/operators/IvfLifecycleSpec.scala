@@ -215,6 +215,34 @@ class IvfLifecycleSpec extends SparkSpec {
       s"generation retirement must bound the dir count, got ${gens()}")
   }
 
+  test("IVF-PQ tombstones: deleted codes never surface, never eat the cand budget; compaction equivalent") {
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val path = tmp("pqdel")
+    IvfPqAnn.buildIndex(e.select("vec_id", "embedding"), path)
+    val queries = e.filter(col("vec_id") < 8).select("vec_id", "embedding")
+    val pre = IvfPqAnn.topKFromIndex(spark, path, queries, k = 5, cand = 200)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val toDelete = pre.take(4)
+    assert(toDelete.nonEmpty)
+    import spark.implicits._
+    IvfPqAnn.deleteFromIndex(toDelete.toSeq.toDF("vec_id"), path)
+    def search() = IvfPqAnn.topKFromIndex(spark, path, queries, k = 5, cand = 200)
+      .select("query_id", "neighbor_id", "cos", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val post = search()
+    assert(post.forall { case (_, n, _, _) => !toDelete.contains(n) },
+      "a tombstoned code surfaced from IVF-PQ search")
+    // ranks must backfill: 5 results per query, none vacated by the delete
+    assert(post.groupBy(_._1).forall(_._2.size == 5),
+      "deletes must backfill the top k, not leave holes")
+    // compaction removes the rows for good; results identical; files bounded
+    val preFiles = parquetFiles(s"$path/codes").size
+    IvfPqAnn.compactIndex(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(parquetFiles(s"$path/codes").size <= preFiles)
+    assert(search() == post, "compaction changed IVF-PQ search results")
+  }
+
   test("one index path, one lifecycle: cross-lifecycle ensure* calls throw") {
     import spark.implicits._
     val e = graft.Tables.load(spark, sfDir, "embeddings")
