@@ -158,8 +158,14 @@ object SimilarityQueries {
   private def lloydCtes(nCells: Int, iters: Int, dim: Int,
                         fitWhere: Option[String]): String = {
     val fit = fitWhere.map(w => s"(SELECT * FROM rq WHERE $w)").getOrElse("rq")
+    // AS MATERIALIZED on the per-iteration CTEs (the ivfpqSql
+    // convention): without it DuckDB may inline a c$it that is
+    // referenced twice (next iteration's assignment + carry-forward),
+    // recomputing the whole prior chain — at 60k vectors (sf3) the
+    // replicated intermediates exceeded a 75 GB spill disk. Pure
+    // evaluation hint; results are bit-identical.
     val iterCtes = (1 to iters).map { it =>
-      s"""a$it AS (
+      s"""a$it AS MATERIALIZED (
          |  SELECT vec_id, rq, cell FROM (
          |    SELECT r.vec_id, r.rq, c.cell,
          |           row_number() OVER (PARTITION BY r.vec_id
@@ -171,11 +177,11 @@ object SimilarityQueries {
          |n$it AS (
          |  SELECT cell, list(CAST(s AS DOUBLE)/(CAST(n AS DOUBLE)*1000000.0) ORDER BY i) AS c
          |  FROM s$it GROUP BY cell),
-         |c$it AS (
+         |c$it AS MATERIALIZED (
          |  SELECT p.cell, coalesce(nn.c, p.c) AS c
          |  FROM c${it - 1} p LEFT JOIN n$it nn USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""rq AS (
+    s"""rq AS MATERIALIZED (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CASE WHEN CAST(x AS DOUBLE) >= 0
        |           THEN CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)
