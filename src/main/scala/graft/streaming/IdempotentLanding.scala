@@ -220,29 +220,139 @@ object IdempotentLanding {
       .filter(_.startsWith(LineagePrefix)).map(_.stripPrefix(LineagePrefix))
   }
 
-  /** The committed manifest: every published data file certified by a
-    * commit marker, in (batchId, file) order. The object-store-safe read
-    * set — a manifest-trusting reader (or compaction) takes THIS list as
-    * the sink's content instead of a directory listing, so rename
+  /** The committed manifest: every data file in the sink's current READ
+    * SET, in (batchId, file) order — compacted spans attributed to the
+    * span's highest covered batchId. The object-store-safe read set — a
+    * manifest-trusting reader (or compaction) takes THIS list as the
+    * sink's content instead of a directory listing, so rename
     * non-atomicity and mid-repair sweeps are never observable.
     * Non-numeric names (the `.tmp` marker staging) and `#`-prefixed
-    * stamp lines are skipped. */
+    * stamp lines are skipped. When a compaction record exists
+    * ([[compactSink]]), its files REPLACE the per-batch manifests of
+    * every batch it covers; batches landed after it contribute their
+    * own markers as before. */
   def manifest(spark: org.apache.spark.sql.SparkSession,
                path: String): Seq[(Long, String)] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commitsDir = new Path(path, "_graft_commits")
-    if (!fs.exists(commitsDir)) Seq.empty
-    else fs.listStatus(commitsDir).toSeq
-      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption
-        .map(_ -> s.getPath))
-      .sortBy(_._1)
-      .flatMap { case (bid, p) =>
-        val in = fs.open(p)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                   finally in.close()
-        body.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
-          .map(bid -> _)
+    if (!fs.exists(commitsDir)) return Seq.empty
+    val (covered, compacted) = latestCompaction(fs, commitsDir)
+      .map { case (_, p) => readCompactionRecord(fs, p) }
+      .getOrElse((-1L, Seq.empty[String]))
+    compacted.map(covered -> _) ++
+      fs.listStatus(commitsDir).toSeq
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption
+          .map(_ -> s.getPath))
+        .filter(_._1 > covered)
+        .sortBy(_._1)
+        .flatMap { case (bid, p) =>
+          val in = fs.open(p)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                     finally in.close()
+          body.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+            .map(bid -> _)
+        }
+  }
+
+  // --- sink compaction (round 13: the streaming twin of the IVF index's
+  // compactIndex — a long-lived gate sink otherwise accumulates one file
+  // set per micro-batch forever) --------------------------------------
+
+  private val CompactionName = "compaction_(\\d+)".r
+
+  private def latestCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                               commitsDir: Path): Option[(Long, Path)] =
+    fs.listStatus(commitsDir).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case CompactionName(g) => Some(g.toLong -> s.getPath)
+        case _                 => None
       }
+    }.sortBy(_._1).lastOption
+
+  /** (covered max batchId, consolidated file names). */
+  private def readCompactionRecord(fs: org.apache.hadoop.fs.FileSystem,
+                                   rec: Path): (Long, Seq[String]) = {
+    val in = fs.open(rec)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val lines = body.split("\n").filter(_.nonEmpty)
+    val covered = lines.find(_.startsWith("#covered="))
+      .map(_.stripPrefix("#covered=").toLong).getOrElse(-1L)
+    (covered, lines.filterNot(_.startsWith("#")).toSeq)
+  }
+
+  /** COMPACT the sink's committed content: rewrite the current read set
+    * (every file [[manifest]] certifies) into one consolidated file set
+    * and publish a compaction record that supersedes the per-batch
+    * manifests it covers. The batchId-keyed exactly-once protocol is
+    * untouched: every batch MARKER remains in place, so a redelivered
+    * old batch still takes the O(1) skip (its lineage stamp included) —
+    * only the manifest's FILE LIST is re-pointed. Protocol, crash-safe
+    * under the single-writer contract:
+    *
+    *  1. Sweep orphans: data files in the sink that are NOT in the
+    *     current read set (a prior compaction that crashed between its
+    *     record publish and its deletes) are deleted — plain directory
+    *     readers converge back to the committed content.
+    *  2. The read set rewrites (coalesced) into a staging dir, then
+    *     renames to `graft-c<gen>-*.parquet`.
+    *  3. The compaction record `_graft_commits/compaction_<gen>`
+    *     publishes via the marker temp+rename discipline: first line
+    *     `#covered=<max batchId>`, then the consolidated file names.
+    *     From this instant manifest readers see the new read set.
+    *  4. The superseded files delete LAST. A crash before this leaves
+    *     duplicates visible to PLAIN directory readers only (manifest
+    *     readers are consistent at every step), and step 1 of the next
+    *     compaction heals it — same reader-visibility contract as the
+    *     landing sweep itself (drain-then-read, or read via
+    *     [[readCommitted]]).
+    *
+    * Scale shape: one read+write of the committed data, O(files)
+    * metadata ops; run it when files-per-sink exceeds the listing
+    * budget (the IVF compaction cadence argument, SCALING.md). */
+  def compactSink(spark: org.apache.spark.sql.SparkSession,
+                  path: String, numFiles: Int = 1): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitsDir = new Path(path, "_graft_commits")
+    val entries = manifest(spark, path)
+    if (entries.isEmpty) return
+    // 1. orphan sweep: converge plain readers before changing anything
+    val readSet = entries.map(_._2).toSet
+    fs.globStatus(new Path(path, "graft-*.parquet"))
+      .filterNot(s => readSet(s.getPath.getName))
+      .foreach { s =>
+        if (!fs.delete(s.getPath, false))
+          throw new java.io.IOException(s"compaction: failed to sweep orphan ${s.getPath}")
+      }
+    val gen = latestCompaction(fs, commitsDir).map(_._1).getOrElse(0L) + 1
+    val covered = entries.map(_._1).max
+    // 2. consolidate into staging, publish by rename
+    val staging = new Path(path, s"_graft_staging/compact_$gen")
+    spark.read.parquet(entries.map(e => new Path(path, e._2).toString): _*)
+      .coalesce(numFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val published = parts.zipWithIndex.map { case (p, k) =>
+      val dest = new Path(path, s"graft-c$gen-$k.parquet")
+      if (fs.exists(dest) && !fs.delete(dest, false))
+        throw new java.io.IOException(s"compaction: failed to sweep stale $dest")
+      if (!fs.rename(p, dest))
+        throw new java.io.IOException(s"compaction: failed to publish $p -> $dest")
+      dest.getName
+    }
+    fs.delete(staging, true)
+    // 3. record publishes atomically (the marker discipline)
+    val tmp = new Path(commitsDir, s".compaction_$gen.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((s"#covered=$covered\n" + published.mkString("\n") + "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(commitsDir, s"compaction_$gen")))
+      throw new java.io.IOException(s"compaction: failed to publish record gen $gen")
+    // 4. superseded files delete last (crash here -> next run's step 1)
+    readSet.foreach(f => fs.delete(new Path(path, f), false))
+    ()
   }
 
   /** THE manifest-trusting reader (round-13: the documented object-store

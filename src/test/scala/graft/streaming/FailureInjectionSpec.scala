@@ -439,6 +439,77 @@ class FailureInjectionSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("graft_mtr_empty").toString).count() == 0)
   }
 
+  test("compactSink: one file set, same content, markers intact, redelivery still skips") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_csk_sink").toString + "/t"
+    IdempotentLanding.land(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), sink, 0L, "L")
+    IdempotentLanding.land(Seq((3L, "c")).toDF("k", "v"), sink, 1L, "L")
+    IdempotentLanding.land(Seq((4L, "d"), (5L, "e")).toDF("k", "v"), sink, 2L, "L")
+    def dataFiles() = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    def rows() = spark.read.parquet(sink)
+      .collect().map(_.toString).toSet
+    val preFiles = dataFiles()
+    val preRows = rows()
+    assert(preFiles.size >= 3)
+
+    IdempotentLanding.compactSink(spark, sink)
+
+    assert(dataFiles().size == 1, s"expected one consolidated file, got ${dataFiles()}")
+    assert(rows() == preRows, "compaction changed plain-reader content")
+    assert(IdempotentLanding.readCommitted(spark, sink)
+      .collect().map(_.toString).toSet == preRows,
+      "compaction changed manifest-reader content")
+    // every batch MARKER survives, so redelivery of a compacted batch is
+    // still the O(1) skip — nothing lands twice, nothing throws
+    for (b <- 0L to 2L)
+      assert(new java.io.File(s"$sink/_graft_commits/$b").exists(),
+        s"batch $b marker must survive compaction")
+    IdempotentLanding.land(Seq((3L, "c")).toDF("k", "v"), sink, 1L, "L")
+    assert(rows() == preRows, "redelivery after compaction must be a no-op")
+    // new batches land on top of the compacted span; manifest holds both
+    IdempotentLanding.land(Seq((6L, "f")).toDF("k", "v"), sink, 3L, "L")
+    assert(rows().size == 6)
+    assert(IdempotentLanding.readCommitted(spark, sink).count() == 6)
+    // a second compaction folds the new batch in (covered advances)
+    IdempotentLanding.compactSink(spark, sink)
+    assert(dataFiles().size == 1)
+    assert(IdempotentLanding.readCommitted(spark, sink).count() == 6)
+    // and the stray-file guarantee still holds over a compacted sink
+    val committed = new java.io.File(sink).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(committed.toPath,
+      java.nio.file.Paths.get(sink, "graft-b99-0.parquet"))
+    assert(IdempotentLanding.readCommitted(spark, sink).count() == 6,
+      "manifest reader must ignore uncommitted files after compaction")
+  }
+
+  test("compactSink heals a crash between record publish and the superseded-file deletes") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_csk2_sink").toString + "/t"
+    IdempotentLanding.land(Seq((1L, "a")).toDF("k", "v"), sink, 0L, "L")
+    IdempotentLanding.land(Seq((2L, "b")).toDF("k", "v"), sink, 1L, "L")
+    IdempotentLanding.compactSink(spark, sink)
+    // simulate the crash window: restore a superseded-looking file (a
+    // duplicate of a committed batch file name, content = extra rows) —
+    // plain readers would double-count it; the manifest reader never
+    // sees it; the next compaction's orphan sweep removes it
+    val extra = java.nio.file.Files.createTempDirectory("graft_csk2_x")
+    Seq((9L, "z")).toDF("k", "v").coalesce(1).write.mode("overwrite")
+      .parquet(extra.toString + "/p")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(extra.toString, "p"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, java.nio.file.Paths.get(sink, "graft-b1-0.parquet"))
+    assert(spark.read.parquet(sink).count() > 2,
+      "fixture vacuous: the orphan must be visible to a directory listing")
+    assert(IdempotentLanding.readCommitted(spark, sink).count() == 2,
+      "manifest reader must not see the orphan")
+    IdempotentLanding.compactSink(spark, sink)
+    assert(spark.read.parquet(sink).count() == 2,
+      "the orphan sweep must converge plain readers back to committed content")
+    assert(IdempotentLanding.readCommitted(spark, sink).count() == 2)
+  }
+
   test("an orphaned marker temp file is inert: not a marker, not a manifest entry") {
     // the atomic marker publish stages at _graft_commits/.<id>.tmp; a
     // crash between write and rename leaves that temp behind. It must
