@@ -93,28 +93,35 @@ object IvfAnn {
       when(x.cast("double") >= 0, floor(x.cast("double") * QScale + 0.5))
         .otherwise(-floor(-x.cast("double") * QScale + 0.5)).cast("long"))
 
-  /** Argmin cell by squared-L2 over v_i = r_i/1e6, left-to-right fold,
-    * ties to the lowest cell id — the exact comparison DuckDB replays. */
-  private def assignUdf(cents: Array[Array[Double]]) =
-    udf { (rq: Seq[Long]) =>
-      var best = 0
-      var bestD = Double.MaxValue
-      var cIdx = 0
-      while (cIdx < cents.length) {
-        val c = cents(cIdx)
-        var d = 0.0
-        val n = math.min(c.length, rq.length)
-        var i = 0
-        while (i < n) {
-          val v = rq(i).toDouble / 1000000.0 - c(i)
-          d += v * v
-          i += 1
-        }
-        if (d < bestD) { bestD = d; best = cIdx }
-        cIdx += 1
+  /** The nearest-centroid loop both assignment UDFs share: argmin cell
+    * by squared-L2 over v_i = r_i/1e6, left-to-right fold, ties to the
+    * lowest cell id — the exact comparison DuckDB replays. ONE
+    * implementation so the drift monitor's assignment can never
+    * silently diverge from the index's (the v17 oracle gate depends on
+    * bit-for-bit parity between the two). */
+  private def nearest(cents: Array[Array[Double]],
+                      rq: Seq[Long]): (Int, Double) = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var cIdx = 0
+    while (cIdx < cents.length) {
+      val c = cents(cIdx)
+      var d = 0.0
+      val n = math.min(c.length, rq.length)
+      var i = 0
+      while (i < n) {
+        val v = rq(i).toDouble / 1000000.0 - c(i)
+        d += v * v
+        i += 1
       }
-      best
+      if (d < bestD) { bestD = d; best = cIdx }
+      cIdx += 1
     }
+    (best, bestD)
+  }
+
+  private def assignUdf(cents: Array[Array[Double]]) =
+    udf { (rq: Seq[Long]) => nearest(cents, rq)._1 }
 
   /** [[assignUdf]] plus the winning distance, micro-quantized: returns
     * (cell, nano-units of √bestD) — the drift monitor's per-vector
@@ -126,22 +133,7 @@ object IvfAnn {
     * norms — sample beyond that). */
   private def assignDistUdf(cents: Array[Array[Double]]) =
     udf { (rq: Seq[Long]) =>
-      var best = 0
-      var bestD = Double.MaxValue
-      var cIdx = 0
-      while (cIdx < cents.length) {
-        val c = cents(cIdx)
-        var d = 0.0
-        val n = math.min(c.length, rq.length)
-        var i = 0
-        while (i < n) {
-          val v = rq(i).toDouble / 1000000.0 - c(i)
-          d += v * v
-          i += 1
-        }
-        if (d < bestD) { bestD = d; best = cIdx }
-        cIdx += 1
-      }
+      val (best, bestD) = nearest(cents, rq)
       (best, math.floor(math.sqrt(bestD) * 1e9 + 0.5).toLong)
     }
 
@@ -329,26 +321,11 @@ object IvfAnn {
     * standard broadcast-or-bloom side of the anti-join; compaction is
     * the lever that keeps it small. */
   def deleteFromIndex(deleteIds: DataFrame, path: String): Unit =
-    deleteIds.select(col(deleteIds.columns.head).cast("long").as("vec_id"))
-      .write.mode("append").parquet(s"$path/tombstones")
-
-  /** The standing tombstone set, or None when nothing was ever deleted
-    * — None keeps the no-deletes search plans byte-identical to the
-    * pre-lifecycle ones (no vacuous anti-join in every EXPLAIN). */
-  private def tombstonesOpt(spark: SparkSession,
-                            path: String): Option[DataFrame] = {
-    val fs = fsOf(spark, path)
-    if (fs.exists(new Path(path, "tombstones")))
-      Some(spark.read.parquet(s"$path/tombstones").select("vec_id").distinct())
-    else None
-  }
+    IndexTombstones.append(deleteIds, path)
 
   private def dropTombstoned(spark: SparkSession, path: String,
                              assigned: DataFrame): DataFrame =
-    tombstonesOpt(spark, path) match {
-      case Some(t) => assigned.join(broadcast(t), Seq("vec_id"), "left_anti")
-      case None    => assigned
-    }
+    IndexTombstones.drop(spark, path, assigned)
 
   /** COMPACTION (round 13): rewrite the accumulated per-delta small
     * files (cells × deltas after a run of [[updateIndex]] appends) into
@@ -368,52 +345,28 @@ object IvfAnn {
     * a missing dir that the ensure* memo heals by rebuild); (4) the
     * tombstones clear LAST — a crash before this leaves tombstones that
     * now anti-join nothing, harmless. */
-  def compactIndex(spark: SparkSession, path: String): Unit = {
-    val fs = fsOf(spark, path)
-    val survivors = dropTombstoned(spark, path,
-        spark.read.parquet(s"$path/assigned"))
-      .repartition(col("cell"))
-    val staging = s"$path/assigned_compact_staging"
-    survivors.write.mode("overwrite").partitionBy("cell").parquet(staging)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .select(col("cell"), unitCol(col("centroid")).as("anchor"))
-    val recomputed = spark.read.parquet(staging)
-      .join(broadcast(centroids), "cell")
-      .select(col("cell"), col("anchor"),
-        distCol(unitCol(col("embedding")), col("anchor")).as("d"))
-      .groupBy("cell", "anchor").agg(max("d").as("radius"))
-    publishCellstats(spark, path, recomputed)
-    if (!fs.delete(new Path(s"$path/assigned"), true))
-      throw new java.io.IOException(s"compaction: failed to retire $path/assigned")
-    if (!fs.rename(new Path(staging), new Path(s"$path/assigned")))
-      throw new java.io.IOException(
-        s"compaction: failed to publish $staging -> $path/assigned")
-    fs.delete(new Path(path, "tombstones"), true)
-    ()
-  }
+  def compactIndex(spark: SparkSession, path: String): Unit =
+    IndexTombstones.compactData(spark, path, "assigned") { staging =>
+      // radii recompute over the survivors, published BEFORE the swap:
+      // the recomputed (smaller) radii are sound while the OLD assigned
+      // dir + tombstone anti-join still serve reads — survivors' radii
+      // cover exactly the rows the anti-join leaves visible
+      val centroids = spark.read.parquet(s"$path/centroids")
+        .select(col("cell"), unitCol(col("centroid")).as("anchor"))
+      val recomputed = spark.read.parquet(staging)
+        .join(broadcast(centroids), "cell")
+        .select(col("cell"), col("anchor"),
+          distCol(unitCol(col("embedding")), col("anchor")).as("d"))
+        .groupBy("cell", "anchor").agg(max("d").as("radius"))
+      publishCellstats(spark, path, recomputed)
+    }
 
-  /** Per-JVM build memo: path → lifecycle tag. Keying by lifecycle (not
-    * just path) makes the ensure* entry points mutually exclusive per
-    * path — ensureIndex(p) followed by ensureUpdatedIndex(_, _, _, p)
-    * must not silently skip the update (or vice versa assume it landed),
-    * so a cross-lifecycle hit throws instead. */
-  private val built = scala.collection.mutable.Map.empty[String, String]
+  /** Per-JVM (path → lifecycle) build memo — see [[LifecycleMemo]]. */
+  private val memo = new LifecycleMemo("IVF")
 
   private def ensureLifecycle(path: String, lifecycle: String)
-                             (build: => Unit): Unit = synchronized {
-    built.get(path) match {
-      case Some(l) if l == lifecycle => ()
-      case Some(other) =>
-        throw new IllegalStateException(
-          s"index path $path is owned by lifecycle '$other' in this JVM; " +
-          s"refusing '$lifecycle' — one path, one ensure* entry point " +
-          "(use a distinct path per lifecycle)")
-      case None =>
-        build
-        built.put(path, lifecycle)
-        ()
-    }
-  }
+                             (build: => Unit): Unit =
+    memo.ensure(path, lifecycle)(build)
 
   /** Build-once guard (IvfPqAnn.ensureIndex's pattern): the index is a
     * pure deterministic function of (corpus, nCells), so a path built
@@ -594,20 +547,27 @@ object IvfAnn {
   /** Publish `stats` as the next cellstats generation. Completeness is
     * signalled by the write's own `_SUCCESS` (no pointer file to swap —
     * readers take the max complete generation, so visible ⇔ complete).
-    * Generations ≤ N−2 are retired; the immediately-previous one is
-    * retained so a reader that resolved it just before this publish can
-    * still finish (single-writer contract — see the object scaladoc). */
+    * Retirement keeps exactly TWO generations: the one just published
+    * and the newest PREVIOUSLY-COMPLETE one, so a reader that resolved
+    * the previous generation just before this publish can still finish
+    * (single-writer contract — see the object scaladoc). Everything
+    * else — older complete generations AND incomplete orphans from
+    * crashed publishes — is deleted. (Round-13 review: retiring by
+    * generation NUMBER alone kept a crashed publish's incomplete dir
+    * while deleting the complete generation beneath it, exactly the
+    * one the retain-previous guarantee promises to readers.) */
   private def publishCellstats(spark: SparkSession, path: String,
                                stats: DataFrame): Unit = {
     val fs = fsOf(spark, path)
     val next = cellstatsGenDirs(fs, path).map(_._1).maxOption.getOrElse(0L) + 1
+    val keepPrev = currentCellstatsGen(fs, path).map(_._1)
     // localCheckpoint: the merged-update input reads the PREVIOUS
     // generation; materializing first keeps the write's lineage from
     // re-reading it mid-retirement and pins the publish to one job
     stats.localCheckpoint(true)
       .write.mode("overwrite").parquet(s"$path/cellstats_v$next")
     cellstatsGenDirs(fs, path)
-      .filter { case (n, _) => n <= next - 2 }
+      .filter { case (n, _) => n != next && !keepPrev.contains(n) }
       .foreach { case (_, p) => fs.delete(p, true) }
   }
 

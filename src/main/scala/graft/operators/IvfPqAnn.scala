@@ -248,22 +248,11 @@ object IvfPqAnn {
     * Keyed by (path, lifecycle) like IvfAnn's memo: one path, one
     * ensure* entry point — a cross-lifecycle hit throws instead of
     * silently skipping the other lifecycle's extra step. */
-  private val built = scala.collection.mutable.Map.empty[String, String]
+  private val memo = new LifecycleMemo("IVF-PQ")
 
   private def ensureLifecycle(path: String, lifecycle: String)
-                             (build: => Unit): Unit = synchronized {
-    built.get(path) match {
-      case Some(l) if l == lifecycle => ()
-      case Some(other) =>
-        throw new IllegalStateException(
-          s"IVF-PQ index path $path is owned by lifecycle '$other' in this " +
-          s"JVM; refusing '$lifecycle' — use a distinct path per lifecycle")
-      case None =>
-        build
-        built.put(path, lifecycle)
-        ()
-    }
-  }
+                             (build: => Unit): Unit =
+    memo.ensure(path, lifecycle)(build)
 
   def ensureIndex(corpus: DataFrame, path: String,
                   nCells: Int = NCells): Unit =
@@ -286,55 +275,24 @@ object IvfPqAnn {
     * consumes the `cand` re-rank budget. Compaction
     * ([[compactIndex]]) removes the rows for good. */
   def deleteFromIndex(deleteIds: DataFrame, path: String): Unit =
-    deleteIds.select(col(deleteIds.columns.head).cast("long").as("vec_id"))
-      .write.mode("append").parquet(s"$path/tombstones")
+    IndexTombstones.append(deleteIds, path)
 
-  private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
-                             path: String, codes: DataFrame): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path, "tombstones")))
-      codes.join(
-        broadcast(spark.read.parquet(s"$path/tombstones")
-          .select("vec_id").distinct()),
-        Seq("vec_id"), "left_anti")
-    else codes
-  }
-
-  /** Compaction for the code layout: rewrite each cell's files to one
-    * (repartition(cell) + partitionBy), dropping tombstoned codes for
-    * good, then clear the tombstones LAST (a crash before the clear
-    * leaves tombstones that anti-join nothing — harmless). No cellstats
-    * here: the PQ index serves probed top-k only, so there are no
-    * radii to recompute. Single-writer drain-then-read contract, like
+  /** Compaction for the code layout ([[IndexTombstones.compactData]]):
+    * rewrite each cell's files to one, dropping tombstoned codes for
+    * good. No cellstats here — the PQ index serves probed top-k only,
+    * so there are no radii to recompute and the pre-swap hook is a
+    * no-op. Single-writer drain-then-read contract, like
     * IvfAnn.compactIndex. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-                   path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val survivors = dropTombstoned(spark, path,
-        spark.read.parquet(s"$path/codes"))
-      .repartition(col("cell"))
-    val staging = s"$path/codes_compact_staging"
-    survivors.write.mode("overwrite").partitionBy("cell").parquet(staging)
-    if (!fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true))
-      throw new java.io.IOException(s"compaction: failed to retire $path/codes")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
-                   new org.apache.hadoop.fs.Path(s"$path/codes")))
-      throw new java.io.IOException(
-        s"compaction: failed to publish $staging -> $path/codes")
-    fs.delete(new org.apache.hadoop.fs.Path(path, "tombstones"), true)
-    ()
-  }
+                   path: String): Unit =
+    IndexTombstones.compactData(spark, path, "codes")(_ => ())
 
   def buildIndex(corpus: DataFrame, path: String, nCells: Int = NCells): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // a fresh build resets the lifecycle: stale tombstones from a
     // previous process must not apply to the rebuilt index
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(path, "tombstones"), true)
+    IndexTombstones.clear(spark, path)
     val coarse = IvfAnn.fitCentroids(corpus, nCells)
     val cmicro = coarse.map(_.map(PqAnn.microOf))
     val assigned = assignResiduals(corpus, cmicro).persist()
@@ -381,7 +339,7 @@ object IvfPqAnn {
     val cells = qp.select("pcell").distinct().collect().map(_.getInt(0)).toSeq
     // tombstones drop BEFORE ADC (deleted codes neither score nor eat
     // the cand budget); no-delete indexes skip the join — plan unchanged
-    val codes = dropTombstoned(spark, path,
+    val codes = IndexTombstones.drop(spark, path,
       spark.read.parquet(s"$path/codes")
         .filter(col("cell").isin(cells: _*))) // static partition pruning
     (codes, qp)

@@ -130,6 +130,19 @@ object IdempotentLanding {
     fromMeta.getOrElse(checkpoint)
   }
 
+  /** Memoized [[lineageIdOf]] for one checkpoint: the id is minted once
+    * per checkpoint and stable for the stream's life, so a gate reads
+    * the metadata file once per stream instead of once per micro-batch
+    * (it must still resolve lazily, INSIDE foreachBatch — the metadata
+    * file does not exist until the stream has started). */
+  final class Lineage(checkpoint: String) {
+    @volatile private var cached: String = null
+    def of(spark: org.apache.spark.sql.SparkSession): String = {
+      if (cached == null) cached = lineageIdOf(spark, checkpoint)
+      cached
+    }
+  }
+
   def land(kept: DataFrame, path: String, batchId: Long,
            lineageId: String = ""): Unit = {
     val spark = kept.sparkSession
@@ -149,7 +162,12 @@ object IdempotentLanding {
           "fresh-checkpoint stream was pointed at an old sink; its batches " +
           "would silently skip. Use a fresh sink directory (or restore the " +
           "original checkpoint).")
-      if (batchId == 0L && stamp.isEmpty) failIfStaleLineage(fs, commitsDir, path)
+      // batch 0 with nothing to compare stamps against (either side
+      // unstamped — a legacy marker, or a lineage-less caller) falls
+      // back to the round-11 conservative check: batch 0 can never
+      // follow committed batches > 0, whoever wrote them
+      if (batchId == 0L && (stamp.isEmpty || lineageId.isEmpty))
+        failIfStaleLineage(fs, commitsDir, path)
       return
     }
     // unstamped-marker fallback for batch 0 when there is nothing to

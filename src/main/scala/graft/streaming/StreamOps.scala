@@ -352,12 +352,13 @@ object StreamOps {
     import graft.functions.TextFunctions._
     val (bi, uni, vocab) = lmCounts(train)
     bi.persist(); uni.persist(); vocab.persist()
+    val lineage = new IdempotentLanding.Lineage(checkpoint)
     docs.dropDuplicates("doc_id").writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         lmGateBatch(batch, batchId, bi, uni, vocab, threshold, path,
-          IdempotentLanding.lineageIdOf(batch.sparkSession, checkpoint))
+          lineage.of(batch.sparkSession))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -420,16 +421,18 @@ object StreamOps {
     * exactly like d8's incremental LSH, and the sink is never re-read. */
   def containmentGate(docs: DataFrame, refShingled: DataFrame,
                       tNum: Int, tDen: Int, path: String,
-                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val lineage = new IdempotentLanding.Lineage(checkpoint)
     docs.dropDuplicates("doc_id").writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         containmentGateBatch(batch, batchId, refShingled, tNum, tDen, path,
-          IdempotentLanding.lineageIdOf(batch.sparkSession, checkpoint))
+          lineage.of(batch.sparkSession))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** The per-micro-batch body of [[containmentGate]], exposed for
     * failure-injection tests (deterministic per input batch, so a
@@ -462,16 +465,18 @@ object StreamOps {
     * never rescans outside the probed cells, never re-fits, and the
     * sink is never re-read. */
   def annGate(queryVecs: DataFrame, indexPath: String, k: Int, nProbe: Int,
-              path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+              path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val lineage = new IdempotentLanding.Lineage(checkpoint)
     queryVecs.dropDuplicates("vec_id").writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         annGateBatch(batch, batchId, indexPath, k, nProbe, path,
-          IdempotentLanding.lineageIdOf(batch.sparkSession, checkpoint))
+          lineage.of(batch.sparkSession))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** Per-micro-batch body of [[annGate]], exposed for failure-injection
     * tests (deterministic per input batch: redelivery converges to
@@ -527,16 +532,18 @@ object StreamOps {
     * the sink is never re-read. */
   def walkGate(seeds: DataFrame, edges: DataFrame, steps: Int,
                path: String,
-               checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+               checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val lineage = new IdempotentLanding.Lineage(checkpoint)
     seeds.dropDuplicates("start").writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         walkGateBatch(batch, batchId, edges, steps, path,
-          IdempotentLanding.lineageIdOf(batch.sparkSession, checkpoint))
+          lineage.of(batch.sparkSession))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** Per-micro-batch body of [[walkGate]], exposed for failure-injection
     * tests (deterministic per input batch: redelivery converges to

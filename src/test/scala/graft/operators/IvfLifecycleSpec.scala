@@ -215,6 +215,64 @@ class IvfLifecycleSpec extends SparkSpec {
       s"generation retirement must bound the dir count, got ${gens()}")
   }
 
+  test("generation retirement keeps the previous COMPLETE gen, drops a crashed orphan above it") {
+    // round-13 review finding: retiring by generation NUMBER alone kept
+    // a crashed publish's incomplete dir while deleting the complete
+    // generation beneath it — exactly the one the retain-previous
+    // guarantee promises a racing reader. Retirement must key on
+    // completeness, not number.
+    import spark.implicits._
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val path = tmp("genret")
+    IvfAnn.buildIndex(
+      e.filter(col("vec_id") >= 8).select("vec_id", "embedding"), 16, path)
+    def gens() = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("cellstats_v")).sorted.toSeq
+    assert(gens() == Seq("cellstats_v1"))
+    // a crashed publish left an incomplete generation ABOVE the live one
+    IvfAnn.readCellstats(spark, path)
+      .write.mode("overwrite").parquet(s"$path/cellstats_v5")
+    assert(new java.io.File(s"$path/cellstats_v5/_SUCCESS").delete())
+    // the next real publish (an update) must retain v1 — the newest
+    // previously-COMPLETE gen — and retire the crashed v5
+    IvfAnn.updateIndex(
+      e.filter(col("vec_id") < 8).select("vec_id", "embedding"), path)
+    val after = gens()
+    assert(after.contains("cellstats_v1"),
+      s"the previously-complete generation must survive retirement: $after")
+    assert(after.contains("cellstats_v6"), s"new gen missing: $after")
+    assert(!after.contains("cellstats_v5"),
+      s"the crashed incomplete generation must be retired: $after")
+    // and the index still serves exact results
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    assert(gotRange(path, queries, 0.25) ==
+      bruteRange(e, queries, 0.25))
+  }
+
+  test("compaction refuses an all-tombstoned index instead of bricking it") {
+    // a partitioned write of zero survivors emits no data files; the
+    // swap would leave $path/assigned unreadable for every later
+    // search. Deleting a whole index is a rebuild decision — compaction
+    // must fail fast and leave the layout serving.
+    import spark.implicits._
+    val e = graft.Tables.load(spark, sfDir, "embeddings").limit(40)
+      .select("vec_id", "embedding")
+    val path = tmp("empty")
+    IvfAnn.buildIndex(e, nCells = 4, path)
+    IvfAnn.deleteFromIndex(e.select("vec_id"), path) // everything
+    val ex = intercept[IllegalStateException] {
+      IvfAnn.compactIndex(spark, path)
+    }
+    assert(ex.getMessage.contains("empty survivor set"))
+    // the live layout is untouched: still readable, tombstones still
+    // applied (empty result, not an exception)
+    val queries = e.limit(2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    assert(IvfAnn.topKFromIndex(spark, path, queries, k = 3, nProbe = 4)
+      .count() == 0)
+  }
+
   test("IVF-PQ tombstones: deleted codes never surface, never eat the cand budget; compaction equivalent") {
     val e = graft.Tables.load(spark, sfDir, "embeddings")
     val path = tmp("pqdel")

@@ -381,6 +381,15 @@ class FailureInjectionSpec extends SparkSpec {
       IdempotentLanding.land(Seq((8L, "y")).toDF("k", "v"), sink, 1L, "lineage-B")
     }
     assert(e2.getMessage.contains("lineage"))
+    // a LINEAGE-LESS caller's batch 0 over stamped markers {0, 1} has
+    // nothing to compare stamps against — it must fall back to the
+    // conservative batch-0 check (markers > 0 exist → throw), not skip
+    // silently (round-13 review: the stamped-marker path had narrowed
+    // the round-11 guard for unstamped callers)
+    val e3 = intercept[IllegalStateException] {
+      IdempotentLanding.land(Seq((7L, "x")).toDF("k", "v"), sink, 0L)
+    }
+    assert(e3.getMessage.contains("fresh-checkpoint"))
   }
 
   test("gate streams stamp their checkpoint lineage: fresh-checkpoint gate stream fails fast") {
