@@ -31,6 +31,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOTE (round 13): spark.sql.join.preferSortMergeJoin=false (the
+      // optimization guide §9 baseline) was A/B-measured here over a
+      // join-heavy 12-query subset, interleaved runs: no aggregate win,
+      // and g5/x19 consistently slower under shuffled-hash (their big
+      // post-aggregate joins lose the sort reuse). Kept at the default.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -60,11 +60,17 @@ object ContainmentJoin {
                          size(col(shCol)).cast("long").as("n"))
     val exploded = base.select(col("sid"), col("n"), explode(col("sh")).as("g"))
     // global shingle document-frequency → rarest-first canonical order;
-    // ONE ranking pass yields both the probe prefix and the index position
+    // ONE ranking pass yields both the probe prefix and the index position.
+    // cached (round 13): the prefix and index sides BOTH read this frame,
+    // and when the candidate join broadcasts one side Catalyst cannot
+    // reuse the other side's exchange — uncached, the whole
+    // explode → df-join → rank pipeline ran twice (visible as two full
+    // Window subtrees in the before-plan). One materialization, same rows.
     val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
     val ranked = exploded.join(freq, "g")
       .withColumn("rk", row_number().over(
         Window.partitionBy("sid").orderBy(col("df"), col("g"))).cast("long"))
+      .cache()
     // prefix size = n - ceil(t*n) + 1, all in integers
     // (integer ceil division (div, not `/`): the double route is exact
     // only below 2^53 and this bound must never shrink the prefix)
@@ -128,7 +134,11 @@ object ContainmentJoin {
     val pBase = prep(probe)
     val iBase = prep(index)
     val iExploded = iBase.select(col("sid"), col("n"), explode(col("sh")).as("g"))
-    val freq = iExploded.groupBy("g").agg(count(lit(1)).as("df"))
+    // cached (round 13): the frozen index-corpus df table is read by BOTH
+    // ranked() calls below (probe side and index side) — uncached, the
+    // index explode + aggregate ran twice. Small frame (distinct index
+    // shingles), one materialization.
+    val freq = iExploded.groupBy("g").agg(count(lit(1)).as("df")).cache()
     def ranked(exploded: DataFrame) = exploded
       .join(freq, Seq("g"), "left")
       .withColumn("dfz", coalesce(col("df"), lit(0L)))

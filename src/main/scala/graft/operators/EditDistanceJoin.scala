@@ -70,17 +70,41 @@ object EditDistanceJoin {
       explode(expr(
         s"transform(sequence(1, length(str) - $q + 1), i -> substring(str, i, $q))"
       )).as("g"))
-    // (g, occurrence#) tokens; any order within (sid, g) yields the same set
-    val tokens = grams.withColumn("occ",
-      row_number().over(Window.partitionBy("sid", "g").orderBy("g")))
-    // global canonical order: ascending token document-frequency
-    val withFreq = tokens.withColumn("freq",
-      count(lit(1)).over(Window.partitionBy("g", "occ")))
-    val prefix = withFreq
+    // (g, occurrence#) tokens WITHOUT a per-(sid, g) window (round 13):
+    // the i-th occurrence of g in s is just i = 1..count, so one
+    // map-side-combined groupBy collapses duplicate grams and a
+    // sequence-explode re-emits the numbered set — same (g, occ) rows
+    // the old row_number() produced, with the raw gram stream's
+    // duplicates collapsed BEFORE its exchange (guide §2.3) instead of
+    // sorted through it (three full-stream window exchanges, one per
+    // distinct partitioning, became this one collapsed one).
+    // cached: the numbered token set feeds BOTH the freq aggregate and
+    // the prefix ranking, and the candidate self-join reads the prefix
+    // twice — uncached, Catalyst planned the whole scan→explode→count
+    // pipeline once per consumer (4 copies, measured slower than the
+    // window form it replaced). One materialization of the collapsed
+    // counts; the cheap sequence-explode re-runs from cache.
+    val cnts = grams.groupBy("sid", "len", "g").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val tokens = cnts.select(col("sid"), col("len"), col("g"),
+      explode(expr("sequence(1L, cnt)")).as("occ"))
+    // global canonical order: ascending token document-frequency,
+    // via partial-aggregated groupBy + BROADCAST join-back (the d2
+    // pattern) rather than a count() window partitioned by (g, occ) —
+    // the window form moves every token row through a (g, occ)
+    // exchange with no map-side combine, and a frequent gram's occ=1
+    // partition holds nearly every doc: the exact hot-key skew §2.5
+    // warns about. The (g, occ) vocabulary is bounded by |Σ|^q times
+    // the max per-doc gram count — independent of corpus size — so the
+    // broadcast stays sound at any scale. (Catalyst reuses the cnts
+    // exchange for both branches: the token stream is computed once.)
+    val freq = tokens.groupBy("g", "occ").agg(count(lit(1)).as("freq"))
+    val prefix = tokens.join(broadcast(freq), Seq("g", "occ"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("sid").orderBy(col("freq"), col("g"), col("occ"))))
       .filter(col("rk") <= prefixLen)
       .select("sid", "len", "g", "occ")
+      .cache() // both sides of the candidate self-join read this frame
 
     // id+length only through the join: the length band prunes here, the
     // string payload never enters the candidate exchange
@@ -153,7 +177,15 @@ object EditDistanceJoin {
 
     val base = df.select(col(idCol).as("sid"), col(strCol).as("str"),
                          length(col(strCol)).as("len"))
-    val vars = base.select(col("sid"), col("len"), explode(expr(vExpr)).as("v"))
+    // variants join on their 64-bit hash, not the string (round 13):
+    // the candidate exchange carries 8 bytes per row instead of a
+    // ~len-char variant (guide §2.3 "shuffle keys, not payloads").
+    // Lossless: a hash collision can only MERGE buckets — extra
+    // candidate pairs the exact thresholded levenshtein verify below
+    // already drops — never separate two rows whose variants are equal.
+    val vars = base.select(col("sid"), col("len"),
+      explode(expr(vExpr)).as("v"))
+      .select(col("sid"), col("len"), xxhash64(col("v")).as("v"))
     // id+length only through the variant join; strings re-join after the
     // candidate distinct (same exchange-slimming as selfJoin)
     vars.select(col("sid").as("a_id"), col("len").as("a_len"), col("v"))

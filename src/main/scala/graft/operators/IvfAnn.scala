@@ -143,7 +143,14 @@ object IvfAnn {
     * O(partitions · nCells · dim) rows regardless of corpus size. */
   def fitCentroids(corpus: DataFrame, nCells: Int,
                    iters: Int = LloydIters): Array[Array[Double]] = {
+    // cache the quantized frame for the fit's iters+1 driver-coordinated
+    // passes (round 13): uncached, every Lloyd step re-ran the scan +
+    // quantization lineage — iters+1 redundant corpus reads for a frame
+    // that is two narrow columns (guide §5: reuse across actions is the
+    // case caching exists for). Values are identical either way; the
+    // cache is released before returning.
     val rq = corpus.select(col("vec_id"), quantCol(col("embedding")).as("rq"))
+      .cache()
     var cents: Array[Array[Double]] = rq
       .withColumn("h", (col("vec_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L))
       .orderBy(col("h"), col("vec_id"))
@@ -169,6 +176,7 @@ object IvfAnn {
       cents = next
       it += 1
     }
+    rq.unpersist(blocking = false)
     cents
   }
 

@@ -106,7 +106,11 @@ object PqAnn {
     * codebooks cm(m)(k)(dsub). Seeds: the K lowest rows of the v4 LCG
     * hash order, each contributing its m-th subvector to subspace m. */
   def fitCodebooks(corpus: DataFrame): Array[Array[Array[Long]]] = {
+    // cached across the seed pass + PqIters collect passes (round 13,
+    // the fitCentroids change): uncached, each pass re-ran the scan +
+    // quantization lineage. Same values, one materialization.
     val rq = corpus.select(col("vec_id"), quantCol(col("embedding")).as("rq"))
+      .cache()
     val seeds = rq
       .withColumn("h", (col("vec_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L))
       .orderBy(col("h"), col("vec_id"))
@@ -144,6 +148,7 @@ object PqAnn {
       cm = next
       it += 1
     }
+    rq.unpersist(blocking = false)
     cm
   }
 

@@ -108,7 +108,14 @@ object BpeQueries {
             .withColumn("enc",
               call_function("replace", col("enc"), lit(pat), lit(mergedSym)))
             .select("freq", "enc")
-            .localCheckpoint(eager = true)
+          // checkpoint every OTHER round (round 13): each eager
+          // localCheckpoint is a full materialization job over the
+          // vocabulary table, and the lineage between checkpoints is a
+          // single codegen'd replace — recomputing one replace in the
+          // next round's aggregate is cheaper than materializing every
+          // round. Merge results are a pure function of the data either
+          // way (same argmax per round).
+          if (r % 2 == 0) words = words.localCheckpoint(eager = true)
           r += 1
         }
       }
