@@ -58,7 +58,17 @@ object ContainmentJoin {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, s"need 0 < t <= 1; got $tNum/$tDen")
     val base = df.select(col(idCol).as("sid"), col(shCol).as("sh"),
                          size(col(shCol)).cast("long").as("n"))
-    val exploded = base.select(col("sid"), col("n"), explode(col("sh")).as("g"))
+    // shingles HASH to 64-bit keys at explode (round 13, the
+    // j17/j18/NearDupPairs discipline): the freq aggregate, rank window
+    // and candidate equi-join below all key on longs instead of shingle
+    // strings — cheaper aggregate hashing, 8-byte exchange keys (guide
+    // §2.3). Lossless: the prefix theorem and the JOSIE length/position
+    // bounds hold for ANY shared total order ((df, hash) is one), a
+    // collision only MERGES shingle identities — extra candidates the
+    // exact string-array verify in selfJoin/probeJoin drops — and the
+    // brute-force oracle never sees the candidate set.
+    val exploded = base.select(col("sid"), col("n"), explode(col("sh")).as("gs"))
+      .select(col("sid"), col("n"), xxhash64(col("gs")).as("g"))
     // global shingle document-frequency → rarest-first canonical order;
     // ONE ranking pass yields both the probe prefix and the index position.
     // cached (round 13): the prefix and index sides BOTH read this frame,
@@ -85,8 +95,8 @@ object ContainmentJoin {
       case Some(items) =>
         val bf = prefix.stat.bloomFilter("g", items, 0.03)
         val bc = df.sparkSession.sparkContext.broadcast(bf)
-        val mightContain = udf((g: String) =>
-          g != null && bc.value.mightContainString(g))
+        val mightContain = udf((g: java.lang.Long) =>
+          g != null && bc.value.mightContainLong(g))
         indexAll.filter(mightContain(col("g")))
       case None => indexAll
     }
@@ -133,7 +143,13 @@ object ContainmentJoin {
                 size(col(shCol)).cast("long").as("n"))
     val pBase = prep(probe)
     val iBase = prep(index)
-    val iExploded = iBase.select(col("sid"), col("n"), explode(col("sh")).as("g"))
+    // hashed shingle keys, as in frames() — same losslessness argument,
+    // and the frozen-df semantics carry over (an unseen probe hash left-
+    // joins to null → df 0, consistent on both sides)
+    def hashed(df: DataFrame) = df
+      .select(col("sid"), col("n"), explode(col("sh")).as("gs"))
+      .select(col("sid"), col("n"), xxhash64(col("gs")).as("g"))
+    val iExploded = hashed(iBase)
     // cached (round 13): the frozen index-corpus df table is read by BOTH
     // ranked() calls below (probe side and index side) — uncached, the
     // index explode + aggregate ran twice. Small frame (distinct index
@@ -144,8 +160,7 @@ object ContainmentJoin {
       .withColumn("dfz", coalesce(col("df"), lit(0L)))
       .withColumn("rk", row_number().over(
         Window.partitionBy("sid").orderBy(col("dfz"), col("g"))).cast("long"))
-    val pPrefix = ranked(
-        pBase.select(col("sid"), col("n"), explode(col("sh")).as("g")))
+    val pPrefix = ranked(hashed(pBase))
       .filter(col("rk") <= col("n") -
         expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
       .select(col("sid").as("a_id"), col("g"),

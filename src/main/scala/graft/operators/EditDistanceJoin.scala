@@ -65,10 +65,18 @@ object EditDistanceJoin {
     val grammed = base.filter(col("len") >= q)
     val shorts  = base.filter(col("len") <= shortLen)
 
-    // positional q-grams via codegen'd higher-order functions
+    // positional q-grams via codegen'd higher-order functions, HASHED to
+    // 64-bit keys at birth (round 13): every downstream operation —
+    // duplicate-collapsing count, freq aggregate, prefix rank, candidate
+    // equi-join — then works on longs instead of q-char strings (cheaper
+    // hashing/compares in the aggregates, 8-byte exchange keys, guide
+    // §2.3). Lossless like j17's variant hashing: the prefix theorem
+    // holds for ANY shared total order, (freq, hash, occ) is one, and a
+    // hash collision only MERGES gram identities — extra candidates the
+    // exact verify drops, never a lost pair.
     val grams = grammed.select(col("sid"), col("len"),
       explode(expr(
-        s"transform(sequence(1, length(str) - $q + 1), i -> substring(str, i, $q))"
+        s"transform(sequence(1, length(str) - $q + 1), i -> xxhash64(substring(str, i, $q)))"
       )).as("g"))
     // (g, occurrence#) tokens WITHOUT a per-(sid, g) window (round 13):
     // the i-th occurrence of g in s is just i = 1..count, so one

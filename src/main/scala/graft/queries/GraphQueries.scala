@@ -442,6 +442,11 @@ object GraphQueries {
       var n = e.count()
       var round = 0
       var converged = false
+      // NOTE (round 13): batching TWO peel rounds per count action
+      // (halving driver round-trips; sound — the count is monotone) was
+      // A/B-measured at 4.5-4.7 s vs 4.0 s for this per-round form and
+      // REVERTED: per-round materialization lets AQE replan each round's
+      // joins with runtime stats, which beats the saved actions.
       while (!converged && round < 30) {
         val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
           .where(col("deg") >= 18).select("src")

@@ -133,8 +133,16 @@ class ContainmentJoinSpec extends SparkSpec {
     // the 6 hot boilerplate shingles sit in NO prefix (max df), so the
     // bloom removes their index rows before the candidate join's exchange
     assert(bloomed < full)
+    // index keys are xxhash64(shingle) since round 13 — compare against
+    // the hot shingles' hashes, not their strings
+    val hotHashes = spark.range(1)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(
+          (0 until 6).map(i => org.apache.spark.sql.functions.lit(s"hot$i")): _*)).as("s"))
+      .select(org.apache.spark.sql.functions.xxhash64(col("s")))
+      .collect().map(_.getLong(0)).toSeq
     val hotRows = ContainmentJoin.frames(df, "id", "sh", 4, 5, Some(10000L))._2
-      .filter(col("g").startsWith("hot")).count()
+      .filter(col("g").isin(hotHashes: _*)).count()
     assert(hotRows == 0, "boilerplate shingles should be bloom-pruned from the index")
   }
 }
