@@ -63,4 +63,39 @@ class ResampleLerpSpec extends SparkSpec {
     val df = Seq((7L, hourUs + 17L, 42.5, 1L)).toDF("user_id", "t", "value", "event_id")
     assert(lerpOf(df) === Seq(42.5))
   }
+
+  // Round 13: the obs-only-window rewrite resolves brackets via lead()
+  // over (t, event_id) — these cases pin the tie rules the old
+  // union+frame form encoded implicitly, so a future re-plan cannot
+  // silently change them.
+
+  test("duplicate timestamps: prev = highest event_id, next = lowest of the following run") {
+    import spark.implicits._
+    // two obs at t=0h (values 10 then 14, event_ids 1 < 2) and two at
+    // t=2h (values 30 then 34, ids 3 < 4). Grid 0h lands exactly on the
+    // t=0 run -> takes the LAST duplicate (14, the one later in
+    // (t, event_id) order); grid 1h lerps between that prev (14) and
+    // the FIRST obs of the next run (30) -> 22; grid 2h lands on the
+    // t=2h run -> its last duplicate is prev with factor 0... which is
+    // 34.
+    val df = Seq(
+      (1L, 0L, 10.0, 1L), (1L, 0L, 14.0, 2L),
+      (1L, 2 * hourUs, 30.0, 3L), (1L, 2 * hourUs, 34.0, 4L))
+      .toDF("user_id", "t", "value", "event_id")
+    assert(lerpOf(df) === Seq(14.0, 22.0, 34.0))
+  }
+
+  test("head grid points before the first observation take the first obs value") {
+    import spark.implicits._
+    // first obs at 1h+1us -> grid starts at floor(1h) = 1h, which is
+    // BEFORE the obs: prev is null there, so the head point takes the
+    // next (= first) obs value; 2h lerps; 3h is past the last obs grid
+    val df = Seq((9L, hourUs + 1L, 10.0, 1L), (9L, 3 * hourUs + 1L, 30.0, 2L))
+      .toDF("user_id", "t", "value", "event_id")
+    assert(lerpOf(df).size == 3) // 1h, 2h, 3h
+    val vs = lerpOf(df)
+    assert(vs.head === 10.0)                 // head segment
+    assert(vs(1) > 10.0 && vs(1) < 30.0)     // interior lerp
+    assert(vs(2) > vs(1) && vs(2) < 30.0)    // still before the 2nd obs
+  }
 }
