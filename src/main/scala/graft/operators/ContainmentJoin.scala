@@ -46,6 +46,14 @@ import org.apache.spark.sql.functions._
   * bloom and its output cut by the length/position filters before the
   * distinct; then an array_intersect verify per candidate, map-side
   * after two id-keyed joins.
+  *
+  * CACHE LIFECYCLE (round 14, ADVICE): the operators below cache shared
+  * sub-frames (`ranked` in [[frames]], `freq` in [[probeJoin]]) for the
+  * duration of the returned LAZY plan — the operator cannot unpersist
+  * them itself because the consuming action happens in the caller.
+  * Callers owning a long-lived session must release them via
+  * `spark.catalog.clearCache()` (or `graft.Caches.reset`) between
+  * invocations — the bench/verify harness already does.
   */
 object ContainmentJoin {
 
@@ -175,11 +183,22 @@ object ContainmentJoin {
                                col("nb") - col("b_rk"))) * tDen >=
         col("na") * tNum)
       .select("a_id", "b_id").distinct()
+    // verify on the 64-bit hashed shingle sets (round 14): the candidate
+    // pipeline above already equates shingles by xxhash64 — the verify
+    // intersect now counts the same hashed identities instead of
+    // re-hashing full strings per pair (array_intersect hashes every
+    // element of both arrays for every candidate; long keys hash in one
+    // op vs a per-char pass, and the verify join's exchange carries
+    // 8-byte elements instead of shingle strings). Same losslessness
+    // standard as the candidate keys and d2's jraw: a collision can only
+    // MERGE identities, and the arrays are pre-distinct.
     cands
-      .join(pBase.select(col("sid").as("a_id"), col("sh").as("sa"),
+      .join(pBase.select(col("sid").as("a_id"),
+                         transform(col("sh"), g => xxhash64(g)).as("ha"),
                          col("n").as("na")), "a_id")
-      .join(iBase.select(col("sid").as("b_id"), col("sh").as("sb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .join(iBase.select(col("sid").as("b_id"),
+                         transform(col("sh"), g => xxhash64(g)).as("hb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .filter(col("inter") * tDen >= lit(tNum) * col("na"))
       .select(col("a_id"), col("b_id"),
               (col("inter").cast("double") / col("na").cast("double"))
@@ -198,11 +217,14 @@ object ContainmentJoin {
     val cands = candidatePairs(df, idCol, shCol, tNum, tDen,
         positional = true, indexBloomItems = indexBloomItems)
       .distinct()
+    // hashed verify — see probeJoin's note (round 14).
     cands
-      .join(base.select(col("sid").as("a_id"), col("sh").as("sa"),
+      .join(base.select(col("sid").as("a_id"),
+                        transform(col("sh"), g => xxhash64(g)).as("ha"),
                         col("n").as("na")), "a_id")
-      .join(base.select(col("sid").as("b_id"), col("sh").as("sb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .join(base.select(col("sid").as("b_id"),
+                        transform(col("sh"), g => xxhash64(g)).as("hb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .filter(col("inter") * tDen >= lit(tNum) * col("na"))
       .select(col("a_id"), col("b_id"),
               (col("inter").cast("double") / col("na").cast("double"))

@@ -46,8 +46,87 @@ import org.apache.spark.sql.functions._
   * payload would dominate the exchange, so strings re-join by id after
   * the candidate set is deduped, and the length band prunes with the
   * carried lengths before any string moves.
+  *
+  * CACHE LIFECYCLE (round 14, ADVICE): [[selfJoin]] caches the collapsed
+  * gram counts and the prefix frame for the duration of the returned
+  * LAZY plan (the consuming action lives in the caller, so the operator
+  * cannot unpersist them itself). Long-lived sessions must release them
+  * via `spark.catalog.clearCache()` / `graft.Caches.reset` between
+  * invocations — the bench/verify harness already does.
   */
 object EditDistanceJoin {
+
+  /** Hashed positional q-grams, one compiled allocation-free pass per
+    * string (round 14): the previous `transform(sequence(…), i ->
+    * xxhash64(substring(…)))` ran Catalyst's INTERPRETED lambda
+    * evaluator per gram — measured as j18's dominant stage CPU (a ~1 KB
+    * doc yields ~1k grams, each paying a substring allocation plus an
+    * interpreted xxhash64 call). The gram hash is purely an INTERNAL
+    * identity/order key (count filter, freq order, prefix rank, candidate
+    * equi-join); the verify is the exact thresholded levenshtein on the
+    * original strings — so ANY 64-bit hash yields the same final pairs
+    * (the prefix theorem holds for every shared total order, and a
+    * collision only merges gram identities). FNV-1a over the q UTF-16
+    * units: zero allocations per gram. */
+  private def gramHashesUdf(q: Int) = udf { (s: String) =>
+    if (s == null) null
+    else if (s.length < q) Array.empty[Long]
+    else {
+      val out = new Array[Long](s.length - q + 1)
+      var i = 0
+      while (i < out.length) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < i + q) { h ^= s.charAt(j); h *= 0x100000001b3L; j += 1 }
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Hashed ≤k-deletion neighbourhood, compiled and deduped in one pass
+    * (round 14): replaces k nested interpreted
+    * `array_distinct(flatten(transform(…)))` layers plus a per-variant
+    * substring-concat — the variant hash, like the gram hash above, is
+    * only an equi-join key (the verify is exact), so hashing the variant
+    * CHARACTERS directly (FNV-1a, skipping the deleted positions) is
+    * output-identical and never materializes a variant string. */
+  private def deletionHashesUdf(k: Int) = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val n = s.length
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val out = new scala.collection.mutable.ArrayBuffer[Long]()
+      def hashSkipping(skip: Array[Int], nSkip: Int): Long = {
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        var si = 0
+        while (i < n) {
+          // skip positions are strictly ascending by construction
+          if (si < nSkip && skip(si) == i) si += 1
+          else { h ^= s.charAt(i); h *= 0x100000001b3L }
+          i += 1
+        }
+        h
+      }
+      val skip = new Array[Int](math.max(k, 1))
+      def emit(h: Long): Unit = if (seen.add(h)) out += h
+      emit(hashSkipping(skip, 0))
+      def rec(depth: Int, from: Int): Unit =
+        if (depth < k) {
+          var p = from
+          while (p < n) {
+            skip(depth) = p
+            emit(hashSkipping(skip, depth + 1))
+            rec(depth + 1, p + 1)
+            p += 1
+          }
+        }
+      rec(0, 0)
+      out.toArray
+    }
+  }
 
   /** All pairs (a_id < b_id) with levenshtein(a_str, b_str) ≤ k.
     * Output columns: a_id, b_id, dist (long).
@@ -65,19 +144,17 @@ object EditDistanceJoin {
     val grammed = base.filter(col("len") >= q)
     val shorts  = base.filter(col("len") <= shortLen)
 
-    // positional q-grams via codegen'd higher-order functions, HASHED to
-    // 64-bit keys at birth (round 13): every downstream operation —
-    // duplicate-collapsing count, freq aggregate, prefix rank, candidate
-    // equi-join — then works on longs instead of q-char strings (cheaper
-    // hashing/compares in the aggregates, 8-byte exchange keys, guide
-    // §2.3). Lossless like j17's variant hashing: the prefix theorem
-    // holds for ANY shared total order, (freq, hash, occ) is one, and a
-    // hash collision only MERGES gram identities — extra candidates the
-    // exact verify drops, never a lost pair.
+    // positional q-grams HASHED to 64-bit keys at birth (round 13) via
+    // the compiled per-string pass (round 14 — see gramHashesUdf):
+    // every downstream operation — duplicate-collapsing count, freq
+    // aggregate, prefix rank, candidate equi-join — works on longs
+    // (cheaper hashing/compares in the aggregates, 8-byte exchange keys,
+    // guide §2.3). Lossless like j17's variant hashing: the prefix
+    // theorem holds for ANY shared total order, (freq, hash, occ) is
+    // one, and a hash collision only MERGES gram identities — extra
+    // candidates the exact verify drops, never a lost pair.
     val grams = grammed.select(col("sid"), col("len"),
-      explode(expr(
-        s"transform(sequence(1, length(str) - $q + 1), i -> xxhash64(substring(str, i, $q)))"
-      )).as("g"))
+      explode(gramHashesUdf(q)(col("str"))).as("g"))
     // (g, occurrence#) tokens WITHOUT a per-(sid, g) window (round 13):
     // the i-th occurrence of g in s is just i = 1..count, so one
     // map-side-combined groupBy collapses duplicate grams and a
@@ -94,6 +171,15 @@ object EditDistanceJoin {
     // counts; the cheap sequence-explode re-runs from cache.
     val cnts = grams.groupBy("sid", "len", "g").agg(count(lit(1)).as("cnt"))
       .cache()
+    // eager materialization (round 14): the freq BROADCAST below is built
+    // on a separate thread that starts concurrently with the main job —
+    // with the cache still cold, both raced through the full
+    // scan→gram→count lineage (the profile showed the ~9 s-CPU gram pass
+    // TWICE, once under the broadcast build, once under the action).
+    // One count() action pins the cache first; both consumers then read
+    // it. Per-invocation state only — Caches.reset drops it between
+    // bench runs, so every run still pays the full cost once.
+    cnts.count()
     val tokens = cnts.select(col("sid"), col("len"), col("g"),
       explode(expr("sequence(1L, cnt)")).as("occ"))
     // global canonical order: ascending token document-frequency,
@@ -106,8 +192,27 @@ object EditDistanceJoin {
     // the max per-doc gram count — independent of corpus size — so the
     // broadcast stays sound at any scale. (Catalyst reuses the cnts
     // exchange for both branches: the token stream is computed once.)
-    val freq = tokens.groupBy("g", "occ").agg(count(lit(1)).as("freq"))
-    val prefix = tokens.join(broadcast(freq), Seq("g", "occ"))
+    // freq(g, occ) = #docs holding ≥ occ copies of g = Σ_{c ≥ occ}
+    // #docs with exactly c copies — so aggregate the (g, cnt)
+    // DISTRIBUTION first (round 14): the old form re-exploded every
+    // numbered token (Σcnt ≈ the full gram stream) through a (g, occ)
+    // hash aggregate — measured ~10 s CPU at sf0.1, as much as the gram
+    // pass itself. cntDist is one map-side-combined pass over the cached
+    // cnts rows; the occ re-explosion then runs over the tiny (g, cnt)
+    // vocabulary instead of the corpus. Identical freq values by the
+    // identity above ⇒ identical prefix order ⇒ identical candidates.
+    val cntDist = cnts.groupBy("g", "cnt").agg(count(lit(1)).as("ndocs"))
+    val freq = cntDist
+      .select(col("g"), explode(expr("sequence(1L, cnt)")).as("occ"),
+              col("ndocs"))
+      .groupBy("g", "occ").agg(sum("ndocs").as("freq"))
+    // broadcast gated on q (round 14, ADVICE): the (g, occ) vocabulary
+    // bound |Σ|^q × max-occ is only broadcast-sized for small gram
+    // widths; a caller's wide-alphabet q would force an oversized
+    // broadcast instead of degrading to a shuffle join, so past q = 3
+    // the hint drops and Catalyst picks the strategy from sizes.
+    val freqSide = if (q <= 3) broadcast(freq) else freq
+    val prefix = tokens.join(freqSide, Seq("g", "occ"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("sid").orderBy(col("freq"), col("g"), col("occ"))))
       .filter(col("rk") <= prefixLen)
@@ -172,28 +277,19 @@ object EditDistanceJoin {
   def deletionSelfJoin(df: DataFrame, idCol: String, strCol: String,
                        k: Int): DataFrame = {
     require(k >= 1, s"need k>=1; got k=$k")
-    // D<=k by iterating single-char deletions, dedup'd array-side;
-    // greatest(...,1) keeps sequence() ascending on the empty string
-    // (its only "deletion" is itself, which array_union collapses)
-    val del = (s: String) =>
-      s"transform(sequence(1, greatest(length($s), 1)), " +
-      s"i -> concat(substring($s, 1, i - 1), substring($s, i + 1, length($s))))"
-    var vExpr = "array(str)"
-    for (_ <- 1 to k)
-      vExpr = s"array_distinct(flatten(transform($vExpr, " +
-              s"s0 -> array_union(array(s0), ${del("s0")}))))"
-
     val base = df.select(col(idCol).as("sid"), col(strCol).as("str"),
                          length(col(strCol)).as("len"))
-    // variants join on their 64-bit hash, not the string (round 13):
-    // the candidate exchange carries 8 bytes per row instead of a
-    // ~len-char variant (guide §2.3 "shuffle keys, not payloads").
-    // Lossless: a hash collision can only MERGE buckets — extra
-    // candidate pairs the exact thresholded levenshtein verify below
-    // already drops — never separate two rows whose variants are equal.
+    // variants join on their 64-bit hash, not the string (round 13),
+    // computed by the compiled deduped pass (round 14 — see
+    // deletionHashesUdf; the interpreted nested-HOF form it replaces
+    // built every variant string per row): the candidate exchange
+    // carries 8 bytes per row instead of a ~len-char variant (guide
+    // §2.3 "shuffle keys, not payloads"). Lossless: a hash collision
+    // can only MERGE buckets — extra candidate pairs the exact
+    // thresholded levenshtein verify below already drops — never
+    // separate two rows whose variants are equal.
     val vars = base.select(col("sid"), col("len"),
-      explode(expr(vExpr)).as("v"))
-      .select(col("sid"), col("len"), xxhash64(col("v")).as("v"))
+      explode(deletionHashesUdf(k)(col("str"))).as("v"))
     // id+length only through the variant join; strings re-join after the
     // candidate distinct (same exchange-slimming as selfJoin)
     vars.select(col("sid").as("a_id"), col("len").as("a_len"), col("v"))

@@ -51,9 +51,19 @@ object ResampleLerp {
     // each obs owns the grid multiples of [t, next_t); the first obs
     // also owns the head [floor_step(min t), t); the last obs (nt null)
     // owns only its own timestamp if it is grid-aligned. All bounds are
-    // exact integer arithmetic on epoch micros.
-    val start = when(col("rn") === 1, expr(s"t0 div $stepUs * $stepUs"))
-      .otherwise(expr(s"(t + ${stepUs - 1}) div $stepUs * $stepUs"))
+    // exact integer arithmetic on epoch micros — SIGN-SAFE floor/ceil
+    // via pmod (round 14, ADVICE): Spark's `div` truncates toward zero,
+    // so for negative (pre-1970) timestamps the old `(t + step-1) div
+    // step * step` ceil overshot past valid grid points and dropped
+    // their rows (t = −15, step = 10 started at 0 instead of −10), and
+    // the head floor rounded up instead of down. pmod is non-negative
+    // for positive step, so floor = t − pmod(t, step) and
+    // ceil = t + (step − pmod(t, step)) mod step hold for every sign;
+    // for t ≥ 0 both reduce to the old expressions (oracle unchanged —
+    // the streaming twin already used Math.floorDiv, this aligns the
+    // batch form with it).
+    val start = when(col("rn") === 1, expr(s"t0 - pmod(t0, $stepUs)"))
+      .otherwise(expr(s"t + ($stepUs - pmod(t, $stepUs)) % $stepUs"))
     val stop = coalesce(col("nt") - 1, col("t"))
     o.withColumn("gstart", start).withColumn("gstop", stop)
       .withColumn("grid_us",

@@ -18,23 +18,20 @@ object ScopedStageListener {
     * whole SparkContext for the duration. */
   def observe[T](spark: SparkSession)(onStage: SparkListenerStageCompleted => Unit)
                 (body: => T): T = {
-    @volatile var seen = 0
     val l = new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        onStage(sc); seen += 1
-      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        onStage(sc)
     }
     spark.sparkContext.addSparkListener(l)
     try {
       val r = body
-      // async bus drain, the test helper's poll-until-stable pattern
-      // (the bus API itself is private[spark])
-      var last = -1
-      var stable = 0
-      while (stable < 3) {
-        Thread.sleep(200)
-        if (seen == last) stable += 1 else { stable = 0; last = seen }
-      }
+      // deterministic async-bus drain (round 14, ADVICE): the previous
+      // poll-until-stable loop (3 × 200 ms with no new events) could
+      // declare the bus idle during a GC pause and under-count stage
+      // metrics; waitUntilEmpty blocks until every queued event has been
+      // delivered (reached via the GraftListenerBridge package escape —
+      // the bus API is private[spark]).
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
       r
     } finally spark.sparkContext.removeSparkListener(l)
   }

@@ -85,6 +85,26 @@ class ResampleLerpSpec extends SparkSpec {
     assert(lerpOf(df) === Seq(14.0, 22.0, 34.0))
   }
 
+  test("negative (pre-epoch) timestamps: grid stays on floor/ceil multiples") {
+    import spark.implicits._
+    // obs at t = -1.5h and +0.5h: the head floor must be -2h (not -1h,
+    // which truncate-toward-zero `div` would give), and the grid points
+    // owned by the -1.5h obs must start at its ceil multiple -1h (the
+    // round-13 `(t + step-1) div step * step` computed 0 here and
+    // silently dropped the -1h row). Expect grid -2h (head, value 10),
+    // -1h (lerp), 0h (lerp) — and the grid must stop before +0.5h.
+    val df = Seq(
+      (7L, -3 * hourUs / 2, 10.0, 1L), (7L, hourUs / 2, 30.0, 2L))
+      .toDF("user_id", "t", "value", "event_id")
+    val got = graft.operators.ResampleLerp.gridLerp(df, hourUs)
+      .orderBy("grid_us")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) === Seq(-2 * hourUs, -hourUs, 0L))
+    assert(got.head._2 === 10.0)                       // head segment
+    assert(got(1)._2 === 10.0 + 20.0 * 0.25)           // -1h: 1/4 of [-1.5h, .5h]
+    assert(got(2)._2 === 10.0 + 20.0 * 0.75)           // 0h: 3/4
+  }
+
   test("head grid points before the first observation take the first obs value") {
     import spark.implicits._
     // first obs at 1h+1us -> grid starts at floor(1h) = 1h, which is
