@@ -41,11 +41,15 @@ import org.apache.spark.sql.functions._
   */
 object RadiusStage {
 
-  private val openUdf = udf { (params: Seq[Double], dxs: Seq[Double],
-                               dys: Seq[Double], dss: Seq[Double], seed: Long) =>
-    val Seq(vs, dir0, px, py, vb, fx, fy) = params
-    val defenders = dxs.indices.map(i => Openness.Defender(dxs(i), dys(i), dss(i)))
-    Openness.openCount(vs, dir0, px, py, defenders, vb, fx, fy, seed)
+  // Array[Double] parameters (round 14): Spark converts
+  // array<double> to primitive arrays for this signature, so the
+  // ~12.7M-sample loop never boxes a coordinate (the Seq form built a
+  // Seq[Defender] of case objects per row and unboxed per access).
+  // Same arithmetic in the same order — bit-identical scores.
+  private val openUdf = udf { (params: Array[Double], dxs: Array[Double],
+                               dys: Array[Double], dss: Array[Double], seed: Long) =>
+    Openness.openCount(params(0), params(1), params(2), params(3),
+      dxs, dys, dss, params(4), params(5), params(6), seed, reachTime = 1.0)
   }.withName(Kernels.K2Name)
 
   private val mix64Udf = udf { (x: Long) => Openness.mix64(x) }

@@ -77,7 +77,20 @@ object Openness {
     */
   def openCount(vs: Double, dir: Double, px: Double, py: Double,
                 defenders: Seq[Defender], vb: Double, fx: Double, fy: Double,
-                seed: Long, reachTime: Double = 1.0): Double = {
+                seed: Long, reachTime: Double = 1.0): Double =
+    openCount(vs, dir, px, py,
+      defenders.map(_.x).toArray, defenders.map(_.y).toArray,
+      defenders.map(_.s).toArray, vb, fx, fy, seed, reachTime)
+
+  /** Primitive-array form (round 14): the kernel UDFs hand Spark
+    * `Array[Double]` parameters directly, so the ~10⁴-sample loop runs
+    * over unboxed arrays instead of a `Seq[Defender]` of case objects
+    * (the Seq overload above delegates here — one loop, bit-identical
+    * op order, OpennessSpec pins both). */
+  def openCount(vs: Double, dir: Double, px: Double, py: Double,
+                dxs: Array[Double], dys: Array[Double], dss: Array[Double],
+                vb: Double, fx: Double, fy: Double,
+                seed: Long, reachTime: Double): Double = {
     // reach box, clamped to the field (radius_model.R:114-127); a
     // zero-speed receiver has a zero-area box ⇒ zero samples ⇒ 0.0,
     // matching the reference's ceil(area·100) sample count
@@ -107,9 +120,11 @@ object Openness {
         // defenders contesting: reach the point by ball arrival
         // (radius_model.R:138-146)
         var k = 0
-        defenders.foreach { d =>
-          val tDef = dist(sx, sy, d.x, d.y) / math.max(d.s, 1e-9)
+        var j = 0
+        while (j < dxs.length) {
+          val tDef = dist(sx, sy, dxs(j), dys(j)) / math.max(dss(j), 1e-9)
           if (tDef <= tBall) k += 1
+          j += 1
         }
         if (k == 0) {
           score5 += 5

@@ -164,8 +164,14 @@ object GraphQueries {
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src").cache()
       var r = n.withColumn("pr", lit(Scale))
       for (_ <- 1 to 3) {
+        // broadcast the RANK side (round 14): it is O(|V|) (2.1k rows
+        // here) while Catalyst picked BuildLeft = the full degree-
+        // annotated EDGE list (plan: BroadcastExchange of (src, dst,
+        // outdeg) per iteration — a |E|-row hash relation built three
+        // times). The rank table is the canonical broadcast side of a
+        // PageRank step; values unchanged.
         val contrib = withDeg
-          .join(r.withColumnRenamed("node_id", "src"), "src")
+          .join(broadcast(r.withColumnRenamed("node_id", "src")), "src")
           .select(col("dst").as("node_id"), expr("pr div outdeg").as("c"))
           .groupBy("node_id").agg(sum("c").as("contrib"))
         r = n.join(contrib, Seq("node_id"), "left")
@@ -273,13 +279,26 @@ object GraphQueries {
         .select(col("start"), lit(0).as("step"), col("start").as("node"))
       var path = frontier
       for (i <- 1 to 4) {
-        frontier = frontier
+        // broadcast the FRONTIER side (round 14): ≤ 8 start rows per
+        // step, while Catalyst's size estimate put the (src,dst)-pruned
+        // EDGE side under the auto-broadcast threshold — each step was
+        // building a 2M-row hash relation of the whole edge list
+        // (profile: 8 broadcast-build stages at 2-3.5 s CPU each, the
+        // query's entire cost). With the 8-row side broadcast, e streams
+        // map-side from its cache. Same rows either way.
+        frontier = broadcast(frontier)
           .join(e, frontier("node") === e("src"))
           .withColumn("h",
             md5(concat_ws("|", col("start"), lit(i), col("node"), col("dst"))))
           .groupBy("start")
           .agg(expr("min_by(dst, h)").as("node"))
           .select(col("start"), lit(i).as("step"), col("node"))
+          // cache each ≤8-row step (round 14): step i's subtree is
+          // consumed TWICE — by step i+1's chain and by the final union —
+          // and without the cache each consumer re-ran the full e-scan +
+          // probe + min_by (profile: 8 heavy map stages for 4 steps).
+          // Caches.reset releases them between bench runs.
+          .cache()
         path = path.unionByName(frontier)
       }
       path.orderBy("start", "step")

@@ -37,11 +37,12 @@ object KernelQueries {
 
   /** params = [vs, dir, px, py, vb, fx, fy] packed to stay within the
     * 10-argument Scala-UDF limit. */
-  private val k2Udf = udf { (params: Seq[Double], dxs: Seq[Double],
-                             dys: Seq[Double], dss: Seq[Double], seed: Long) =>
-    val Seq(vs, dir0, px, py, vb, fx, fy) = params
-    val defenders = dxs.indices.map(i => Openness.Defender(dxs(i), dys(i), dss(i)))
-    Openness.openCount(vs, dir0, px, py, defenders, vb, fx, fy, seed)
+  private val k2Udf = udf { (params: Array[Double], dxs: Array[Double],
+                             dys: Array[Double], dss: Array[Double], seed: Long) =>
+    // primitive-array form (round 14, the RadiusStage change): no boxed
+    // Seq[Defender] per row; bit-identical scores
+    Openness.openCount(params(0), params(1), params(2), params(3),
+      dxs, dys, dss, params(4), params(5), params(6), seed, reachTime = 1.0)
   }.withName(Kernels.K2Name)
 
   private val mix64Udf = udf { (x: Long) => Openness.mix64(x) }
