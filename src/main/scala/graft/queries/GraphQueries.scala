@@ -229,9 +229,14 @@ object GraphQueries {
       val e2 = pairs.toDF("b", "c")
       val e3 = pairs.toDF("a", "c")
       val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
-      val perNode = tri.select(col("a").as("node"))
-        .unionByName(tri.select(col("b").as("node")))
-        .unionByName(tri.select(col("c").as("node")))
+      // one evaluation of the triangle enumeration (round 14): the
+      // previous 3-way union re-planned the whole 2-join wedge subtree
+      // once PER BRANCH (three BroadcastHashJoin pairs in the before-
+      // plan — plans/r14/g2_triangle_count_before.txt); exploding
+      // array(a, b, c) emits the same three node rows per triangle from
+      // a single pass. Identical multiset of rows ⇒ identical counts.
+      val perNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_tri"))
         .withColumn("est_tri", col("n_tri") * InvP3)
       perNode.orderBy(desc("n_tri"), col("node")).limit(50)
